@@ -1,0 +1,139 @@
+"""Count-based tumbling window ("pack") — the reference's one custom op.
+
+The reference flushes a group's buffer every exactly-``pack_length`` rows
+(``Buffer.full``, readport.py:277-289): 12000 rows ≈ 10 min of 20 Hz sonic
+data per file (configs/readport_4001.conf:24-25). Spark has no native
+"every N rows per key" window (SURVEY.md §4.3), so the engine provides:
+
+- :func:`with_pack_id` — batch form, deterministic and oracle-checkable:
+  ``pack_id = floor((row_number() OVER (PARTITION BY group
+  ORDER BY time, tiebreak) - 1) / N)``. Tie-break on a unique id because
+  processing timestamps are monotone per connection but not unique
+  (tests/test_socket.py:219-220).
+- :func:`with_pack_id_scalable` — the 100 TB path for *ungrouped* packs,
+  where a single-partition global window would serialize the job: range-
+  partition by the ordering key, compute per-partition local row numbers
+  and combine with broadcast per-partition offsets (two-pass zip-index).
+  Identical output, no single-task bottleneck.
+- the streaming form with remainder carry lives in
+  ``tower_parse_spark.streaming`` (applyInPandasWithState).
+
+Grouped packs scale fine through the window form as long as group
+cardinality ≫ 1 (partition-parallel); the scalable variant exists for the
+degenerate single-group case the reference's sonic configs actually use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def with_pack_id(
+    df: DataFrame,
+    pack_length: int,
+    group_col: str | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign ``pack_id`` (0-based) and ``pack_seq`` (position in pack).
+
+    Batch semantics of readport.py:277-289: consecutive runs of exactly
+    *pack_length* rows per group, ordered by *order_cols* (default:
+    ``time``). The trailing remainder (< pack_length rows) keeps the last
+    pack_id — callers that need only-full packs filter on pack row counts
+    (the reference never flushes partial packs except at shutdown loss,
+    readport.py:409-419).
+    """
+    order = order_cols or ["time"]
+    w = (
+        W.partitionBy(group_col).orderBy(*order)
+        if group_col is not None
+        else W.partitionBy().orderBy(*order)
+    )
+    rn = F.row_number().over(w) - 1
+    return df.withColumn("pack_id", F.floor(rn / pack_length)).withColumn(
+        "pack_seq", rn % pack_length
+    )
+
+
+def with_pack_id_scalable(
+    df: DataFrame,
+    pack_length: int,
+    order_col: str = "time",
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Ungrouped pack assignment without a single-partition window.
+
+    Value-based three-pass global indexing (never trusts physical
+    partition ids, which are not stable across jobs):
+
+    1. freeze approximate quantile boundaries of *order_col* as plan
+       literals (one column-pruned partial-agg pass, tiny result);
+    2. count rows per value-bucket (partial agg, ``num_buckets`` rows)
+       and turn the counts into cumulative offsets on the driver;
+    3. ``global_row = offset[bucket] + (row_number within bucket) - 1``,
+       where the per-bucket window is partition-parallel because buckets
+       are contiguous in the ordering.
+
+    Bucket assignment is a pure function of the row's value, so all
+    passes agree by construction. Equivalent output to
+    :func:`with_pack_id` with ``group_col=None`` — this is the variant
+    that survives 100 TB of single-stream 20 Hz sensor data, where a
+    global window would serialize into one task. Skewed order keys
+    degrade bucket balance, not correctness; raise *num_buckets* or
+    pre-salt if a profile shows it.
+    """
+    spark = df.sparkSession
+    order_exprs = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    parts = num_buckets or spark.sparkContext.defaultParallelism
+    # Pass 1: boundary literals (deterministic once collected).
+    qs = [i / parts for i in range(1, parts)]
+    bounds = (
+        df.select(
+            F.percentile_approx(order_col, qs, 10000).alias("b")
+        ).collect()[0]["b"]
+        or []
+    )
+    bounds = sorted(set(bounds))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + (F.col(order_col) >= b).cast("int"),
+        )
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("_bkt", bucket)
+    # Pass 2: per-bucket counts -> cumulative offsets (tiny).
+    counts = bucketed.groupBy("_bkt").count().orderBy("_bkt").collect()
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in counts:
+        offsets[row["_bkt"]] = running
+        running += row["count"]
+    offset_col = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    # Pass 3: local row number within the value-bucket + frozen offset.
+    w_local = W.partitionBy("_bkt").orderBy(*order_exprs)
+    global_row = offset_col[F.col("_bkt")] + F.row_number().over(w_local) - 1
+    return (
+        bucketed.withColumn("_grow", global_row.cast("long"))
+        .withColumn("pack_id", F.floor(F.col("_grow") / pack_length))
+        .withColumn("pack_seq", F.col("_grow") % pack_length)
+        .drop("_bkt", "_grow")
+    )
+
+
+def pack_stats(df_with_packs: DataFrame, group_col: str | None = None) -> DataFrame:
+    """Per-pack row counts and time bounds — the flush-side view of a pack
+    (what the reference writes as one ``.npz``, readport.py:392-405)."""
+    keys = ([group_col] if group_col else []) + ["pack_id"]
+    return df_with_packs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("time").alias("t_min"),
+        F.max("time").alias("t_max"),
+    )

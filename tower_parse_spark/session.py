@@ -1,0 +1,99 @@
+"""SparkSession construction and test-table loading.
+
+Local-mode settings follow the driver environment (local[32], single JVM):
+shuffle partitions sized to cores rather than the 200 default, AQE enabled
+so runtime stats re-plan joins/coalesce partitions — the knobs that keep the
+same code viable on a real multi-executor cluster at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this workload.
+
+    - ``spark.sql.shuffle.partitions`` = cores: local mode has no network
+      shuffle, 200 partitions on 60k rows is pure overhead; on a real
+      cluster this is overridden per-deployment (AQE coalesces anyway).
+    - AQE on: runtime broadcast-join conversion + skew-join splitting,
+      the scale-out insurance for the big joins/aggs in this engine.
+    - UTC session timezone: required for value-parity with the DuckDB
+      oracle (naive UTC timestamps).
+    - Arrow enabled: every Pandas-UDF operator (packs, multimodal,
+      similarity fallbacks) rides vectorized Arrow batches.
+    """
+    n = cpus or CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as long nanos and rebuild micros-precision timestamps
+        # in load_table (matches DuckDB's micro truncation of the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table; columnar parquet scan with pushdown/pruning.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on —
+    set it here (runtime SQL conf) so the engine also works on a caller's
+    plain SparkSession, then rebuild a micros-precision timestamp with
+    integer math (``div 1000`` — double division would lose precision
+    above 2^53 nanos). Matches DuckDB's micro truncation of the same file.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every test table and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = load_table(spark, sf_dir, name)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
