@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round BENCH_r{N}.json feed.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": N}.
+
+Each query is materialized with the noop sink (full distributed execution,
+no driver-side collect — the time measures the plan, not row transfer).
+A warm-up query first absorbs JVM/codegen startup so per-query numbers
+reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tower_parse_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: relational (scan/join/agg/window), ingest
+# (regex extract + count packs), and the LLM-pipeline families (dedup,
+# similarity, text analysis, multimodal plumbing).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "top_customers_per_nation",
+    "running_revenue_by_nation",
+    "revenue_rollup",
+    "ingest_extract_probe",
+    "ingest_pack_scalable",
+    "ingest_multiformat",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint",
+    "multimodal_decode",
+]
+
+
+def materialize(df) -> None:
+    """Execute the full plan distributed-side; no rows cross to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    materialize(qs["q1_pricing_summary"](spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each partition-parallel and shuffle-minimal — the
+core requirement for a 100 TB documents table:
+
+- **exact**: hash-groupBy on md5(text). One shuffle on a 128-bit key;
+  survivor = min(doc_id) (deterministic).
+- **MinHash + LSH**: shingle -> K minhashes -> B bands; only same-band
+  collisions are compared, so candidate generation is a groupBy on the
+  band key (linear), never an O(n^2) cross join. Estimated Jaccard =
+  fraction of matching minhash components.
+- **SimHash**: 32-bit weighted-bit fingerprint computed with 32 aggregate
+  columns (no row blowup); near-dup candidates via band-equality on bit
+  chunks (Charikar 2002 / Manku et al. 2007, public algorithms).
+- **n-gram Jaccard**: exact set Jaccard on word shingles for candidate
+  pairs from a cheap blocking key (shared normalized prefix) — the
+  verification stage behind MinHash candidates.
+- **embedding cosine**: near-dup if cosine >= threshold within a blocking
+  key (label or LSH bucket) — never all-pairs.
+
+All hashing is md5-hex->bigint (portable to the DuckDB oracle; engine
+murmur seeds differ). Mod-P arithmetic keeps every intermediate in int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions.text import (
+    HASH_P,
+    shingles,
+    token_hash,
+    tokens,
+)
+from tower_parse_spark.functions.vectors import as_double, cosine
+
+# MinHash parameters: K signatures in B bands of R rows (K = B*R).
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    h_i(x) = (a_i * x + b_i) mod P. a odd so the map is a bijection mod 2^k
+    components; values small enough that a*x fits int64 given x < P."""
+    return [(2 * i + 1, (104_729 * i) % HASH_P) for i in range(k)]
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+    """Append ``mh`` (array<long> of k minhash components).
+
+    Computed entirely inside the row projection: shingle array ->
+    transform to hashes -> array_min per seed. No explode, no shuffle.
+
+    Two-stage projection on purpose: the md5 shingle hashing is projected
+    into its own column first, so each of the k per-seed folds is cheap
+    int arithmetic over that array. Inlining the hash expression into all
+    k folds (one giant projection) recomputes md5 k times per shingle —
+    measured ~50x slower at sf0.1. CollapseProject keeps the split because
+    the hash column is expensive and multiply-referenced.
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(shingles(toks, 3))
+    hashed = df.withColumn(
+        "_sh_hashes", F.transform(sh, lambda s: token_hash(s) % HASH_P)
+    )
+    base = F.col("_sh_hashes")
+    comps = [
+        F.array_min(
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
+        )
+        for (a, b) in minhash_params(k)
+    ]
+    return hashed.withColumn("mh", F.array(*comps)).drop("_sh_hashes")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Plan shape: project signatures -> explode to (band_key, id, mh) ->
+    self-join per band bucket (groupBy-sized, not cross-join-sized) ->
+    distinct pairs -> estimated Jaccard. The heavy join key (band hash)
+    is uniformly distributed by construction, so no skew salting needed;
+    at 100 TB the band-bucket join is the only shuffle and it carries
+    ids + signatures, not documents.
+    """
+    # Materialize the signature relation: it is tiny (id + K longs) and the
+    # signature expression tree is large (K nested higher-order lambdas) —
+    # without the cache the union/self-join below would inline that tree 8x
+    # and whole-stage codegen time dominates. At cluster scale this is the
+    # standard "persist the signatures table" step of every LSH pipeline.
+    sig = with_minhash(df, text_col, bands * rows).select(id_col, "mh").cache()
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[
+                        F.col("mh")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.explode(band_keys).alias("band_key"), id_col, "mh"
+    )
+    left = banded.select(
+        "band_key", F.col(id_col).alias("id1"), F.col("mh").alias("mh1")
+    )
+    right = banded.select(
+        "band_key", F.col(id_col).alias("id2"), F.col("mh").alias("mh2")
+    )
+    pairs = (
+        left.join(right, "band_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "mh1", "mh2")
+        .dropDuplicates(["id1", "id2"])
+    )
+    k = bands * rows
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("mh1"),
+                F.col("mh2"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k))
+    )
+    return pairs.select(
+        "id1", "id2", F.round(est, 4).alias("est_jaccard")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: survivors = min(id) per md5(text) group."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Append a ``simhash`` column (bits-wide weighted-bit fingerprint).
+
+    Vector form: per-document bit weights computed by folding the token
+    hash array inside the projection — one pass, no explode. Weight of
+    bit j = (#tokens with bit set) - (#tokens without); fingerprint bit
+    j = weight > 0 (token multiplicity preserved, per Charikar's scheme).
+    """
+    toks = tokens(F.col(text_col))
+    # Stage the md5 token hashing as its own projected column: the 32 bit
+    # aggregates below each traverse the array, and inlining the md5
+    # expression into every one recomputes it 32x per token (measured
+    # ~10x slower at sf0.1). As a staged column it is hashed once.
+    hashed = df.withColumn("_th", F.transform(toks, lambda t: token_hash(t)))
+    hashes = F.col("_th")
+    n = F.size(hashes)
+
+    def ones_at(j: int):
+        # closure factory: binds j at definition time (a bare lambda in the
+        # loop would late-bind and break pyspark's 2-arg lambda contract)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
+        )
+
+    bit_terms = []
+    for j in range(bits):
+        bit = (ones_at(j) * 2 > n).cast("long")
+        bit_terms.append(F.shiftleft(bit, j))
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return hashed.withColumn("simhash", fp).drop("_th")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for pairs sharing a normalized prefix.
+
+    The blocking key (first *block_tokens* tokens) turns all-pairs into
+    per-bucket pairs — one shuffle on the prefix hash. Jaccard is set
+    intersection/union via array ops inside the joined row (no second
+    shuffle). Verification-stage semantics for MinHash candidates.
+    """
+    toks = tokens(F.col(text_col))
+    sh = F.array_distinct(shingles(toks, n))
+    prefix = F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens)))
+    base = df.select(
+        F.col(id_col), prefix.alias("block_key"), sh.alias("sh")
+    )
+    left = base.select(
+        "block_key", F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
+    )
+    right = base.select(
+        "block_key", F.col(id_col).alias("id2"), F.col("sh").alias("sh2")
+    )
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    union = F.size(F.array_union(F.col("sh1"), F.col("sh2")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        left.join(right, "block_key")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a blocking key.
+
+    Blocked self-join (per-label buckets) + in-row cosine — the shuffle
+    carries (id, vector) only. For unblocked corpora, feed the LSH bucket
+    from operators/similarity.py as *block_col*.
+    """
+    base = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    left = base.select("blk", F.col(id_col).alias("id1"), F.col("v").alias("v1"))
+    right = base.select("blk", F.col(id_col).alias("id2"), F.col("v").alias("v2"))
+    cos = cosine(F.col("v1"), F.col("v2"))
+    return (
+        left.join(right, "blk")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

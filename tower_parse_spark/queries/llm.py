@@ -1,10 +1,525 @@
 """LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal.
 
-Filled in as the operators land (SURVEY.md §2.C extension families).
+Each query pairs the engine operator (operators/dedup.py, similarity.py,
+multimodal.py, functions/text.py) with an exact DuckDB SQL twin. The SQL
+is generated from the same constants (hash params, stopword lists,
+hyperplanes) so the two sides cannot drift.
+
+Portability contract with the oracle:
+- token/shingle hashing: md5-hex(15 chars) -> bigint, mod P=2^31-1;
+- tokenization: lower, non-alnum -> space, split (identical regex);
+- float outputs rounded (4 dp) at the query edge;
+- summation order: Spark left-fold (aggregate) vs DuckDB list_sum —
+  equal after rounding for these magnitudes.
 """
 
 from __future__ import annotations
 
-from tower_parse_spark.queries import Query
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-QUERIES: dict[str, Query] = {}
+from tower_parse_spark.functions import text as T
+from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.operators import dedup as D
+from tower_parse_spark.operators import multimodal as M
+from tower_parse_spark.operators import similarity as S
+from tower_parse_spark.queries import Query
+from tower_parse_spark.session import load_table
+
+P = T.HASH_P
+
+# shared SQL fragments -------------------------------------------------------
+
+SQL_TOKS = T.SQL_TOKENS.format(x="text")
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+SQL_SHINGLE_HASHES = (
+    "list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % "
+    f"{P})"
+)
+SQL_TOKEN_HASHES = (
+    "list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ an id-shifted copy — a corpus with known duplicates
+    (the raw table is duplicate-free by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    copy = docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    return docs.unionAll(copy)
+
+
+_DOCS_WITH_COPIES_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy): survivor + multiplicity per text."""
+    return (
+        D.exact_dedup(_docs_with_copies(spark, sf_dir))
+        .orderBy("survivor_id")
+    )
+
+
+DEDUP_EXACT_ORACLE = f"""
+WITH {_DOCS_WITH_COPIES_SQL}
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM docs2
+GROUP BY md5(text)
+ORDER BY survivor_id
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs).orderBy("id1", "id2")
+
+
+def _minhash_sql_components() -> str:
+    comps = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {P}))"
+        for (a, b) in D.minhash_params()
+    )
+    return f"[{comps}]"
+
+
+def _band_key_sql(b: int, rows: int) -> str:
+    parts = " || '_' || ".join(
+        f"CAST(mh[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+    )
+    return f"md5('{b}' || '_' || {parts})"
+
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {SQL_SHINGLES} AS sh FROM tok
+), hs AS (
+  SELECT doc_id, {SQL_SHINGLE_HASHES} AS hs FROM sh
+), sig AS (
+  SELECT doc_id, {_minhash_sql_components()} AS mh FROM hs
+), banded AS (
+  {" UNION ALL ".join(
+    f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh FROM sig"
+    for b in range(D.LSH_BANDS)
+  )}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         l.mh AS mh1, r.mh AS mh2
+  FROM banded l JOIN banded r USING (band_key)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id1, id2,
+       round(list_sum(list_transform(list_zip(mh1, mh2),
+             p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / {float(D.MINHASH_K)}, 4)
+         AS est_jaccard
+FROM pairs
+ORDER BY id1, id2
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.with_simhash(docs).select("doc_id", "simhash").orderBy("doc_id")
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * coalesce(list_sum(list_transform(hs, h -> (h >> {j}) & 1)), 0) "
+        f"> len(hs) THEN CAST(1 AS BIGINT) ELSE 0 END << {j})"
+        for j in range(bits)
+    )
+    return terms
+
+
+DEDUP_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), hs AS (
+  SELECT doc_id, {SQL_TOKEN_HASHES} AS hs FROM tok
+)
+SELECT doc_id, {_simhash_sql()} AS simhash
+FROM hs
+ORDER BY doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over prefix-blocked candidate pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs).orderBy("id1", "id2")
+
+
+DEDUP_NGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:8], ' ')) AS block_key,
+         {SQL_SHINGLES} AS sh
+  FROM tok
+)
+SELECT l.doc_id AS id1, r.doc_id AS id2,
+       round(CASE WHEN len(list_distinct(l.sh || r.sh)) > 0
+                  THEN len(list_intersect(l.sh, r.sh))
+                       / CAST(len(list_distinct(l.sh || r.sh)) AS DOUBLE)
+                  ELSE 0.0 END, 4) AS jaccard
+FROM base l JOIN base r USING (block_key)
+WHERE l.doc_id < r.doc_id
+ORDER BY id1, id2
+"""
+
+
+def _emb_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministically perturbed copies (the raw vectors
+    are random, pairwise cos < 0.5 — inject known near-dups to find)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pert = emb.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") * 1.5 + 0.01 * (i % 3).cast("double"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+        "label",
+    ).unionAll(pert)
+
+
+_EMB_NEAR_COPIES_SQL = """
+emb2 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding, label
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+                        p -> CAST(p[1] AS DOUBLE) * 1.5 + 0.01 * ((p[2] - 1) % 3)) AS embedding,
+         label
+  FROM embeddings
+)
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cos >= 0.9) within label blocks."""
+    return D.embedding_near_dup_pairs(
+        _emb_with_near_copies(spark, sf_dir), threshold=0.9
+    ).orderBy("id1", "id2")
+
+
+_SQL_COS = (
+    "list_sum(list_transform(list_zip(l.embedding, r.embedding), p -> p[1]*p[2]))"
+    " / (sqrt(list_sum(list_transform(l.embedding, x -> x*x)))"
+    " * sqrt(list_sum(list_transform(r.embedding, x -> x*x))))"
+)
+
+DEDUP_EMB_COS_ORACLE = f"""
+WITH {_EMB_NEAR_COPIES_SQL}
+SELECT l.vec_id AS id1, r.vec_id AS id2,
+       round({_SQL_COS}, 4) AS cos_sim
+FROM emb2 l JOIN emb2 r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round({_SQL_COS}, 4) >= 0.9
+ORDER BY id1, id2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 per probe vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, _probes(spark, sf_dir), k=5).orderBy(
+        "probe_id", "rank"
+    )
+
+
+ANN_TOPK_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), probes AS (
+  SELECT vec_id AS probe_id, embedding FROM emb WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS vec_id, round({_SQL_COS.replace("l.", "e.").replace("r.", "p.")}, 4) AS cos_sim
+  FROM emb e CROSS JOIN probes p
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed cosine top-5 per probe (approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_topk(
+        emb, _probes(spark, sf_dir), dim=64, k=5
+    ).orderBy("probe_id", "rank")
+
+
+def _sql_bucket(v: str, dim: int = 64, planes: int = S.LSH_PLANES) -> str:
+    bits = []
+    for j in range(planes):
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {v}[i] * (((i - 1) * 31 + {j * 17}) % 13 - 6)))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {j})")
+    return " + ".join(bits)
+
+
+ANN_LSH_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), be AS (
+  SELECT vec_id, embedding, {_sql_bucket("embedding")} AS bucket FROM emb
+), probes AS (
+  SELECT vec_id AS probe_id, embedding, bucket FROM be WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS vec_id, round({_SQL_COS.replace("l.", "e.").replace("r.", "p.")}, 4) AS cos_sim
+  FROM be e JOIN probes p USING (bucket)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_punct"].alias("n_punct"),
+        pround(feats["stopword_ratio"], 4).alias("stopword_ratio"),
+        pround(feats["avg_token_len"], 4).alias("avg_token_len"),
+        pround(feats["quality_score"], 4).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+TEXT_QUALITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         CASE WHEN len(toks) > 0
+              THEN {T.sql_stopword_hits("toks", "en")} / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(toks) > 0
+              THEN length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE)
+              ELSE 0.0 END AS avg_tok_len,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END AS punct_ratio
+  FROM tok
+)
+SELECT doc_id,
+       n_tokens,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       {sql_pround("stop_ratio", 4)} AS stopword_ratio,
+       {sql_pround("avg_tok_len", 4)} AS avg_token_len,
+       {sql_pround(
+           "0.4 * least(n_tokens / 100.0, 1.0)"
+           " + 0.3 * stop_ratio"
+           " + 0.2 * least(avg_tok_len / 8.0, 1.0)"
+           " + 0.1 * (1.0 - punct_ratio)", 4)} AS quality_score
+FROM feat
+ORDER BY doc_id
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.predicted_lang(toks).alias("pred_lang"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    langs = sorted(T.STOPWORDS)
+    hits = ", ".join(
+        f"{T.sql_stopword_hits('toks', lang)} AS h_{lang}" for lang in langs
+    )
+    # fold with strictly-greater keeps the lexicographically-first maximum,
+    # mirroring functions/text.py::predicted_lang
+    expr = f"'{langs[0]}'"
+    best = f"h_{langs[0]}"
+    for lang in langs[1:]:
+        expr = f"CASE WHEN h_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, h_{lang})"
+    return f"SELECT doc_id, lang, {expr} AS pred_lang FROM (SELECT doc_id, lang, {hits} FROM tok)"
+
+
+TEXT_LANGID_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+)
+{_langid_sql()}
+ORDER BY doc_id
+"""
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics per source (the whitespace+BPE-ish
+    token-counting pass every training pipeline runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return (
+        docs.select("source", F.size(toks).alias("n_tokens"), F.col("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_TOKEN_STATS_ORACLE = f"""
+WITH tok AS (
+  SELECT source, len({SQL_TOKS}) AS n_tokens, n_chars FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       sum(n_chars) AS total_chars
+FROM tok
+GROUP BY source
+ORDER BY source
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint + exact md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint(toks).alias("rolling_fp"),
+        F.md5(F.col("text")).alias("md5_fp"),
+    ).orderBy("doc_id")
+
+
+TEXT_FINGERPRINT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents
+), hs AS (
+  SELECT doc_id, text,
+         list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {P}) AS hashes
+  FROM tok
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hashes),
+                   (a, b) -> (a * {T.FP_BASE} + b) % {P}) AS rolling_fp,
+       md5(text) AS md5_fp
+FROM hs
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload decode plumbing: Arrow-batched mapInPandas over an
+    opaque bytes column; the stub decoder's metadata is arithmetic on the
+    byte length, so the whole distributed pipeline has an exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_payloads(M.with_payload(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width,
+       CAST(16 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+       CASE octet_length(encode(text)) % 3
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
+    "dedup_minhash_lsh": Query(
+        dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash+LSH near-dup"
+    ),
+    "dedup_simhash": Query(dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash fingerprint"),
+    "dedup_ngram_jaccard": Query(
+        dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "n-gram Jaccard near-dup"
+    ),
+    "dedup_embedding_cosine": Query(
+        dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE, "embedding-cosine near-dup"
+    ),
+    "ann_cosine_topk": Query(ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force ANN"),
+    "ann_lsh_topk": Query(ann_lsh_topk, ANN_LSH_ORACLE, "hyperplane-LSH ANN"),
+    "text_quality": Query(text_quality, TEXT_QUALITY_ORACLE, "quality scoring"),
+    "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
+    "text_token_stats": Query(
+        text_token_stats, TEXT_TOKEN_STATS_ORACLE, "token counting"
+    ),
+    "text_fingerprint": Query(
+        text_fingerprint, TEXT_FINGERPRINT_ORACLE, "rolling-hash fingerprint"
+    ),
+    "multimodal_decode": Query(
+        multimodal_decode, MULTIMODAL_ORACLE, "binary decode plumbing"
+    ),
+}
