@@ -1,0 +1,77 @@
+"""Dedup operator family on small literal corpora with known duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators import dedup as D
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bend"),  # near dup of 1
+    (4, "completely different text about spark dataframes and shuffles here"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["survivor_id"]: r["n_copies"] for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}
+
+
+def test_minhash_identical_docs_jaccard_one(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # near-dup pair should be found with high estimated overlap
+    assert pairs.get((1, 3), 0.0) > 0.5 or pairs.get((2, 3), 0.0) > 0.5
+    # unrelated doc 4 never pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identity_and_locality(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in D.with_simhash(docs).collect()}
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    assert 0 <= fps[1] < 2**32
+    # near-dup differs in few bits, unrelated text in many
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fps[1], fps[3]) < hamming(fps[1], fps[4])
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # 1 vs 3: 13 tokens -> 11 trigrams; only the last trigram differs
+    # (intersection 10, union 12)
+    assert pairs[(1, 3)] == pytest.approx(10 / 12, abs=1e-4)
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], "a"),
+        (2, [0.999, 0.01, 0.0], "a"),  # near-dup of 1 (same block)
+        (3, [0.0, 1.0, 0.0], "a"),  # orthogonal
+        (4, [1.0, 0.0, 0.0], "b"),  # same vector, other block: unseen
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["cos_sim"]
+        for r in D.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99

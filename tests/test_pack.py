@@ -1,0 +1,79 @@
+"""Count-based tumbling pack operator (A17) — batch forms.
+
+Mirrors the reference's Buffer tests (tests/test_parser.py:124-177): exact
+pack sizes, per-group independence, remainder behavior; plus equivalence of
+the scalable (bucketed two-pass) form with the window form.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators.pack import (
+    pack_stats,
+    with_pack_id,
+    with_pack_id_scalable,
+)
+
+
+@pytest.fixture()
+def stream_df(spark):
+    """73 rows across 2 groups with unique (time, id) ordering."""
+    rows = [
+        (i, float(1000 + i), 1 if i % 3 else 2)  # group 2 every 3rd row
+        for i in range(73)
+    ]
+    return spark.createDataFrame(rows, "event_id long, time double, level int")
+
+
+def test_grouped_packs_exact_n(stream_df):
+    out = with_pack_id(stream_df, 10, "level", ["time", "event_id"])
+    sizes = {
+        (r["level"], r["pack_id"]): r["n_rows"]
+        for r in pack_stats(out, "level").collect()
+    }
+    # group 1 has 48 rows -> 4 full packs of 10 + remainder 8
+    g1 = sorted(v for (lvl, _), v in sizes.items() if lvl == 1)
+    assert g1 == [8, 10, 10, 10, 10]
+    # group 2 has 25 rows -> 2 full + remainder 5
+    g2 = sorted(v for (lvl, _), v in sizes.items() if lvl == 2)
+    assert g2 == [5, 10, 10]
+
+
+def test_pack_seq_within_pack(stream_df):
+    out = with_pack_id(stream_df, 10, "level", ["time", "event_id"])
+    row0 = out.filter((F.col("level") == 1) & (F.col("pack_id") == 0)).orderBy(
+        "pack_seq"
+    )
+    seqs = [r["pack_seq"] for r in row0.collect()]
+    assert seqs == list(range(10))
+
+
+def test_packs_ordered_by_time(stream_df):
+    """Earlier rows land in earlier packs (Buffer append order analog)."""
+    out = with_pack_id(stream_df, 10, "level", ["time", "event_id"])
+    g1 = out.filter(F.col("level") == 1).orderBy("time").collect()
+    pack_ids = [r["pack_id"] for r in g1]
+    assert pack_ids == sorted(pack_ids)
+
+
+def test_scalable_matches_window_form(spark):
+    """The 100 TB path must produce bit-identical assignments to the
+    single-window form on an ungrouped stream."""
+    rows = [(i, float(i % 97) + i * 0.001) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, time double").repartition(7)
+    a = with_pack_id(df, 37, None, ["time", "event_id"]).select(
+        "event_id", "pack_id", "pack_seq"
+    )
+    b = with_pack_id_scalable(
+        df, 37, order_col="time", tiebreak_col="event_id", num_buckets=5
+    ).select("event_id", "pack_id", "pack_seq")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_scalable_single_bucket_degenerate(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 5.0)], "event_id long, time double")
+    out = with_pack_id_scalable(df, 2, order_col="time", tiebreak_col="event_id")
+    got = {r["event_id"]: (r["pack_id"], r["pack_seq"]) for r in out.collect()}
+    assert got == {1: (0, 0), 2: (0, 1), 3: (1, 0)}

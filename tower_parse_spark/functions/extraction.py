@@ -87,10 +87,14 @@ def extraction_columns(
             if var in group_indices(b)
         ]
         expr = branches[0] if len(branches) == 1 else F.coalesce(*branches)
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+        # on a malformed capture kills the whole job; the reference treats
+        # cast failure as a record-level error (readport.py:353-364) and the
+        # engine's documented divergence maps that to NULL (SURVEY.md §7.4).
         if profile.group is not None and var == profile.group.var:
-            expr = expr.cast(profile.group.spark_type)
+            expr = expr.try_cast(profile.group.spark_type)
         else:
-            expr = expr.cast("double")
+            expr = expr.try_cast("double")
         out[var] = expr.alias(var)
     return out
 

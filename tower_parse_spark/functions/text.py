@@ -59,13 +59,21 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
     Built with sequence+transform over the token array — no explode, no
     shuffle; the set-semantics step (array_distinct) is the caller's call.
+
+    Fewer than *n* tokens -> empty array (matches the DuckDB twin's
+    exclusive ``range``). The size guard matters twice under ANSI mode:
+    ``sequence(1, 0)`` counts *down* ([1, 0]), and ``element_at`` past the
+    array end throws instead of returning NULL.
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    built = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
+    )
+    return F.when(F.size(toks) >= n, built).otherwise(
+        F.array().cast("array<string>")
     )
 
 

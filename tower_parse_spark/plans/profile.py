@@ -149,10 +149,11 @@ class DeviceProfile:
     def from_ini(cls, path: str) -> "DeviceProfile":
         """Load a reference-format ``.conf`` (readport.py:536-584).
 
-        The reference stores the regex as a Python bytes literal
-        (``rb"..."``, readport.py:552); we literal-eval it the same way and
-        decode to str — Spark lines are UTF-8 strings, binary payloads are
-        handled upstream as BinaryType + decode (SURVEY.md §7.4).
+        The reference reads the regex option with ``raw=True`` (so ``$``
+        anchors and ``%`` literals survive ExtendedInterpolation) and
+        literal-evals it into a bytes pattern (readport.py:552); we do the
+        same, then decode to str — Spark lines are UTF-8 strings, binary
+        payloads are handled upstream as BinaryType + decode (SURVEY.md §7.4).
         """
         cp = configparser.ConfigParser(
             interpolation=configparser.ExtendedInterpolation()
@@ -163,9 +164,10 @@ class DeviceProfile:
         try:
             device = cp["device"]
             parser = cp["parser"]
-            raw_regex = ast.literal_eval(parser["regex"])
-            if isinstance(raw_regex, bytes):
-                raw_regex = raw_regex.decode("utf-8", errors="replace")
+            raw = cp.get("parser", "regex", raw=True)
+            raw_regex = ast.literal_eval("b'{}'".format(raw)).decode(
+                "utf-8", errors="replace"
+            )
             group_raw = parser.get("group_by", fallback=None)
             return cls(
                 name=device.get("name", "device"),
