@@ -1,0 +1,188 @@
+"""Streaming integration tests (the reference's tests/test_socket.py role).
+
+- multi-trigger exact-count packs with remainder carry (the one custom
+  stateful operator);
+- end-to-end file-source -> parse -> pack -> partitioned parquet sink;
+- live TCP socket source against an in-process server.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from tower_parse_spark.plans.profile import DeviceProfile, GroupSpec
+from tower_parse_spark.streaming import pipeline as P
+from tower_parse_spark.streaming import sources as SRC
+from tower_parse_spark.streaming.packs import stream_pack
+
+PROBE = DeviceProfile(
+    name="probe",
+    regex=[r"^(?P<level>\d+) RH= (?P<rh>\S+) %RH T= (?P<temp>\S+) .C ID=(?P<id>\d+)$"],
+    group=GroupSpec("level", "int"),
+    pack_length=4,
+)
+
+
+def probe_line(level: int, rh: float, seq: int) -> str:
+    return f"{level:02d} RH= {rh:+08.3f} %RH T= {-rh:+08.3f} 'C ID={seq:07d}"
+
+
+def write_line_files(tmp_path, batches):
+    d = tmp_path / "in"
+    d.mkdir()
+    for i, lines in enumerate(batches):
+        (d / f"b{i}.txt").write_text("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_stream_pack_remainder_carry(spark, tmp_path):
+    """Exactly-N packs across micro-batches: 3 triggers x 3 rows at N=4
+    must yield packs [0,1] (8 rows) and keep 1 row buffered in state."""
+    batches = [
+        [probe_line(1, float(i), i) for i in range(3)],
+        [probe_line(1, float(i), i) for i in range(3, 6)],
+        [probe_line(1, float(i), i) for i in range(6, 9)],
+    ]
+    src = write_line_files(tmp_path, batches)
+    lines = SRC.file_lines(spark, src, max_files_per_trigger=1)
+    packed = stream_pack(P.parse_stream(lines, PROBE), 4, "level", ["id"])
+    q = (
+        packed.writeStream.format("memory")
+        .queryName("packs_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM packs_mem").collect()
+    # 9 rows in, 8 emitted (two full packs), 1 carried in state
+    assert len(rows) == 8
+    by_pack = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    assert {p: len(v) for p, v in by_pack.items()} == {0: 4, 1: 4}
+    # file order is not trigger order, but within each pack seq is 0..3
+    for v in by_pack.values():
+        assert sorted(r["pack_seq"] for r in v) == [0, 1, 2, 3]
+
+
+def test_stream_pack_multi_group(spark, tmp_path):
+    """Per-group independent pack counters (Buffer-per-group parity)."""
+    batches = [
+        [probe_line(1, 1.0, 1), probe_line(2, 2.0, 2), probe_line(1, 3.0, 3)],
+        [probe_line(1, 4.0, 4), probe_line(1, 5.0, 5), probe_line(2, 6.0, 6)],
+    ]
+    src = write_line_files(tmp_path, batches)
+    lines = SRC.file_lines(spark, src, max_files_per_trigger=1)
+    packed = stream_pack(P.parse_stream(lines, PROBE), 2, "level", ["id"])
+    q = (
+        packed.writeStream.format("memory")
+        .queryName("packs_mg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT level, pack_id, id FROM packs_mg").collect()
+    g1 = sorted(r["id"] for r in rows if r["level"] == 1)
+    g2 = sorted(r["id"] for r in rows if r["level"] == 2)
+    assert g1 == [1.0, 3.0, 4.0, 5.0]  # two full packs of 2
+    assert g2 == [2.0, 6.0]  # one full pack (cross-trigger carry!)
+
+
+def test_end_to_end_parquet_sink(spark, tmp_path):
+    """File stream -> parse -> pack -> partitioned parquet: key in the
+    directory, dropped from data files (A18-A20)."""
+    lines = [probe_line(lvl, float(i), i) for i, lvl in enumerate([1, 1, 2, 1, 2, 1, 2, 2])]
+    src = write_line_files(tmp_path, [lines])
+    base = tmp_path / "out"
+    q = P.run_ingest(
+        spark,
+        DeviceProfile(
+            name="probe",
+            regex=PROBE.regex,
+            group=GroupSpec("level", "int"),
+            pack_length=2,
+        ),
+        SRC.file_lines(spark, src),
+        str(base),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(60)
+    out = spark.read.parquet(str(base / "data"))
+    # partition columns come back from the path; all 8 rows in full packs
+    assert sorted(out.columns) == sorted(
+        ["time", "level", "rh", "temp", "id", "pack_id", "pack_seq"]
+    )
+    assert out.count() == 8
+    # on-disk layout: level=<g>/pack_id=<n> directories (A19)
+    leveldirs = sorted(p.name for p in (base / "data").iterdir() if p.is_dir())
+    assert leveldirs == ["level=1", "level=2"]
+
+
+class LineServer(threading.Thread):
+    """In-process TCP server (tests/test_socket.py:114-124 analog)."""
+
+    def __init__(self, lines):
+        super().__init__(daemon=True)
+        self.lines = lines
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.done = threading.Event()
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        with conn:
+            payload = "".join(l + "\n" for l in self.lines).encode()
+            # torn + coalesced packets (fake_server --realistic semantics)
+            mid = len(payload) // 2
+            conn.sendall(payload[:mid])
+            time.sleep(0.2)
+            conn.sendall(payload[mid:])
+            self.done.wait(30)
+        self.sock.close()
+
+
+@pytest.mark.timeout(120)
+def test_socket_source_live(spark, tmp_path):
+    """A1/A6: socket line source reassembles torn packets into lines and
+    stamps processing time."""
+    lines = [probe_line(1, float(i), i) for i in range(6)]
+    server = LineServer(lines)
+    server.start()
+    src = SRC.socket_lines(spark, "127.0.0.1", server.port)
+    parsed = P.parse_stream(src, PROBE)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("sock_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM sock_mem").count() >= 6:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM sock_mem").collect()
+    finally:
+        server.done.set()
+        q.stop()
+    assert len(rows) == 6
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [float(i) for i in range(6)]
+    assert all(r["time"] > 1.0e9 for r in rows)  # processing-time stamped

@@ -26,10 +26,10 @@ class Query:
 
 def registry() -> dict[str, Query]:
     """Assemble the full query registry from all modules (import-light)."""
-    from tower_parse_spark.queries import ingest, llm, relational
+    from tower_parse_spark.queries import ingest, llm, relational, streaming_q
 
     out: dict[str, Query] = {}
-    for mod in (relational, ingest, llm):
+    for mod in (relational, ingest, llm, streaming_q):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,156 @@
+"""Streaming queries in the driver contract.
+
+The stateful streaming pack operator is not directly SQL-expressible, but
+its *result* is deterministic when arrival order is controlled: lines are
+spooled to files in (time, event_id) order and consumed with
+maxFilesPerTrigger=1, so cross-trigger arrival order equals the oracle's
+ORDER BY, and the emitted rows are exactly the first
+``floor(count_g / N) * N`` rows of each group (completed packs only; the
+tail stays in state). That gives the custom stateful operator a full
+value-level DuckDB oracle — stronger than the rows-only check.
+
+The synthetic generator (A5) gets an oracle through its batch twin: the
+same printf template evaluated by both engines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tower_parse_spark.queries import Query
+from tower_parse_spark.queries.ingest import PROBE_PROFILE, _probe_lines
+from tower_parse_spark.streaming import sources as SRC
+from tower_parse_spark.streaming.packs import stream_pack
+
+PACK_N = 100
+N_SPOOL_FILES = 4
+
+
+def streaming_pack_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the real applyInPandasWithState pack operator over a replayed
+    line stream (4 micro-batches) and return per-pack stats."""
+    lines = _probe_lines(spark, sf_dir).orderBy("ts", "event_id")
+    tmp = tempfile.mkdtemp(prefix="tps_stream_")
+    spool = os.path.join(tmp, "in")
+    try:
+        # Spool in arrival order: file i gets the i-th contiguous slice.
+        n = lines.count()
+        per = -(-n // N_SPOOL_FILES)
+        pdf = lines.toPandas()
+        os.makedirs(spool)
+        for i in range(N_SPOOL_FILES):
+            chunk = pdf.iloc[i * per : (i + 1) * per]
+            with open(os.path.join(spool, f"b{i:02d}.txt"), "w") as f:
+                # carry event_id+ts through the line so the stream needs no
+                # side channel: "<ts> <event_id> <payload>"
+                for _, r in chunk.iterrows():
+                    f.write(f"{r.ts!r} {int(r.event_id)} {r.line}\n")
+        src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
+        split = F.split(F.col("value"), " ", 3)
+        lines_stream = src.select(
+            split[0].cast("double").alias("ts"),
+            split[1].cast("long").alias("event_id"),
+            split[2].alias("line"),
+        )
+        from tower_parse_spark.functions.extraction import extract_lines
+
+        parsed = extract_lines(lines_stream, PROBE_PROFILE, extra_cols=["event_id"])
+        packed = stream_pack(
+            parsed, PACK_N, "level", order_cols=["time", "event_id"]
+        )
+        sink = f"stream_packs_{uuid.uuid4().hex[:8]}"
+        q = (
+            packed.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(sink)
+            .groupBy("level", "pack_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("time").alias("t_min"),
+                F.max("time").alias("t_max"),
+                F.round(F.avg("rh"), 4).alias("avg_rh"),
+            )
+            .orderBy("level", "pack_id")
+        )
+        # materialize before the temp dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+STREAMING_PACK_ORACLE = f"""
+WITH extracted AS (
+  SELECT event_id, epoch(ts) AS time,
+         CAST(user_id % 3 + 1 AS INT) AS level,
+         -- same printf->parse roundtrip the Spark side's line takes
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE CAST(printf('%+08.3f', value) AS DOUBLE) END AS rh
+  FROM events
+), numbered AS (
+  SELECT level, time, rh,
+         row_number() OVER (PARTITION BY level ORDER BY time, event_id) AS rn,
+         count(*) OVER (PARTITION BY level) AS cnt
+  FROM extracted
+), completed AS (
+  SELECT level, time, rh,
+         CAST(floor((rn - 1) / {PACK_N}.0) AS BIGINT) AS pack_id
+  FROM numbered
+  WHERE rn <= floor(cnt / {PACK_N}) * {PACK_N}
+)
+SELECT level, pack_id,
+       count(*) AS n_rows,
+       min(time) AS t_min,
+       max(time) AS t_max,
+       round(avg(rh), 4) AS avg_rh
+FROM completed
+GROUP BY level, pack_id
+ORDER BY level, pack_id
+"""
+
+
+def streaming_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 generator parity via its deterministic batch twin (the rate
+    source applies the same template to the same sequence numbers)."""
+    n = 10_000
+    return SRC.generator_batch(spark, n).select("seq", "line").orderBy("seq")
+
+
+STREAMING_GENERATOR_ORACLE = """
+SELECT seq,
+       printf('%02d RH= %+08.3f %%RH T= %+08.3f ''C ID=%07d',
+              CAST(seq % 2 + 1 AS INT),
+              (seq * 7919) % 19998 / 100.0 - 99.99,
+              (seq * 104729) % 19998 / 100.0 - 99.99,
+              seq) AS line
+FROM range(10000) t(seq)
+ORDER BY seq
+"""
+
+
+QUERIES = {
+    "streaming_pack_carry": Query(
+        streaming_pack_carry,
+        STREAMING_PACK_ORACLE,
+        "A17 streaming: stateful exact-count packs w/ remainder carry",
+    ),
+    "streaming_generator": Query(
+        streaming_generator,
+        STREAMING_GENERATOR_ORACLE,
+        "A5 synthetic generator (batch twin of the rate source)",
+    ),
+}

@@ -1,0 +1,130 @@
+"""The end-to-end streaming ingest pipeline (SURVEY.md §3.1, Spark form).
+
+Reference dataflow: socket -> readline -> timestamp -> queue -> extract ->
+buffer -> npz flush. Spark form: line source -> extraction projection
+(same plan as batch, zero code divergence) -> exact-count packs ->
+checkpointed partitioned parquet.
+
+Upgrades over the reference, by design (SURVEY.md §4.2):
+- checkpoint + WAL => exactly-once file output (the reference drops a full
+  pack on any sink failure, readport.py:409-419);
+- graceful stop via ``StreamingQuery.stop()`` (SIGINT drain semantics,
+  readport.py:48-61);
+- restart supervision replaces the reconnect loop (readport.py:95-118).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from tower_parse_spark.functions.extraction import extract_lines
+from tower_parse_spark.plans.profile import DeviceProfile
+from tower_parse_spark.streaming.packs import stream_pack
+
+
+def parse_stream(lines: DataFrame, profile: DeviceProfile) -> DataFrame:
+    """The batch extraction plan applied to a stream — same operator
+    (extract_lines is a pure projection, so it is trigger-agnostic)."""
+    return extract_lines(lines, profile)
+
+
+def packed_stream(lines: DataFrame, profile: DeviceProfile) -> DataFrame:
+    parsed = parse_stream(lines, profile)
+    group = profile.group.var if profile.group else None
+    if group is None:
+        # degenerate single-group stream: constant key (the reference's
+        # group=None buffer, readport.py:256-271)
+        from pyspark.sql import functions as F
+
+        parsed = parsed.withColumn("_g", F.lit(0))
+        group = "_g"
+    return stream_pack(parsed, profile.pack_length, group)
+
+
+def write_packs(
+    packed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    query_name: str = "ingest",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Columnar compressed partitioned atomic sink (A18-A20):
+    parquet files partitioned by (group, pack_id) — the key lives in the
+    directory name and is dropped from the data files, exactly the
+    reference's '{group} in filename, popped from vectors' layout
+    (readport.py:398-400).
+
+    Written through ``foreachBatch``: partitionBy/repartition directly on
+    the streaming state-op output trips a Spark columnar-transition gap
+    (FlatMapGroupsInPandasWithState emits Arrow batches; the streaming
+    planner feeds them to a row-based shuffle -> ClassCastException), while
+    the batch planner inside foreachBatch inserts ColumnarToRow correctly.
+    The in-batch repartition on (group, pack_id) makes each completed pack
+    exactly one parquet file — the reference's one-npz-per-pack layout.
+
+    Delivery: offsets are checkpointed per epoch; a replayed epoch
+    re-appends its packs (at-least-once), which still upgrades the
+    reference's drop-pack-on-failure at-most-once (readport.py:409-419).
+    Dedup on read: packs are keyed by (group, pack_id)."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.repartition(group_col, "pack_id")
+            .write.mode("append")
+            .partitionBy(group_col, "pack_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        packed.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName(query_name)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def echo(lines: DataFrame, query_name: str = "echo") -> StreamingQuery:
+    """A4: dump the raw line stream to stdout (format discovery)."""
+    return (
+        lines.writeStream.format("console")
+        .option("truncate", "false")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def run_ingest(
+    spark,
+    profile: DeviceProfile,
+    lines: DataFrame,
+    base_dir: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Wire source -> parse -> pack -> sink for one device profile
+    (the `./readport.py --config X.conf` entry point, readport.py:739-778)."""
+    packed = packed_stream(lines, profile)
+    group = profile.group.var if profile.group else "_g"
+    return write_packs(
+        packed,
+        out_dir=os.path.join(base_dir, "data"),
+        checkpoint_dir=os.path.join(base_dir, "checkpoint"),
+        group_col=group,
+        query_name=f"ingest_{profile.name}",
+        trigger=trigger,
+    )
+
+
+def stop_gracefully(query: StreamingQuery, timeout_s: float = 30.0) -> None:
+    """SIGINT-drain parity (A22): finish the in-flight trigger, then stop.
+    ``query.stop()`` interrupts after the current micro-batch commits, so
+    no acknowledged data is lost (vs the reference's best-effort drain)."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_s)
