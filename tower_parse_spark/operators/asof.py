@@ -1,0 +1,95 @@
+"""As-of join: for each left row, the most recent right row at or before
+its timestamp, per key.
+
+Spark has no built-in as-of join (pandas-on-Spark's merge_asof exists but
+pulls both sides through Python). The scalable shape used here is the
+union + last-value window trick:
+
+1. tag both sides and union them into one relation keyed by
+   (key, time, tag) — right rows sort *before* left rows at equal time,
+   so "at or before" includes exact matches;
+2. one window pass per key ordered by (time, tag):
+   ``last(right_payload) IGNORE NULLS`` carries the latest right payload
+   forward onto every left row;
+3. keep the left rows.
+
+Cost: ONE shuffle on the key (the union is shuffle-free), no row
+explosion, no per-key loop — at 100 TB this is a single sort-merge pass,
+versus the naive inequality-join + dedup which explodes to |L|x|R| per
+key before pruning. Skewed keys degrade the sort, not correctness (AQE
+skew handling applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    right_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: latest right row with right_time <= left_time.
+
+    Returns all left columns plus *right_payload* columns (NULL when no
+    right row precedes the left row). *right_tiebreak* makes the choice
+    deterministic when several right rows share a timestamp (the greatest
+    tiebreak tuple wins).
+    """
+    payload = right_payload or [
+        c for c in right.columns if c not in (on, right_time)
+    ]
+    lrow_type = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_s")
+    ).schema["_s"].dataType
+    rpay_type = right.select(
+        F.struct(*[F.col(c) for c in payload]).alias("_s")
+    ).schema["_s"].dataType
+
+    tiebreak = right_tiebreak or []
+    tb_type = None
+    if tiebreak:
+        tb_type = right.select(
+            F.struct(*[F.col(c) for c in tiebreak]).alias("_s")
+        ).schema["_s"].dataType
+
+    l_u = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(rpay_type).alias("_rpay"),
+        *([F.lit(None).cast(tb_type).alias("_tb")] if tiebreak else []),
+    )
+    r_u = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"),
+        *([F.struct(*[F.col(c) for c in tiebreak]).alias("_tb")] if tiebreak else []),
+    )
+    u = l_u.unionByName(r_u)
+    # left rows' NULL tiebreak sorts first, but _tag already puts every
+    # right row before the left rows of the same instant, so the NULLs
+    # never reorder left vs right — _tb only disambiguates right-vs-right.
+    order = ["_t", "_tag"] + (["_tb"] if tiebreak else [])
+    w = (
+        W.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.withColumn(
+        "_rlast", F.last("_rpay", ignorenulls=True).over(w)
+    ).filter(F.col("_tag") == 1)
+    out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns] + [
+        F.col("_rlast")[c].alias(c) for c in payload
+    ]
+    return carried.select(*out_cols)

@@ -26,10 +26,17 @@ class Query:
 
 def registry() -> dict[str, Query]:
     """Assemble the full query registry from all modules (import-light)."""
-    from tower_parse_spark.queries import ingest, llm, relational, streaming_q
+    from tower_parse_spark.queries import (
+        ingest,
+        llm,
+        relational,
+        relational_ext,
+        streaming_q,
+        temporal,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (relational, ingest, llm, streaming_q):
+    for mod in (relational, relational_ext, ingest, llm, streaming_q, temporal):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

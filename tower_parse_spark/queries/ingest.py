@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tower_parse_spark.functions.extraction import extract_lines
+from tower_parse_spark.functions.rounding import pround
 from tower_parse_spark.operators.pack import (
     pack_stats,
     with_pack_id,
@@ -126,7 +127,14 @@ def ingest_sentinel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.count("rh").alias("n_rh_present"),
             F.sum(F.col("rh").isNull().cast("long")).alias("n_rh_missing"),
-            F.round(F.avg("temp"), 4).alias("avg_temp"),
+            # temp is 3-decimal printf-quantized: exact integer sum makes
+            # the average order-independent across engines/runs (a float
+            # partial-agg sum can land on round-half boundaries).
+            pround(
+                F.sum(F.round(F.col("temp") * 1000).cast("long")) / 1000.0
+                / F.count("temp"),
+                4,
+            ).alias("avg_temp"),
         )
         .orderBy("level")
     )
@@ -138,7 +146,8 @@ SELECT level,
        count(*) AS n_rows,
        count(rh) AS n_rh_present,
        CAST(sum(CASE WHEN rh IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rh_missing,
-       round(avg(temp), 4) AS avg_temp
+       floor((sum(CAST(round(temp * 1000) AS BIGINT)) / 1000.0 / count(temp))
+             * 10000.0 + 0.5) / 10000.0 AS avg_temp
 FROM extracted
 GROUP BY level
 ORDER BY level

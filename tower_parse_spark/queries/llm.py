@@ -422,7 +422,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            # integer sum / count: exact on both engines (avg() of ints may
+            # take a float partial-sum path and land on round boundaries)
+            pround(
+                F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("avg_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("source")
@@ -436,7 +440,7 @@ WITH tok AS (
 SELECT source,
        count(*) AS n_docs,
        sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), 4) AS avg_tokens,
+       {sql_pround("sum(n_tokens) / CAST(count(*) AS DOUBLE)", 4)} AS avg_tokens,
        sum(n_chars) AS total_chars
 FROM tok
 GROUP BY source

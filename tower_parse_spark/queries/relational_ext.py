@@ -1,0 +1,245 @@
+"""Relational surface extensions: semi joins, set operations, scalar
+function families (string/date/math), correlated aggregates.
+
+Covers the §2.B categories the base relational module doesn't: EXISTS
+(semi), INTERSECT/EXCEPT, the scalar function library, and the
+correlated-subquery shape (decorrelated by Catalyst into a join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.queries import Query
+from tower_parse_spark.session import load_table
+
+
+def orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS semi-join — order-priority counts over
+    orders having at least one returned lineitem. Catalyst plans a
+    left-semi hash join: no row duplication, fact side streams."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    semi = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_RETURNS_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers with BUILDING-segment-sized balances in
+    both halves — INTERSECT and EXCEPT composed, counted by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_nationkey")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_nationkey"
+    )
+    both = rich.intersect(building)
+    rich_not_building = rich.exceptAll(building)
+    return (
+        both.withColumn("set_kind", F.lit("rich_and_building"))
+        .unionByName(
+            rich_not_building.withColumn("set_kind", F.lit("rich_only"))
+        )
+        .groupBy("set_kind", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("set_kind", "c_nationkey")
+    )
+
+
+SEGMENT_SET_OPS_ORACLE = """
+WITH rich AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+), building AS (
+  SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), tagged AS (
+  SELECT *, 'rich_and_building' AS set_kind FROM (
+    SELECT * FROM rich INTERSECT SELECT * FROM building)
+  UNION ALL
+  SELECT *, 'rich_only' AS set_kind FROM (
+    SELECT * FROM rich EXCEPT ALL SELECT * FROM building)
+)
+SELECT set_kind, c_nationkey, count(*) AS n_customers
+FROM tagged
+GROUP BY set_kind, c_nationkey
+ORDER BY set_kind, c_nationkey
+"""
+
+
+def part_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part: case mapping, substring, padding,
+    replace, split, concat, length/position predicates."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.lower(F.col("p_type")).alias("type_lower"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.element_at(F.split(F.col("p_type"), " "), 1).alias("type_head"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
+PART_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(p_type, ' ', '_') AS type_snake,
+       string_split(p_type, ' ')[1] AS type_head,
+       p_brand || '|' || p_type AS brand_type,
+       instr(p_name, 'a') AS first_a
+FROM part
+ORDER BY p_partkey
+"""
+
+
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function family: parts, truncation, arithmetic, diffs,
+    day-of-week, formatting — aggregated so the output stays small."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.year(d).alias("y"),
+            F.quarter(d).alias("q"),
+            F.month(d).alias("m"),
+            F.dayofweek(d).alias("dow"),  # 1=Sunday (both engines adjusted below)
+            F.datediff(F.lit("2025-01-01").cast("date"), d.cast("date")).alias(
+                "days_to_2025"
+            ),
+            F.date_format(d, "yyyy-MM").alias("ym"),
+            "o_totalprice",
+        )
+        .groupBy("y", "q", "m", "dow", "ym")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("days_to_2025").alias("min_days_to_2025"),
+            pround(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("y", "q", "m", "dow", "ym")
+    )
+
+
+ORDERS_DATE_ORACLE = f"""
+SELECT year(o_orderdate) AS y,
+       quarter(o_orderdate) AS q,
+       month(o_orderdate) AS m,
+       dayofweek(o_orderdate) + 1 AS dow,
+       strftime(o_orderdate, '%Y-%m') AS ym,
+       count(*) AS n,
+       min(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01'))
+         AS min_days_to_2025,
+       {sql_pround("avg(o_totalprice)", 4)} AS avg_price
+FROM orders
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY y, q, m, dow, ym
+"""
+
+
+def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family: abs/sign/ceil/floor, sqrt/ln/exp, pow, mod,
+    greatest/least — folded into per-returnflag aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pround(F.sum(F.sqrt(v)), 4).alias("sum_sqrt_price"),
+            pround(F.sum(F.log(v + 1.0)), 4).alias("sum_ln_price"),
+            pround(F.sum(F.pow(q, 2.0)), 4).alias("sum_qty_sq"),
+            F.sum(F.ceil(F.col("l_discount") * 100)).alias("sum_disc_pct_ceil"),
+            F.sum(F.floor(q / 7)).alias("sum_qty_div7"),
+            F.sum((q.cast("long") % 5)).alias("sum_qty_mod5"),
+            F.sum(
+                F.greatest(F.col("l_tax"), F.col("l_discount"))
+            ).alias("sum_max_rate"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_MATH_ORACLE = f"""
+SELECT l_returnflag,
+       {sql_pround("sum(sqrt(l_extendedprice))", 4)} AS sum_sqrt_price,
+       {sql_pround("sum(ln(l_extendedprice + 1.0))", 4)} AS sum_ln_price,
+       {sql_pround("sum(pow(l_quantity, 2.0))", 4)} AS sum_qty_sq,
+       CAST(sum(ceil(l_discount * 100)) AS BIGINT) AS sum_disc_pct_ceil,
+       CAST(sum(floor(l_quantity / 7)) AS BIGINT) AS sum_qty_div7,
+       sum(CAST(l_quantity AS BIGINT) % 5) AS sum_qty_mod5,
+       round(sum(greatest(l_tax, l_discount)), 4) AS sum_max_rate
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (TPC-H Q2 core): parts priced at their
+    brand's minimum. Catalyst decorrelates to an aggregate + join; the
+    brand-minimum relation is tiny -> broadcast."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(F.broadcast(mins), "p_brand")
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+MIN_COST_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = p.p_brand)
+ORDER BY p_brand, p_partkey
+"""
+
+
+QUERIES = {
+    "orders_with_returns": Query(
+        orders_with_returns, ORDERS_RETURNS_ORACLE, "EXISTS semi-join"
+    ),
+    "segment_set_ops": Query(
+        segment_set_ops, SEGMENT_SET_OPS_ORACLE, "INTERSECT / EXCEPT ALL"
+    ),
+    "part_string_functions": Query(
+        part_string_functions, PART_STRING_ORACLE, "string function family"
+    ),
+    "orders_date_functions": Query(
+        orders_date_functions, ORDERS_DATE_ORACLE, "date/time function family"
+    ),
+    "lineitem_math_functions": Query(
+        lineitem_math_functions, LINEITEM_MATH_ORACLE, "math function family"
+    ),
+    "min_cost_parts": Query(
+        min_cost_parts, MIN_COST_ORACLE, "correlated aggregate subquery"
+    ),
+}

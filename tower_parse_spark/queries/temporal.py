@@ -1,0 +1,296 @@
+"""Event-time analytics over the ``events`` stream table.
+
+The reference has no event-time concept at all (processing-time only,
+SURVEY.md §2.B "watermarks: Absent") — this module is the engine surface
+that fills that category: tumbling/sliding time windows, gap-based
+sessionization, as-of enrichment, JSON prop extraction, distribution
+stats. Batch forms here (oracle-checkable); the same window expressions
+run on a stream with ``withWatermark`` (see streaming/pipeline.py).
+
+Timestamp parity notes: the session runs in UTC; events.ts is parquet
+TIMESTAMP(NANOS) read as micros (session.load_table) — identical to
+DuckDB's truncation. Spark ``window()`` and DuckDB ``date_trunc`` agree
+on epoch-aligned tumbling windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.operators.asof import asof_join
+from tower_parse_spark.queries import Query
+from tower_parse_spark.session import load_table
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (the streaming
+    agg shape: window() + groupBy; batch twin of readStream+watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in 2
+    windows — Spark's window() explodes this natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        # events.value is 2-decimal quantized: sum exact scaled integers so
+        # the average is order-independent (a float sum's partial-agg order
+        # differs between engines and runs; with quantized data the result
+        # lands exactly on round-half boundaries).
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+# DuckDB twin: explode each event into its 2 containing windows.
+EVENTS_SLIDING_ORACLE = """
+WITH slid AS (
+  SELECT to_timestamp(floor(epoch(ts) / 1800) * 1800 - k.k * 1800)
+           AT TIME ZONE 'UTC' AS window_start,
+         value
+  FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       {avg_pround} AS avg_value
+FROM slid
+GROUP BY 1
+ORDER BY window_start
+""".format(
+    avg_pround=sql_pround(
+        "sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*)", 4
+    )
+)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min inactivity): classic gaps-and-islands —
+    lag + cumulative sum of new-session flags, then per-session agg.
+    Two window passes over one (user, ts) sort; one shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(
+        w_user
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w_user.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max(F.col("ts").cast("double"))
+                - F.min(F.col("ts").cast("double")),
+                4,
+            ).alias("duration_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       round(max(epoch(ts)) - min(epoch(ts)), 4) AS duration_s
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the customer's most
+    recent order at that time (union + last-value carry; one shuffle)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").cast("double").alias("t"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        # o_orderdate is TIMESTAMP_NTZ; NTZ -> double needs the
+        # session-tz (UTC) timestamp hop, matching DuckDB's epoch()
+        F.col("o_orderdate").cast("timestamp").cast("double").alias("ot"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    joined = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_time="t",
+        right_time="ot",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch(ts) AS t FROM events
+  WHERE event_type = 'purchase'
+), o AS (
+  SELECT o_custkey AS user_id, epoch(o_orderdate) AS ot,
+         o_orderkey, o_totalprice
+  FROM orders
+), ranked AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.ot DESC, o.o_orderkey DESC) AS rn
+  FROM ev e LEFT JOIN o ON e.user_id = o.user_id AND o.ot <= e.t
+)
+SELECT event_id, user_id,
+       o_orderkey AS last_orderkey,
+       o_totalprice AS last_totalprice
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (get_json_object) + bucket aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_bucket
+"""
+
+
+def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution stats per event_type: exact percentiles (interpolated),
+    stddev, distinct users. The top-k/percentile category."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.95), 4).alias("p95"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_DISTRIBUTION_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(stddev_samp(value), 4) AS sd
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "events_tumbling_window": Query(
+        events_tumbling_window, EVENTS_TUMBLING_ORACLE, "tumbling time window"
+    ),
+    "events_sliding_window": Query(
+        events_sliding_window, EVENTS_SLIDING_ORACLE, "sliding time window"
+    ),
+    "events_sessionize": Query(
+        events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"
+    ),
+    "events_asof_order": Query(
+        events_asof_order, EVENTS_ASOF_ORACLE, "as-of join enrichment"
+    ),
+    "events_json_props": Query(
+        events_json_props, EVENTS_JSON_ORACLE, "JSON extraction"
+    ),
+    "events_value_distribution": Query(
+        events_value_distribution,
+        EVENTS_DISTRIBUTION_ORACLE,
+        "percentiles / distinct / stddev",
+    ),
+}
