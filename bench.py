@@ -37,6 +37,10 @@ HEADLINE = [
     "ingest_extract_probe",
     "ingest_pack_scalable",
     "ingest_multiformat",
+    "events_tumbling_window",
+    "events_sessionize",
+    "events_asof_order",
+    "orders_with_returns",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -34,6 +34,7 @@ from tower_parse_spark.functions.text import (
     tokens,
 )
 from tower_parse_spark.functions.vectors import as_double, cosine
+from tower_parse_spark.session import ensure_parallelism
 
 # MinHash parameters: K signatures in B bands of R rows (K = B*R).
 MINHASH_K = 16
@@ -63,7 +64,7 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> D
     """
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(shingles(toks, 3))
-    hashed = df.withColumn(
+    hashed = ensure_parallelism(df).withColumn(
         "_sh_hashes", F.transform(sh, lambda s: token_hash(s) % HASH_P)
     )
     base = F.col("_sh_hashes")
@@ -172,7 +173,9 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     # aggregates below each traverse the array, and inlining the md5
     # expression into every one recomputes it 32x per token (measured
     # ~10x slower at sf0.1). As a staged column it is hashed once.
-    hashed = df.withColumn("_th", F.transform(toks, lambda t: token_hash(t)))
+    hashed = ensure_parallelism(df).withColumn(
+        "_th", F.transform(toks, lambda t: token_hash(t))
+    )
     hashes = F.col("_th")
     n = F.size(hashes)
 

@@ -29,7 +29,7 @@ from tower_parse_spark.operators.pack import (
 )
 from tower_parse_spark.plans.profile import DeviceProfile, GroupSpec
 from tower_parse_spark.queries import Query
-from tower_parse_spark.session import load_table
+from tower_parse_spark.session import ensure_parallelism, load_table
 
 # ---------------------------------------------------------------------------
 # Deterministic line synthesis (identical printf in Spark and DuckDB).
@@ -55,7 +55,9 @@ PROBE_PROFILE = DeviceProfile(
 
 
 def _probe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # regex extraction downstream is CPU-bound; small parquet arrives as
+    # one split, so spread it (no-op when the source has >= cores splits)
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     rh_str = F.when(F.col("event_type") == "error", F.lit("///")).otherwise(
         F.format_string("%+08.3f", F.col("value"))
     )
@@ -234,7 +236,7 @@ ALT_PROFILE = DeviceProfile(
 
 
 def _alt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_parallelism(load_table(spark, sf_dir, "events"))
     level = (F.col("user_id") % 3 + 1).cast("int")
     line_a = F.format_string(ALT_FMT_A, level, F.col("value"), -F.col("value"))
     line_b = F.format_string(ALT_FMT_B, -F.col("value"), F.col("value"), level)

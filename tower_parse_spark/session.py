@@ -65,6 +65,19 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
     return spark
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than
+    cores — used in front of compute-bound projections (minhash/simhash
+    signature hashing). A small parquet table arrives as ONE input split,
+    which would serialize per-row CPU work; a big table (the 100 TB case)
+    already has >= cores splits and passes through untouched, so the
+    shuffle is only paid when it is worth cores-x speedup."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
