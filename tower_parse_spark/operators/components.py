@@ -1,0 +1,98 @@
+"""Connected components over a pair list — duplicate-cluster resolution.
+
+The last stage of every near-dedup pipeline: candidate pairs (MinHash,
+SimHash bands, cosine blocks) form a graph; each connected component is
+one duplicate cluster; the survivor is the minimum id. Implemented as
+iterative min-label propagation on DataFrames:
+
+    label(v) <- min(label(v), min over neighbors(label(u)))
+
+repeated until fixpoint. Iterations are bounded by the graph diameter
+(duplicate clusters are tiny — a handful of hops); each round is one
+shuffle (groupBy on vertex). ``localCheckpoint`` truncates the lineage so
+the plan doesn't grow exponentially with iterations — the standard Spark
+iterative-algorithm pattern (GraphX/GraphFrames do the same internally).
+
+At 100 TB the pair list is orders of magnitude smaller than the corpus
+(only same-bucket collisions), so the propagation runs on the small edge
+relation; the final survivor join back to documents is one broadcast or
+hash join keyed by component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve components of the undirected pair graph.
+
+    Returns (node, component) where component = min node id reachable.
+    Isolated nodes don't appear (callers union non-candidates back in).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster near-dup pairs and pick survivors.
+
+    Returns every document with its cluster id (its own id when unique)
+    and an ``is_survivor`` flag (minimum id in the cluster survives —
+    deterministic, same rule as exact_dedup)."""
+    comp = connected_components(pairs)
+    out = docs.join(
+        comp, docs[id_col] == comp.node, "left"
+    ).select(
+        docs[id_col],
+        F.coalesce(F.col("component"), docs[id_col]).alias("cluster_id"),
+    )
+    return out.withColumn(
+        "is_survivor", (F.col(id_col) == F.col("cluster_id"))
+    )

@@ -72,3 +72,73 @@ def decode_payloads(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         decode_batches, schema=DECODED_SCHEMA
     )
+
+
+# ---- resize / feature-extract / frame-sample (same stub pattern) ----------
+
+PIPELINE_SCHEMA = (
+    "doc_id long, n_bytes long, width int, height int, format string, "
+    "resized_w int, resized_h int, resized_bytes long, "
+    "feat array<double>, frame_offsets array<long>"
+)
+
+
+def resize_stub(meta: dict, target_w: int, target_h: int) -> dict:
+    """Deterministic fake resize: new byte size scales with pixel ratio
+    (stands in for PIL Image.resize + re-encode)."""
+    scale = (target_w * target_h) / max(meta["width"] * meta["height"], 1)
+    return {
+        "resized_w": target_w,
+        "resized_h": target_h,
+        "resized_bytes": int(meta["n_bytes"] * scale),
+    }
+
+
+def features_stub(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic fake embedding: arithmetic on the byte length
+    (stands in for a CNN/CLIP feature extractor)."""
+    n = len(payload)
+    return [float((n * (j + 3)) % 97) / 97.0 for j in range(dim)]
+
+
+def frame_sample_stub(payload: bytes, n_frames: int = 3) -> list[int]:
+    """Deterministic fake video frame sampling: n byte offsets spread
+    evenly (stands in for ffmpeg keyframe extraction)."""
+    n = len(payload)
+    return [(n * k) // n_frames for k in range(n_frames)]
+
+
+def pipeline_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: decode -> resize(32x32) -> features -> frames
+    in ONE Python pass per Arrow batch (no per-stage JVM round trip)."""
+    for pdf in it:
+        rows = []
+        for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+            meta = decode_stub(p)
+            meta.update(resize_stub(meta, 32, 32))
+            meta["feat"] = features_stub(p)
+            meta["frame_offsets"] = frame_sample_stub(p)
+            meta["doc_id"] = doc_id
+            rows.append(meta)
+        out = pd.DataFrame(rows)
+        yield out[
+            [
+                "doc_id",
+                "n_bytes",
+                "width",
+                "height",
+                "format",
+                "resized_w",
+                "resized_h",
+                "resized_bytes",
+                "feat",
+                "frame_offsets",
+            ]
+        ]
+
+
+def process_payloads(df_with_payload: DataFrame) -> DataFrame:
+    """Full multimodal pipeline, Arrow-batched, one shuffle-free pass."""
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        pipeline_batches, schema=PIPELINE_SCHEMA
+    )

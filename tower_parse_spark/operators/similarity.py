@@ -30,6 +30,10 @@ from tower_parse_spark.functions.vectors import as_double, cosine, dot
 #: number of hyperplanes (sign bits) for the LSH bucket key
 LSH_PLANES = 6
 
+#: IVF coarse-quantizer cells and probe fan-out
+IVF_K = 8
+IVF_NPROBE = 2
+
 
 def hyperplane(dim: int, j: int) -> list[float]:
     """Deterministic pseudo-random hyperplane j over R^dim: a fixed
@@ -46,6 +50,81 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
         bit = (dot(vec_col, plane) >= 0).cast("long")
         acc = acc + F.shiftleft(bit, j)
     return acc
+
+
+def centroid(dim: int, j: int) -> list[float]:
+    """Deterministic IVF centroid j: a fixed integer lattice decorrelated
+    from the LSH hyperplanes ((i*37 + j*29) mod 15 - 7). A production
+    deployment would train these with k-means (pyspark.ml.clustering);
+    the lattice keeps the operator seedless and oracle-reproducible."""
+    return [float((i * 37 + j * 29) % 15 - 7) for i in range(dim)]
+
+
+def _centroid_cos_scores(vec_col, dim: int, k: int = IVF_K):
+    """Array of cosine similarities to each of the k centroids."""
+    scores = []
+    for j in range(k):
+        c = F.array(*[F.lit(x) for x in centroid(dim, j)])
+        scores.append(cosine(vec_col, c))
+    return F.array(*scores)
+
+
+def ivf_cells(vec_col, dim: int, nprobe: int, k: int = IVF_K):
+    """The *nprobe* nearest centroid ids (1-based), best first.
+
+    argmax via array_position(scores, array_max(scores)) — first maximum
+    wins, a deterministic tie-break both engines share. Subsequent probes
+    mask the already-chosen cell and repeat.
+    """
+    scores = _centroid_cos_scores(vec_col, dim, k)
+    cells = []
+    masked = scores
+    for _ in range(nprobe):
+        best = F.array_position(masked, F.array_max(masked))
+        cells.append(best)
+        prev = masked
+        masked = F.transform(
+            prev,
+            lambda x, i: F.when(i + 1 == best, F.lit(-9.0)).otherwise(x),
+        )
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to their
+    nearest coarse-quantizer cell (inverted list); each probe scans only
+    its *nprobe* nearest cells. The cell join is an equi-join on a small
+    int — at 10^9+ vectors the inverted lists are the partition key and
+    only probed cells are read (partition pruning on cell id)."""
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", ivf_cells(F.col("cv"), dim, 1)[0])
+    p = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+    ).withColumn(
+        "cell", F.explode(F.array(*ivf_cells(F.col("pv"), dim, nprobe)))
+    )
+    scored = c.join(F.broadcast(p), "cell").select(
+        probe_id_col,
+        id_col,
+        F.round(cosine(F.col("cv"), F.col("pv")), 4).alias("cos_sim"),
+    )
+    w = W.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def brute_force_topk(

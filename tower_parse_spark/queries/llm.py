@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from tower_parse_spark.functions import text as T
 from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.operators import components as C
 from tower_parse_spark.operators import dedup as D
 from tower_parse_spark.operators import multimodal as M
 from tower_parse_spark.operators import similarity as S
@@ -106,9 +107,15 @@ def _band_key_sql(b: int, rows: int) -> str:
     return f"md5('{b}' || '_' || {parts})"
 
 
-DEDUP_MINHASH_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+def _minhash_pairs_ctes(docs_rel: str) -> str:
+    """CTE chain computing MinHash-LSH candidate pairs over *docs_rel*
+    (ends with a ``pairs`` relation carrying mh1/mh2 signatures)."""
+    banded_union = " UNION ALL ".join(
+        f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh FROM sig"
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM {docs_rel}
 ), sh AS (
   SELECT doc_id, {SQL_SHINGLES} AS sh FROM tok
 ), hs AS (
@@ -116,20 +123,24 @@ WITH tok AS (
 ), sig AS (
   SELECT doc_id, {_minhash_sql_components()} AS mh FROM hs
 ), banded AS (
-  {" UNION ALL ".join(
-    f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh FROM sig"
-    for b in range(D.LSH_BANDS)
-  )}
+  {banded_union}
 ), pairs AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
          l.mh AS mh1, r.mh AS mh2
   FROM banded l JOIN banded r USING (band_key)
   WHERE l.doc_id < r.doc_id
+)"""
+
+
+_EST_JACCARD_SQL = (
+    "round(list_sum(list_transform(list_zip(mh1, mh2), "
+    "p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / "
+    f"{float(D.MINHASH_K)}, 4)"
 )
-SELECT id1, id2,
-       round(list_sum(list_transform(list_zip(mh1, mh2),
-             p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / {float(D.MINHASH_K)}, 4)
-         AS est_jaccard
+
+DEDUP_MINHASH_ORACLE = f"""
+WITH {_minhash_pairs_ctes("documents")}
+SELECT id1, id2, {_EST_JACCARD_SQL} AS est_jaccard
 FROM pairs
 ORDER BY id1, id2
 """
@@ -246,6 +257,39 @@ ORDER BY id1, id2
 """
 
 
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: MinHash-LSH pairs (>= 0.8 est. Jaccard) ->
+    connected components (iterative min-label propagation) -> survivor
+    selection. The full three-stage pipeline a training corpus runs."""
+    docs2 = _docs_with_copies(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2).filter(F.col("est_jaccard") >= 0.8)
+    return C.dedup_clusters(pairs, docs2).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_DOCS_WITH_COPIES_SQL.strip().rstrip()},
+{_minhash_pairs_ctes("docs2")},
+strong AS (
+  SELECT id1, id2 FROM pairs WHERE {_EST_JACCARD_SQL} >= 0.8
+), sym AS (
+  SELECT id1 AS a, id2 AS b FROM strong
+  UNION
+  SELECT id2 AS a, id1 AS b FROM strong
+), reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON r.node = s.a
+), comp AS (
+  SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS is_survivor
+FROM docs2 d LEFT JOIN comp c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -314,6 +358,69 @@ WITH emb AS (
 ), scored AS (
   SELECT p.probe_id, e.vec_id AS vec_id, round({_SQL_COS.replace("l.", "e.").replace("r.", "p.")}, 4) AS cos_sim
   FROM be e JOIN probes p USING (bucket)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-restricted cosine top-5 per probe (approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, _probes(spark, sf_dir), dim=64, k=5).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def _sql_centroid_cos(v: str, j: int, dim: int = 64) -> str:
+    lattice = f"(((i - 1) * 37 + {j * 29}) % 15 - 7)"
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> {v}[i] * {lattice}))"
+    vnorm = f"sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    cnorm = f"sqrt(list_sum(list_transform(range(1, {dim + 1}), i -> CAST({lattice} AS DOUBLE) * {lattice})))"
+    return f"({dot}) / (({vnorm}) * ({cnorm}))"
+
+
+def _sql_ivf_cells(k: int = S.IVF_K) -> str:
+    """CTE fragment: scores array + first/second nearest cell ids."""
+    scores = ", ".join(
+        _sql_centroid_cos("embedding", j) for j in range(k)
+    )
+    return f"""
+  SELECT vec_id, embedding, [{scores}] AS s FROM emb
+"""
+
+
+ANN_IVF_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), scored_cells AS ({_sql_ivf_cells()}
+), cells AS (
+  SELECT vec_id, embedding, s,
+         list_position(s, list_max(s)) AS cell1
+  FROM scored_cells
+), cells2 AS (
+  SELECT vec_id, embedding, cell1,
+         list_position(
+           list_transform(range(1, {S.IVF_K + 1}),
+                          i -> CASE WHEN i = cell1 THEN -9.0 ELSE s[i] END),
+           list_max(
+             list_transform(range(1, {S.IVF_K + 1}),
+                            i -> CASE WHEN i = cell1 THEN -9.0 ELSE s[i] END))
+         ) AS cell2
+  FROM cells
+), corpus AS (
+  SELECT vec_id, embedding, cell1 AS cell FROM cells2
+), probes AS (
+  SELECT vec_id AS probe_id, embedding, unnest([cell1, cell2]) AS cell
+  FROM cells2 WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS vec_id,
+         round({_SQL_COS.replace("l.", "e.").replace("r.", "p.")}, 4) AS cos_sim
+  FROM corpus e JOIN probes p USING (cell)
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rank
   FROM scored
@@ -501,6 +608,47 @@ ORDER BY doc_id
 """
 
 
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pass: decode -> resize -> feature-extract ->
+    frame-sample in one Arrow-batched mapInPandas stage; stub arithmetic
+    keeps the whole distributed pipeline exactly SQL-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = M.process_payloads(M.with_payload(docs))
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "format",
+        "resized_bytes",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_sum"
+        ),
+        F.element_at("frame_offsets", 2).alias("mid_frame"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_PIPELINE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         16 + octet_length(encode(text)) % 64 AS width,
+         16 + (octet_length(encode(text)) * 7) % 64 AS height,
+         CASE octet_length(encode(text)) % 3
+              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+  FROM documents
+)
+SELECT doc_id, n_bytes, format,
+       -- floor, not CAST: Python int() truncates, DuckDB's double->int cast rounds
+       CAST(floor(n_bytes * (1024.0 / greatest(width * height, 1))) AS BIGINT)
+         AS resized_bytes,
+       round(list_sum(list_transform(range(0, 4),
+             j -> CAST((n_bytes * (j + 3)) % 97 AS DOUBLE) / 97.0)), 4)
+         AS feat_sum,
+       CAST(n_bytes // 3 AS BIGINT) AS mid_frame
+FROM m
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
     "dedup_minhash_lsh": Query(
@@ -513,8 +661,14 @@ QUERIES = {
     "dedup_embedding_cosine": Query(
         dedup_embedding_cosine, DEDUP_EMB_COS_ORACLE, "embedding-cosine near-dup"
     ),
+    "dedup_cluster_resolution": Query(
+        dedup_cluster_resolution,
+        DEDUP_CLUSTERS_ORACLE,
+        "pairs -> connected components -> survivors",
+    ),
     "ann_cosine_topk": Query(ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force ANN"),
     "ann_lsh_topk": Query(ann_lsh_topk, ANN_LSH_ORACLE, "hyperplane-LSH ANN"),
+    "ann_ivf_topk": Query(ann_ivf_topk, ANN_IVF_ORACLE, "IVF inverted-list ANN"),
     "text_quality": Query(text_quality, TEXT_QUALITY_ORACLE, "quality scoring"),
     "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
     "text_token_stats": Query(
@@ -525,5 +679,10 @@ QUERIES = {
     ),
     "multimodal_decode": Query(
         multimodal_decode, MULTIMODAL_ORACLE, "binary decode plumbing"
+    ),
+    "multimodal_pipeline": Query(
+        multimodal_pipeline,
+        MULTIMODAL_PIPELINE_ORACLE,
+        "decode->resize->features->frames, one Arrow pass",
     ),
 }

@@ -223,6 +223,38 @@ ORDER BY p_brand, p_partkey
 """
 
 
+def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: per-customer collected order priorities —
+    sorted collect, distinct, indexing, containment. collect_list is
+    per-group bounded (orders per customer), not a driver collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = F.array_sort(F.collect_list("o_orderpriority"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(prios.alias("prios"))
+        .select(
+            "o_custkey",
+            F.size(F.col("prios")).alias("n_orders"),
+            F.array_sort(F.array_distinct(F.col("prios"))).alias("distinct_prios"),
+            F.element_at(F.col("prios"), 1).alias("first_prio"),
+            F.array_contains(F.col("prios"), "1-URGENT").alias("has_urgent"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+CUSTOMER_ARRAYS_ORACLE = """
+SELECT o_custkey,
+       len(prios) AS n_orders,
+       list_sort(list_distinct(prios)) AS distinct_prios,
+       prios[1] AS first_prio,
+       list_contains(prios, '1-URGENT') AS has_urgent
+FROM (SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios
+      FROM orders GROUP BY o_custkey)
+ORDER BY o_custkey
+"""
+
+
 QUERIES = {
     "orders_with_returns": Query(
         orders_with_returns, ORDERS_RETURNS_ORACLE, "EXISTS semi-join"
@@ -241,5 +273,8 @@ QUERIES = {
     ),
     "min_cost_parts": Query(
         min_cost_parts, MIN_COST_ORACLE, "correlated aggregate subquery"
+    ),
+    "customer_order_arrays": Query(
+        customer_order_arrays, CUSTOMER_ARRAYS_ORACLE, "array function family"
     ),
 }
