@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis) — invariants over random inputs.
+
+The reference's tests are example-based (parametrize matrices); these
+upgrade the same invariants to randomized coverage:
+- packing: every pack except the last is exactly N; pack_seq is a
+  0..N-1 ramp; assignment is a permutation-invariant function of
+  (order key, N);
+- tokenizer/shingles: count algebra and idempotence.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions import text as T
+from tower_parse_spark.operators.pack import with_pack_id
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n_rows=st.integers(1, 120),
+    pack_n=st.integers(1, 25),
+    n_groups=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_pack_sizes_invariant(spark, n_rows, pack_n, n_groups):
+    rows = [(i, float(i * 7 % 101), i % n_groups) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "event_id long, time double, g int")
+    out = with_pack_id(df, pack_n, "g", ["time", "event_id"]).collect()
+    by_group: dict[int, dict[int, list[int]]] = {}
+    for r in out:
+        by_group.setdefault(r["g"], {}).setdefault(r["pack_id"], []).append(
+            r["pack_seq"]
+        )
+    for g, packs in by_group.items():
+        last = max(packs)
+        for pid, seqs in packs.items():
+            if pid < last:
+                assert sorted(seqs) == list(range(pack_n))
+            else:
+                assert sorted(seqs) == list(range(len(seqs)))
+                assert len(seqs) <= pack_n
+
+
+@given(text=st.text(max_size=120))
+@settings(**SETTINGS)
+def test_tokens_shingles_algebra(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    toks = T.tokens(F.col("text"))
+    row = df.select(
+        F.size(toks).alias("nt"),
+        F.size(T.shingles(toks, 3)).alias("ns"),
+        toks.alias("toks"),
+    ).collect()[0]
+    nt, ns = row["nt"], row["ns"]
+    # shingle count algebra: max(nt - 2, 0), except empty input
+    assert ns == (nt - 2 if nt >= 3 else 0)
+    # tokens are lowercase alnum, never empty strings
+    assert all(t and t == t.lower() for t in row["toks"])
+
+
+@given(words=st.lists(st.sampled_from(["the", "cat", "und", "la", "x9"]), max_size=12))
+@settings(**SETTINGS)
+def test_fingerprint_deterministic(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,), (text,)], "text string")
+    fps = df.select(
+        T.rolling_fingerprint(T.tokens(F.col("text"))).alias("fp")
+    ).collect()
+    assert fps[0]["fp"] == fps[1]["fp"]
+    assert 0 <= fps[0]["fp"] < T.HASH_P
