@@ -1,0 +1,71 @@
+"""CLI entry point — reference parity for ``./readport.py`` (A25).
+
+Two mutually exclusive modes, same contract as readport.py:497-533:
+
+    python -m tower_parse_spark --config device.conf [--out DIR]
+        run the streaming ingest pipeline for one device profile
+        (socket source -> parse -> exact-count packs -> parquet)
+
+    python -m tower_parse_spark --echo HOST:PORT
+        dump the raw line stream to stdout for format discovery (A4)
+
+The reference's --debug maps to --log-level.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tower_parse_spark")
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--config", help="device profile .conf (INI) path")
+    mode.add_argument("--echo", metavar="HOST:PORT", help="dump raw lines")
+    p.add_argument("--out", default="./data", help="output base directory")
+    p.add_argument("--log-level", default="WARN")
+    return p
+
+
+def parse_endpoint(raw: str) -> tuple[str, int]:
+    """Validate HOST:PORT (readport.py:748-755 semantics)."""
+    host, sep, port = raw.rpartition(":")
+    if not sep or not host:
+        raise SystemExit(f"invalid endpoint {raw!r}: expected HOST:PORT")
+    try:
+        port_n = int(port)
+    except ValueError:
+        raise SystemExit(f"invalid port {port!r}") from None
+    if not (0 < port_n < 65536):
+        raise SystemExit(f"port out of range: {port_n}")
+    return host, port_n
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from tower_parse_spark.session import get_spark
+    from tower_parse_spark.streaming import pipeline as P
+    from tower_parse_spark.streaming import sources as SRC
+
+    spark = get_spark("tower_parse_spark_cli")
+    spark.sparkContext.setLogLevel(args.log_level)
+    if args.echo:
+        host, port = parse_endpoint(args.echo)
+        q = P.echo(SRC.socket_lines(spark, host, port))
+    else:
+        from tower_parse_spark.plans.profile import DeviceProfile
+
+        prof = DeviceProfile.from_ini(args.config)
+        lines = SRC.socket_lines(spark, prof.host, prof.port)
+        q = P.run_ingest(spark, prof, lines, args.out)
+    try:
+        q.awaitTermination()
+    except KeyboardInterrupt:
+        # first SIGINT = graceful drain (readport.py:48-61 semantics)
+        P.stop_gracefully(q)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

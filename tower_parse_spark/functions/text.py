@@ -99,13 +99,19 @@ def predicted_lang(toks: Column) -> Column:
     return best["lang"]
 
 
-def quality_features(text: Column) -> dict[str, Column]:
+def quality_features(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Length/punctuation/stopword quality features + composite score.
 
     Score: fraction-based features combined linearly; everything rounded
     at the query edge (not here) for oracle parity.
+
+    Pass a pre-staged *toks* column when computing several features at
+    once: the tokenization (regexp_replace + split) is referenced by four
+    features, and staging it as its own projected column keeps Catalyst
+    from inlining (re-running) it per feature.
     """
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_punct = n_chars - F.length(F.regexp_replace(text, "[.,!?;:]", ""))

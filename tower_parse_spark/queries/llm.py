@@ -437,8 +437,10 @@ ORDER BY probe_id, rank
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc quality features + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
-    feats = T.quality_features(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", T.tokens(F.col("text"))
+    )
+    feats = T.quality_features(F.col("text"), toks=F.col("_toks"))
     return docs.select(
         "doc_id",
         feats["n_tokens"].alias("n_tokens"),
@@ -485,12 +487,14 @@ ORDER BY doc_id
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID vs the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        # staged once: five per-language stopword counters reference it
+        "_toks", T.tokens(F.col("text"))
+    )
     return docs.select(
         "doc_id",
         "lang",
-        T.predicted_lang(toks).alias("pred_lang"),
+        T.predicted_lang(F.col("_toks")).alias("pred_lang"),
     ).orderBy("doc_id")
 
 
