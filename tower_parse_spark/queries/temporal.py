@@ -160,6 +160,53 @@ ORDER BY user_id, session_id
 """
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30 min gap) — the
+    built-in operator equivalent of :func:`events_sessionize`; also the
+    streaming-capable form (works under withWatermark). Session end =
+    last event + gap, per Spark's definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# Oracle: rebuild Spark's session_window semantics with gaps-and-islands —
+# start = min(ts), end = max(ts) + gap within each 30-min-gap island.
+EVENTS_SESSION_WINDOW_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessioned AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sessioned
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event enriched with the customer's most
     recent order at that time (union + last-value carry; one shuffle)."""
@@ -281,6 +328,11 @@ QUERIES = {
     ),
     "events_sessionize": Query(
         events_sessionize, EVENTS_SESSIONIZE_ORACLE, "gap sessionization"
+    ),
+    "events_session_window": Query(
+        events_session_window,
+        EVENTS_SESSION_WINDOW_ORACLE,
+        "native session_window operator",
     ),
     "events_asof_order": Query(
         events_asof_order, EVENTS_ASOF_ORACLE, "as-of join enrichment"
