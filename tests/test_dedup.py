@@ -37,6 +37,17 @@ def test_minhash_identical_docs_jaccard_one(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_fast_hash_family(docs):
+    """hash_fn='fast' (xxhash64) keeps the semantics: identical docs get
+    identical signatures; the estimate for exact dups is still 1.0."""
+    sigs = {
+        r["doc_id"]: tuple(r["mh"])
+        for r in D.with_minhash(docs, hash_fn="fast").select("doc_id", "mh").collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
 def test_simhash_identity_and_locality(docs):
     fps = {r["doc_id"]: r["simhash"] for r in D.with_simhash(docs).collect()}
     assert fps[1] == fps[2]  # identical text -> identical fingerprint

@@ -54,6 +54,15 @@ def token_hash(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
 
 
+def token_hash_fast(tok: Column) -> Column:
+    """Production hash: JVM xxhash64 folded into [0, P) — measured 2.7x
+    faster than the md5 path on minhash signatures (SCALE.md). Not
+    DuckDB-reproducible, so the oracle-checked queries stay on
+    :func:`token_hash`; deployments flip ``hash_fn="fast"`` on the dedup
+    operators for identical semantics under a different hash family."""
+    return F.pmod(F.xxhash64(tok), F.lit(HASH_P))
+
+
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), preserving duplicates.
 

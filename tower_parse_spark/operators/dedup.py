@@ -31,8 +31,13 @@ from tower_parse_spark.functions.text import (
     HASH_P,
     shingles,
     token_hash,
+    token_hash_fast,
     tokens,
 )
+
+#: hash families: "portable" (md5, DuckDB-checkable) vs "fast" (xxhash64,
+#: 2.7x cheaper — the production default at scale)
+HASH_FNS = {"portable": token_hash, "fast": token_hash_fast}
 from tower_parse_spark.functions.vectors import as_double, cosine
 from tower_parse_spark.session import ensure_parallelism
 
@@ -49,7 +54,12 @@ def minhash_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
     return [(2 * i + 1, (104_729 * i) % HASH_P) for i in range(k)]
 
 
-def with_minhash(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> DataFrame:
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    hash_fn: str = "portable",
+) -> DataFrame:
     """Append ``mh`` (array<long> of k minhash components).
 
     Computed entirely inside the row projection: shingle array ->
@@ -62,10 +72,11 @@ def with_minhash(df: DataFrame, text_col: str = "text", k: int = MINHASH_K) -> D
     measured ~50x slower at sf0.1. CollapseProject keeps the split because
     the hash column is expensive and multiply-referenced.
     """
+    hfn = HASH_FNS[hash_fn]
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(shingles(toks, 3))
     hashed = ensure_parallelism(df).withColumn(
-        "_sh_hashes", F.transform(sh, lambda s: token_hash(s) % HASH_P)
+        "_sh_hashes", F.transform(sh, lambda s: hfn(s) % HASH_P)
     )
     base = F.col("_sh_hashes")
     comps = [

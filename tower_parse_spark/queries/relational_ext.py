@@ -389,6 +389,125 @@ ORDER BY o_custkey
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combos —
+    completes the grouping-sets family next to revenue_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+REVENUE_CUBE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def order_gaps_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/ntile window family: per-customer order cadence —
+    days since previous order, next order price, first-order flag,
+    spend quartile within the customer's nation-less stream."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_all = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    d = F.col("o_orderdate").cast("date")
+    prev_d = F.lag(d).over(w)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(d, prev_d).alias("days_since_prev"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.row_number().over(w) == 1).alias("is_first_order"),
+        F.ntile(4).over(w_all).alias("price_quartile"),
+    ).orderBy("o_orderkey")
+
+
+ORDER_GAPS_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS days_since_prev,
+       lead(o_totalprice) OVER w AS next_price,
+       row_number() OVER w = 1 AS is_first_order,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): part's numeric measures to (key, measure, value)
+    long form — the inverse of the pivot in order_priority_pivot."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot("p_partkey", ["size", "retailprice"], "measure", "value")
+        .orderBy("p_partkey", "measure")
+    )
+
+
+PART_UNPIVOT_ORACLE = """
+SELECT p_partkey, measure, value
+FROM (SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             CAST(p_retailprice AS DOUBLE) AS retailprice
+      FROM part)
+UNPIVOT (value FOR measure IN (size, retailprice))
+ORDER BY p_partkey, measure
+"""
+
+
+def big_basket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped fact, joined back to the
+    dimension — orders whose total quantity exceeds 150."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("total_qty"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+BIG_BASKET_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150) b
+  ON o_orderkey = b.l_orderkey
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
     "orders_with_returns": Query(
         orders_with_returns, ORDERS_RETURNS_ORACLE, "EXISTS semi-join"
@@ -422,5 +541,15 @@ QUERIES = {
     ),
     "disjunctive_filter_revenue": Query(
         disjunctive_filter_revenue, DISJUNCTIVE_ORACLE, "Q19: disjunctive predicates"
+    ),
+    "revenue_cube": Query(revenue_cube, REVENUE_CUBE_ORACLE, "CUBE grouping sets"),
+    "order_gaps_quartiles": Query(
+        order_gaps_quartiles, ORDER_GAPS_ORACLE, "lag/lead/ntile window family"
+    ),
+    "part_measures_unpivot": Query(
+        part_measures_unpivot, PART_UNPIVOT_ORACLE, "unpivot (melt)"
+    ),
+    "big_basket_orders": Query(
+        big_basket_orders, BIG_BASKET_ORACLE, "Q18: HAVING + join-back"
     ),
 }
