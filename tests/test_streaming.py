@@ -131,6 +131,31 @@ def test_end_to_end_parquet_sink(spark, tmp_path):
     assert leveldirs == ["level=1", "level=2"]
 
 
+def test_rate_source_live(spark):
+    """A5 live: the rate-source generator emits parseable fake_server
+    lines at the configured rate; the parse plan runs on the stream."""
+    lines = SRC.rate_lines(spark, rows_per_second=50, num_partitions=2)
+    parsed = P.parse_stream(lines, PROBE)
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("rate_mem")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM rate_mem").count() >= 20:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM rate_mem").collect()
+    finally:
+        q.stop()
+    assert len(rows) >= 20
+    assert {r["level"] for r in rows} <= {1, 2}  # generator level cycle
+    assert all(r["rh"] is not None for r in rows)
+
+
 class LineServer(threading.Thread):
     """In-process TCP server (tests/test_socket.py:114-124 analog)."""
 

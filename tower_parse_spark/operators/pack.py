@@ -63,6 +63,7 @@ def with_pack_id_scalable(
     order_col: str = "time",
     tiebreak_col: str | None = None,
     num_buckets: int | None = None,
+    reuse: str = "checkpoint",
 ) -> DataFrame:
     """Ungrouped pack assignment without a single-partition window.
 
@@ -84,8 +85,16 @@ def with_pack_id_scalable(
     global window would serialize into one task. Skewed order keys
     degrade bucket balance, not correctness; raise *num_buckets* or
     pre-salt if a profile shows it.
+
+    *reuse* controls how the three passes share the input: "checkpoint"
+    (default) materializes it once via localCheckpoint — right when the
+    input is an expensive derivation (regex extraction) that would
+    otherwise run 3x; "recompute" re-evaluates the plan per pass — right
+    when the input is a cheap scan bigger than cluster storage headroom.
     """
     spark = df.sparkSession
+    if reuse == "checkpoint":
+        df = df.localCheckpoint(eager=True)
     order_exprs = [F.col(order_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )

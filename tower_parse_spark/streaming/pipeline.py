@@ -154,6 +154,39 @@ def event_time_stats(
     )
 
 
+def run_supervised(
+    start,
+    max_restarts: int = 5,
+    backoff_s: float = 1.0,
+    sleep=None,
+) -> int:
+    """Restart supervision — A2 reconnect parity (readport.py:95-118,
+    438-447): the reference retries the socket connection forever with a
+    1 s pause; here the whole streaming query is the unit of restart
+    (the socket source re-dials on query start).
+
+    *start* is a zero-arg callable returning a started StreamingQuery;
+    returns the number of restarts performed. A query that terminates
+    WITHOUT exception (graceful stop) ends supervision; one that dies
+    with an exception is restarted up to *max_restarts* times with
+    linear backoff, then the last exception propagates.
+    """
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    restarts = 0
+    while True:
+        query = start()
+        try:
+            query.awaitTermination()
+            return restarts  # clean stop
+        except Exception:
+            if restarts >= max_restarts:
+                raise
+            restarts += 1
+            sleep(backoff_s * restarts)
+
+
 def stop_gracefully(query: StreamingQuery, timeout_s: float = 30.0) -> None:
     """SIGINT-drain parity (A22): finish the in-flight trigger, then stop.
     ``query.stop()`` interrupts after the current micro-batch commits, so
