@@ -154,6 +154,46 @@ def event_time_stats(
     )
 
 
+def is_idle(query, timeout_s: float, now_ms: float | None = None) -> bool:
+    """A3 read-timeout parity (readport.py:102, 139-144): the reference
+    reconnects when no message arrives within ``timeout`` seconds. The
+    socket source has no timeout option, so liveness is judged from
+    streaming progress: idle = the last progress with input rows is older
+    than *timeout_s* (or no progress at all yet).
+    """
+    import time as _time
+
+    now_ms = now_ms if now_ms is not None else _time.time() * 1000
+    progress = list(query.recentProgress)
+    if not progress:
+        return True
+    last_active = None
+    for p in progress:
+        if p.get("numInputRows", 0) > 0:
+            last_active = p
+    ref = last_active or progress[0]
+    import datetime as _dt
+
+    ts = _dt.datetime.fromisoformat(
+        ref["timestamp"].replace("Z", "+00:00")
+    ).timestamp() * 1000
+    return (now_ms - ts) > timeout_s * 1000
+
+
+def watch_idle(query, timeout_s: float, poll_s: float = 1.0, sleep=None) -> None:
+    """Block until the query terminates or goes idle past *timeout_s*;
+    on idle, stop it (the supervisor's restart then re-dials the source —
+    the reference's timeout->reconnect cycle, readport.py:438-447)."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    while query.isActive:
+        if is_idle(query, timeout_s):
+            query.stop()
+            return
+        sleep(poll_s)
+
+
 def run_supervised(
     start,
     max_restarts: int = 5,
