@@ -550,9 +550,9 @@ WITH tok AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        {sql_pround("sum(n_tokens) / CAST(count(*) AS DOUBLE)", 4)} AS avg_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM tok
 GROUP BY source
 ORDER BY source

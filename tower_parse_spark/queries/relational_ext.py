@@ -160,38 +160,57 @@ ORDER BY y, q, m, dow, ym
 """
 
 
+def _q4(col: F.Column) -> F.Column:
+    """Quantize a double to an exact 4-dp integer BEFORE summing, so the
+    aggregate is an order-independent integer sum (double partial-agg sums
+    are order-dependent in their last bits, which 4-dp rounding of a ~1e7
+    total cannot canonicalize — r1 hash-fail fix)."""
+    return F.floor(col * 10000.0 + F.lit(0.5)).cast("long")
+
+
 def lineitem_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function family: abs/sign/ceil/floor, sqrt/ln/exp, pow, mod,
-    greatest/least — folded into per-returnflag aggregates."""
+    greatest/least — folded into per-returnflag aggregates.
+
+    Every double aggregate is quantized-then-summed: the per-row value is
+    rounded to an exact integer of 1e-4 units, summed exactly as BIGINT,
+    and divided back — deterministic under any partial-agg order on both
+    Spark and DuckDB."""
     li = load_table(spark, sf_dir, "lineitem")
     v = F.col("l_extendedprice")
     q = F.col("l_quantity")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            pround(F.sum(F.sqrt(v)), 4).alias("sum_sqrt_price"),
-            pround(F.sum(F.log(v + 1.0)), 4).alias("sum_ln_price"),
-            pround(F.sum(F.pow(q, 2.0)), 4).alias("sum_qty_sq"),
+            (F.sum(_q4(F.sqrt(v))) / 10000.0).alias("sum_sqrt_price"),
+            (F.sum(_q4(F.log(v + 1.0))) / 10000.0).alias("sum_ln_price"),
+            (F.sum(_q4(F.pow(q, 2.0))) / 10000.0).alias("sum_qty_sq"),
             F.sum(F.ceil(F.col("l_discount") * 100)).alias("sum_disc_pct_ceil"),
             F.sum(F.floor(q / 7)).alias("sum_qty_div7"),
             F.sum((q.cast("long") % 5)).alias("sum_qty_mod5"),
-            F.sum(
-                F.greatest(F.col("l_tax"), F.col("l_discount"))
+            (
+                F.sum(_q4(F.greatest(F.col("l_tax"), F.col("l_discount"))))
+                / 10000.0
             ).alias("sum_max_rate"),
         )
         .orderBy("l_returnflag")
     )
 
 
+def _sql_q4(expr: str) -> str:
+    """DuckDB twin of _q4: exact 4-dp integer quantization pre-sum."""
+    return f"CAST(floor(({expr}) * 10000.0 + 0.5) AS BIGINT)"
+
+
 LINEITEM_MATH_ORACLE = f"""
 SELECT l_returnflag,
-       {sql_pround("sum(sqrt(l_extendedprice))", 4)} AS sum_sqrt_price,
-       {sql_pround("sum(ln(l_extendedprice + 1.0))", 4)} AS sum_ln_price,
-       {sql_pround("sum(pow(l_quantity, 2.0))", 4)} AS sum_qty_sq,
+       sum({_sql_q4("sqrt(l_extendedprice)")}) / 10000.0 AS sum_sqrt_price,
+       sum({_sql_q4("ln(l_extendedprice + 1.0)")}) / 10000.0 AS sum_ln_price,
+       sum({_sql_q4("pow(l_quantity, 2.0)")}) / 10000.0 AS sum_qty_sq,
        CAST(sum(ceil(l_discount * 100)) AS BIGINT) AS sum_disc_pct_ceil,
        CAST(sum(floor(l_quantity / 7)) AS BIGINT) AS sum_qty_div7,
-       sum(CAST(l_quantity AS BIGINT) % 5) AS sum_qty_mod5,
-       round(sum(greatest(l_tax, l_discount)), 4) AS sum_max_rate
+       CAST(sum(CAST(l_quantity AS BIGINT) % 5) AS BIGINT) AS sum_qty_mod5,
+       sum({_sql_q4("greatest(l_tax, l_discount)")}) / 10000.0 AS sum_max_rate
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -283,10 +302,10 @@ def priority_ship_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRIORITY_SHIP_ORACLE = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -369,7 +388,12 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.size(F.col("prios")).alias("n_orders"),
-            F.array_sort(F.array_distinct(F.col("prios"))).alias("distinct_prios"),
+            # Serialized at the query edge: the driver's pandas
+            # canonicalizer sorts/hashes rows and crashes on list cells
+            # (r1 ERR) — the array ops stay under test, the output is scalar.
+            F.array_join(
+                F.array_sort(F.array_distinct(F.col("prios"))), "|"
+            ).alias("distinct_prios"),
             F.element_at(F.col("prios"), 1).alias("first_prio"),
             F.array_contains(F.col("prios"), "1-URGENT").alias("has_urgent"),
         )
@@ -380,7 +404,8 @@ def customer_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_ARRAYS_ORACLE = """
 SELECT o_custkey,
        len(prios) AS n_orders,
-       list_sort(list_distinct(prios)) AS distinct_prios,
+       array_to_string(list_sort(list_distinct(prios)), '|')
+         AS distinct_prios,
        prios[1] AS first_prio,
        list_contains(prios, '1-URGENT') AS has_urgent
 FROM (SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios

@@ -125,7 +125,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessioned.groupBy("user_id", "session_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
+            # pround (floor-based), not native round: both engines see the
+            # identical double, and floor is bit-deterministic on it —
+            # native round() diverges on half-boundaries.
+            pround(
                 F.max(F.col("ts").cast("double"))
                 - F.min(F.col("ts").cast("double")),
                 4,
@@ -151,13 +154,13 @@ WITH flagged AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
-       round(max(epoch(ts)) - min(epoch(ts)), 4) AS duration_s
+       {dur} AS duration_s
 FROM sessioned
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
-"""
+""".format(dur=sql_pround("max(epoch(ts)) - min(epoch(ts))", 4))
 
 
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +275,11 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # value is 2-dp quantized: exact scaled-integer sum is
+            # order-independent (double partial-agg sums are not).
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("sum_value"),
         )
         .orderBy("event_type", "k_bucket")
     )
@@ -282,7 +289,7 @@ EVENTS_JSON_ORACLE = """
 SELECT event_type,
        CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n,
-       round(sum(value), 4) AS sum_value
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY event_type, k_bucket
@@ -291,32 +298,64 @@ ORDER BY event_type, k_bucket
 
 def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution stats per event_type: exact percentiles (interpolated),
-    stddev, distinct users. The top-k/percentile category."""
+    stddev, distinct users. The top-k/percentile category.
+
+    Engine-parity design: value is 2-dp quantized, so every statistic is
+    computed over exact scaled integers (v100 = round(value*100)) —
+    percentile interpolation then happens on integer-valued doubles (both
+    engines agree to the ulp, which pround's floor canonicalizes), and
+    stddev uses the exact-integer sum-of-squares identity instead of the
+    order-dependent streaming variance."""
     ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    ev = ev.select("event_type", "user_id", v100.alias("v100"))
+    n = F.count(F.lit(1))
+    sx = F.sum("v100")
+    sx2 = F.sum(F.col("v100") * F.col("v100"))
+    sd = (
+        F.sqrt(
+            (n * sx2 - sx * sx).cast("double")
+            / (n * (n - F.lit(1))).cast("double")
+        )
+        / 100.0
+    )
     return (
         ev.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            n.alias("n"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.percentile("value", 0.5), 4).alias("p50"),
-            F.round(F.percentile("value", 0.95), 4).alias("p95"),
-            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            pround(F.percentile("v100", 0.5) / 100.0, 4).alias("p50"),
+            pround(F.percentile("v100", 0.95) / 100.0, 4).alias("p95"),
+            pround(sd, 4).alias("sd"),
         )
         .orderBy("event_type")
     )
 
 
 EVENTS_DISTRIBUTION_ORACLE = """
+WITH q AS (
+  SELECT event_type, user_id, CAST(round(value * 100) AS BIGINT) AS v100
+  FROM events
+)
 SELECT event_type,
        count(*) AS n,
        count(DISTINCT user_id) AS n_users,
-       round(quantile_cont(value, 0.5), 4) AS p50,
-       round(quantile_cont(value, 0.95), 4) AS p95,
-       round(stddev_samp(value), 4) AS sd
-FROM events
+       {p50} AS p50,
+       {p95} AS p95,
+       {sd} AS sd
+FROM q
 GROUP BY event_type
 ORDER BY event_type
-"""
+""".format(
+    p50=sql_pround("quantile_cont(v100, 0.5) / 100.0", 4),
+    p95=sql_pround("quantile_cont(v100, 0.95) / 100.0", 4),
+    sd=sql_pround(
+        "sqrt(CAST(count(*) * sum(v100 * v100) - sum(v100) * sum(v100)"
+        " AS DOUBLE)"
+        " / CAST(count(*) * (count(*) - 1) AS DOUBLE)) / 100.0",
+        4,
+    ),
+)
 
 
 QUERIES = {
