@@ -48,3 +48,13 @@ def test_components_long_chain_converges(spark):
     )
     comp = connected_components(edges, max_iter=20).collect()
     assert {r["component"] for r in comp} == {0}
+
+
+def test_components_nonconvergence_raises(spark):
+    """A chain deeper than max_iter must raise, never silently return
+    split clusters — ADVICE r1."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)

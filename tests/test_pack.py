@@ -63,9 +63,9 @@ def test_scalable_matches_window_form(spark):
     single-window form on an ungrouped stream."""
     rows = [(i, float(i % 97) + i * 0.001) for i in range(500)]
     df = spark.createDataFrame(rows, "event_id long, time double").repartition(7)
-    a = with_pack_id(df, 37, None, ["time", "event_id"]).select(
-        "event_id", "pack_id", "pack_seq"
-    )
+    a = with_pack_id(
+        df, 37, None, ["time", "event_id"], ungrouped="window"
+    ).select("event_id", "pack_id", "pack_seq")
     b = with_pack_id_scalable(
         df, 37, order_col="time", tiebreak_col="event_id", num_buckets=5
     ).select("event_id", "pack_id", "pack_seq")
@@ -77,3 +77,40 @@ def test_scalable_single_bucket_degenerate(spark):
     out = with_pack_id_scalable(df, 2, order_col="time", tiebreak_col="event_id")
     got = {r["event_id"]: (r["pack_id"], r["pack_seq"]) for r in out.collect()}
     assert got == {1: (0, 0), 2: (0, 1), 3: (1, 0)}
+
+
+def test_scalable_explicit_num_buckets_1(spark):
+    """num_buckets=1 must skip the quantile pass (empty percentage array
+    fails analysis), not crash — ADVICE r1."""
+    rows = [(i, float(i)) for i in range(7)]
+    df = spark.createDataFrame(rows, "event_id long, time double")
+    out = with_pack_id_scalable(
+        df, 3, order_col="time", tiebreak_col="event_id", num_buckets=1
+    )
+    got = sorted(
+        (r["event_id"], r["pack_id"], r["pack_seq"]) for r in out.collect()
+    )
+    assert got == [
+        (0, 0, 0), (1, 0, 1), (2, 0, 2),
+        (3, 1, 0), (4, 1, 1), (5, 1, 2),
+        (6, 2, 0),
+    ]
+
+
+def test_ungrouped_auto_dispatch_no_single_partition_window(spark):
+    """Ungrouped with_pack_id must not build a single-partition global
+    window: the auto-dispatched plan matches the window form's output and
+    contains no empty-partition-spec Window exchange."""
+    rows = [(i, float(500 - i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, time double").repartition(5)
+    out = with_pack_id(df, 7, None, ["time", "event_id"])
+    ref = with_pack_id(df, 7, None, ["time", "event_id"], ungrouped="window")
+    assert sorted(
+        (r["event_id"], r["pack_id"], r["pack_seq"]) for r in out.collect()
+    ) == sorted(
+        (r["event_id"], r["pack_id"], r["pack_seq"]) for r in ref.collect()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the scalable form partitions its window by the value bucket; a bare
+    # "Window [...]" with SinglePartition exchange must not appear
+    assert "SinglePartition" not in plan

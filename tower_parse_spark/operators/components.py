@@ -35,6 +35,11 @@ def connected_components(
 
     Returns (node, component) where component = min node id reachable.
     Isolated nodes don't appear (callers union non-candidates back in).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    *max_iter* rounds (a chain longer than max_iter hops would otherwise
+    silently split one cluster into several) — raise *max_iter* for
+    pathologically deep graphs.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -47,6 +52,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -72,7 +78,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; components would be split — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -106,10 +106,17 @@ def minhash_lsh_pairs(
     """
     # Materialize the signature relation: it is tiny (id + K longs) and the
     # signature expression tree is large (K nested higher-order lambdas) —
-    # without the cache the union/self-join below would inline that tree 8x
+    # without materializing, the self-join below would inline that tree 8x
     # and whole-stage codegen time dominates. At cluster scale this is the
     # standard "persist the signatures table" step of every LSH pipeline.
-    sig = with_minhash(df, text_col, bands * rows).select(id_col, "mh").cache()
+    # localCheckpoint (not .cache()): storage is released when the
+    # DataFrame is GC'd, so repeated calls in a long-lived session don't
+    # accumulate pinned executor storage.
+    sig = (
+        with_minhash(df, text_col, bands * rows)
+        .select(id_col, "mh")
+        .localCheckpoint(eager=True)
+    )
     band_keys = F.array(
         *[
             F.md5(

@@ -35,6 +35,7 @@ def with_pack_id(
     pack_length: int,
     group_col: str | None = None,
     order_cols: list[str] | None = None,
+    ungrouped: str = "scalable",
 ) -> DataFrame:
     """Assign ``pack_id`` (0-based) and ``pack_seq`` (position in pack).
 
@@ -44,8 +45,28 @@ def with_pack_id(
     pack_id — callers that need only-full packs filter on pack row counts
     (the reference never flushes partial packs except at shutdown loss,
     readport.py:409-419).
+
+    With ``group_col=None`` — the reference's actual deployment shape
+    (ungrouped sonic streams, configs/readport_4001.conf:24-25) — a bare
+    global window would funnel every row through ONE task, the one latent
+    scale-killer of this operator. The ungrouped case therefore
+    auto-dispatches to :func:`with_pack_id_scalable` (identical output,
+    partition-parallel). Pass ``ungrouped="window"`` to force the
+    single-partition window form (tests / tiny inputs only).
     """
     order = order_cols or ["time"]
+    if group_col is None and ungrouped == "scalable":
+        if len(order) > 2:
+            raise ValueError(
+                "scalable ungrouped packs support at most (order, tiebreak)"
+                f" ordering columns, got {order!r}"
+            )
+        return with_pack_id_scalable(
+            df,
+            pack_length,
+            order_col=order[0],
+            tiebreak_col=order[1] if len(order) > 1 else None,
+        )
     w = (
         W.partitionBy(group_col).orderBy(*order)
         if group_col is not None
@@ -99,15 +120,20 @@ def with_pack_id_scalable(
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
     parts = num_buckets or spark.sparkContext.defaultParallelism
-    # Pass 1: boundary literals (deterministic once collected).
-    qs = [i / parts for i in range(1, parts)]
-    bounds = (
-        df.select(
-            F.percentile_approx(order_col, qs, 10000).alias("b")
-        ).collect()[0]["b"]
-        or []
-    )
-    bounds = sorted(set(bounds))
+    # Pass 1: boundary literals (deterministic once collected). With a
+    # single bucket there are no boundaries — skip the pass entirely
+    # (percentile_approx rejects an empty percentage array).
+    if parts < 2:
+        bounds = []
+    else:
+        qs = [i / parts for i in range(1, parts)]
+        bounds = (
+            df.select(
+                F.percentile_approx(order_col, qs, 10000).alias("b")
+            ).collect()[0]["b"]
+            or []
+        )
+        bounds = sorted(set(bounds))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         bucket = F.aggregate(
