@@ -99,3 +99,29 @@ def test_cast_failure_yields_null(spark):
     df = spark.createDataFrame([(1.0, "v=abc")], "ts double, line string")
     row = extract_lines(df, prof).collect()[0]
     assert row["v"] is None
+
+
+def test_binary_payload_control_char_frame(spark):
+    """The documented binary-ingest path (SURVEY §7.4): a Gill anemometer
+    frame with STX/ETX control bytes (reference tests/test_parser.py:21)
+    arrives as BinaryType, is decoded to string, and extracts through the
+    same one-pass plan — control chars flow through `.+` like the
+    reference's bytes-regex match."""
+    frame = b"\x02Q,+000.079,-000.102,+000.095,M,+014.94,0000001,\x030F\r\n"
+    prof = DeviceProfile(
+        name="gill",
+        regex=[
+            r"^.+,(?P<u>[^,]+),(?P<v>[^,]+),(?P<w>[^,]+),.,(?P<temp>[^,]+),.+$"
+        ],
+    )
+    torn = b"M,+014.94,0000001,\x030F\r\n"  # test_parser.py:33 torn packet
+    df = spark.createDataFrame(
+        [(1, 100.0, bytearray(frame)), (2, 101.0, bytearray(torn))],
+        "event_id long, ts double, payload binary",
+    )
+    lines = df.withColumn("line", F.decode(F.col("payload"), "UTF-8"))
+    out = extract_lines(lines, prof, extra_cols=["event_id"])
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert set(rows) == {1}  # torn frame filtered, like ParseError skip
+    r = rows[1]
+    assert (r["u"], r["v"], r["w"], r["temp"]) == (0.079, -0.102, 0.095, 14.94)

@@ -24,11 +24,15 @@ Spark-first re-expression — all plan-time, zero Python per row:
   flag so callers either filter or side-output them (PERMISSIVE-mode
   semantics, SURVEY.md §2.A12).
 
-At 100 TB this stays a single scan + project: no shuffle, no UDF; the regex
-work is N ``regexp_extract`` calls per row executed inside codegen. If a
-profile shows pathological patterns, the escape hatch is a one-pass
-struct-returning parse via ``from_csv`` or a Pandas UDF — not needed for
-the reference's formats.
+At 100 TB this stays a single scan + project: no shuffle, no UDF. The hot
+path (:func:`extract_lines`) executes the pattern ONCE per (row, branch),
+like the reference's single ``match`` per line (readport.py:345): a
+``regexp_replace`` packs every capture group into one separator-joined
+string, a single ``split`` unpacks it, and the per-variable expressions
+are cheap array indexing. The widest reference schema (27 groups,
+configs/readport_4004_KLDPIO.conf:17) costs 1 regex execution instead of
+28. :func:`extraction_columns` remains the composable per-column form
+(N ``regexp_extract`` calls) for callers that need standalone Columns.
 """
 
 from __future__ import annotations
@@ -109,6 +113,37 @@ def matches_any_branch(profile: DeviceProfile, line_col: str = "line") -> Column
     return cond
 
 
+# Packing delimiters for the one-pass parse. Outside every device wire
+# format (reference lines are printable ASCII plus STX/ETX framing bytes,
+# tests/test_parser.py:21): US (unit separator) joins groups, RS (record
+# separator) marks "this branch matched". A raw line containing RS+US
+# could in principle spoof an unmatched branch — impossible for the
+# reference's devices, documented here for exotic ones.
+_GROUP_SEP = "\x1f"
+_MATCH_MARK = "\x1e"
+
+
+def packed_parts(line: Column, branch: str) -> Column:
+    """Parse *branch* against *line* in ONE regex execution.
+
+    Returns an array column: ``[MARK, group1, ..., groupN]`` when the
+    branch matches (search semantics, like the reference's
+    ``pattern.match`` scan, readport.py:345), else ``[<original line>]``.
+    Non-participating groups substitute as ``''`` (same as
+    ``regexp_extract``'s convention). The wrapped pattern anchors and
+    consumes the whole line with ``[\\s\\S]*`` (not ``(?s)``/DOTALL, which
+    would change the inner pattern's own ``.`` semantics).
+    """
+    n_groups = re.compile(branch).groups
+    wrapped = f"^[\\s\\S]*?(?:{unnamed_pattern(branch)})[\\s\\S]*$"
+    replacement = _MATCH_MARK + "".join(
+        f"{_GROUP_SEP}${i}" for i in range(1, n_groups + 1)
+    )
+    return F.split(
+        F.regexp_replace(line, wrapped, replacement), _GROUP_SEP, -1
+    )
+
+
 def extract_lines(
     df: DataFrame,
     profile: DeviceProfile,
@@ -124,12 +159,52 @@ def extract_lines(
     carry the recorded timestamp), every profile variable (typed), plus
     ``_corrupt`` when *keep_corrupt* — otherwise malformed lines are
     filtered out (the reference skips them, readport.py:490-494).
+
+    One-pass plan: each branch's pattern executes once per row into a
+    staged ``_parts_i`` array column (its own projection, so Catalyst
+    doesn't inline the regexp_replace into every consumer); variables are
+    ``F.get`` array lookups (NULL out of bounds — no ANSI error on
+    unmatched lines, whose parts array has length 1).
     """
-    cols = extraction_columns(profile, line_col)
-    matched = matches_any_branch(profile, line_col)
-    projected = [F.col(time_col).alias("time"), *cols.values()]
+    staged = df
+    for i in range(len(profile.regex)):
+        staged = staged.withColumn(
+            f"_parts_{i}", packed_parts(F.col(line_col), profile.regex[i])
+        )
+    branch_matched = [
+        F.get(F.col(f"_parts_{i}"), 0) == F.lit(_MATCH_MARK)
+        for i in range(len(profile.regex))
+    ]
+    matched = branch_matched[0]
+    for m in branch_matched[1:]:
+        matched = matched | m
+
+    out: dict[str, Column] = {}
+    for var in profile.variables:
+        per_branch = []
+        for i, branch in enumerate(profile.regex):
+            gidx = group_indices(branch).get(var)
+            if gidx is None:
+                continue
+            raw = F.get(F.col(f"_parts_{i}"), gidx)
+            # '' covers "group did not participate"; unmatched branches have
+            # a 1-element parts array so F.get returns NULL; the sentinel is
+            # the device's explicit missing marker (readport.py:348-351).
+            per_branch.append(
+                F.nullif(
+                    F.nullif(raw, F.lit("")), F.lit(profile.sentinel)
+                )
+            )
+        expr = per_branch[0] if len(per_branch) == 1 else F.coalesce(*per_branch)
+        if profile.group is not None and var == profile.group.var:
+            expr = expr.try_cast(profile.group.spark_type)
+        else:
+            expr = expr.try_cast("double")
+        out[var] = expr.alias(var)
+
+    projected = [F.col(time_col).alias("time"), *out.values()]
     if extra_cols:
         projected = [F.col(c) for c in extra_cols] + projected
     if keep_corrupt:
-        return df.select(*projected, (~matched).alias("_corrupt"))
-    return df.filter(matched).select(*projected)
+        return staged.select(*projected, (~matched).alias("_corrupt"))
+    return staged.filter(matched).select(*projected)
