@@ -34,16 +34,21 @@ HEADLINE = [
     "top_customers_per_nation",
     "running_revenue_by_nation",
     "revenue_rollup",
+    "lineitem_math_functions",
+    "priority_ship_stats",
+    "customer_order_arrays",
     "ingest_extract_probe",
     "ingest_pack_scalable",
     "ingest_multiformat",
     "events_tumbling_window",
     "events_sessionize",
+    "events_session_window",
     "events_asof_order",
     "orders_with_returns",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_resolution",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_quality",

@@ -131,6 +131,47 @@ def test_end_to_end_parquet_sink(spark, tmp_path):
     assert leveldirs == ["level=1", "level=2"]
 
 
+def test_metrics_listener_heartbeat(spark, tmp_path):
+    """A24: the heartbeat listener records per-batch progress (rows/s,
+    batch duration) for an ingest query wired through run_ingest."""
+    from tower_parse_spark.streaming.metrics import attach_metrics
+
+    emitted = []
+    listener = attach_metrics(spark, emit=emitted.append)
+    try:
+        lines = [probe_line(1, float(i), i) for i in range(4)]
+        src = write_line_files(tmp_path, [lines])
+        base = tmp_path / "out_hb"
+        q = P.run_ingest(
+            spark,
+            DeviceProfile(
+                name="hb_probe",
+                regex=PROBE.regex,
+                group=GroupSpec("level", "int"),
+                pack_length=2,
+            ),
+            SRC.file_lines(spark, src),
+            str(base),
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(60)
+        # listener events are delivered async on the bus thread
+        deadline = time.time() + 20
+        while time.time() < deadline and not any(
+            r["query"] == "ingest_hb_probe" and r["num_input_rows"] > 0
+            for r in listener.records
+        ):
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    beats = [r for r in listener.records if r["query"] == "ingest_hb_probe"]
+    assert any(r["num_input_rows"] == 4 for r in beats)
+    assert all(r["batch_duration_ms"] >= 0 for r in beats)
+    assert all("rows_per_sec" in r for r in beats)
+    assert emitted == listener.records  # emit hook sees every heartbeat
+    assert ("started", "ingest_hb_probe") in listener.events
+
+
 def test_rate_source_live(spark):
     """A5 live: the rate-source generator emits parseable fake_server
     lines at the configured rate; the parse plan runs on the stream."""

@@ -106,9 +106,17 @@ def run_ingest(
     lines: DataFrame,
     base_dir: str,
     trigger: dict | None = None,
+    metrics: bool = False,
 ) -> StreamingQuery:
     """Wire source -> parse -> pack -> sink for one device profile
-    (the `./readport.py --config X.conf` entry point, readport.py:739-778)."""
+    (the `./readport.py --config X.conf` entry point, readport.py:739-778).
+
+    *metrics=True* attaches the A24 heartbeat listener
+    (streaming/metrics.py) to the session bus before starting."""
+    if metrics:
+        from tower_parse_spark.streaming.metrics import attach_metrics
+
+        attach_metrics(spark)
     packed = packed_stream(lines, profile)
     group = profile.group.var if profile.group else "_g"
     return write_packs(
