@@ -51,10 +51,23 @@ def test_components_long_chain_converges(spark):
 
 
 def test_components_nonconvergence_raises(spark):
-    """A chain deeper than max_iter must raise, never silently return
-    split clusters — ADVICE r1."""
+    """A chain deeper than the rounds can reach must raise, never
+    silently return split clusters — ADVICE r1. With path compression
+    3 rounds cover distance ~13, so a 40-hop chain cannot finish."""
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "id1 long, id2 long"
+        [(i, i + 1) for i in range(40)], "id1 long, id2 long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=3)
+
+
+def test_components_deep_chain_log_rounds(spark):
+    """Pointer-jumping compression: a 200-hop chain converges in O(log d)
+    rounds (12 allowed here; plain propagation would need 200)."""
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id1 long, id2 long"
+    )
+    comp = connected_components(edges, max_iter=12).collect()
+    assert len(comp) == n + 1
+    assert {r["component"] for r in comp} == {0}

@@ -7,11 +7,19 @@ iterative min-label propagation on DataFrames:
 
     label(v) <- min(label(v), min over neighbors(label(u)))
 
-repeated until fixpoint. Iterations are bounded by the graph diameter
-(duplicate clusters are tiny — a handful of hops); each round is one
-shuffle (groupBy on vertex). ``localCheckpoint`` truncates the lineage so
-the plan doesn't grow exponentially with iterations — the standard Spark
-iterative-algorithm pattern (GraphX/GraphFrames do the same internally).
+followed by pointer-jumping path compression each round:
+
+    label(v) <- label(label(v))
+
+so label chains halve every iteration and convergence is O(log diameter)
+rounds, not O(diameter) — the property that makes pathological duplicate
+chains (heavily templated corpora) safe at 100 TB (the same doubling
+trick as the published large-star/small-star MapReduce algorithm,
+Kiveris et al. 2014). Each round is two shuffles (neighbor-min groupBy +
+compression self-join on the small labels relation). ``localCheckpoint``
+truncates the lineage so the plan doesn't grow exponentially with
+iterations — the standard Spark iterative-algorithm pattern
+(GraphX/GraphFrames do the same internally).
 
 At 100 TB the pair list is orders of magnitude smaller than the corpus
 (only same-bucket collisions), so the propagation runs on the small edge
@@ -59,13 +67,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+            )
+        )
+        # Path compression: follow the label pointer one hop
+        # (label(v) <- label(label(v))), halving chain lengths each round.
+        # Every label value is itself a node (labels are node ids and the
+        # edge set is symmetric), so the left join only misses when the
+        # pointer is already a root — coalesce keeps it.
+        parents = propagated.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            propagated.join(
+                parents, propagated.label == parents.p_node, "left"
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
