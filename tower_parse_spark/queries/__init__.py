@@ -36,6 +36,7 @@ _DEFER_TO_TAIL = [
     "order_gaps_quartiles",  # window funcs — top_customers/running_revenue stay
     "big_basket_orders",  # join+having — q3/q5/orders_with_returns stay
     "disjunctive_filter_revenue",  # conditional agg — promo_revenue_pct stays
+    "top_return_customers",  # join+agg+topk — q3 is the same shape
 ]
 
 

@@ -266,6 +266,64 @@ ORDER BY event_id
 """
 
 
+def events_order_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: each purchase event matched to the same
+    user's click events in the following hour — binned interval join
+    (operators/rangejoin.py), never a nested-loop; aggregated to
+    per-purchase click counts and exact-integer value sums."""
+    from tower_parse_spark.operators.rangejoin import range_join
+
+    hour = 3600.0
+    clicks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").cast("double").alias("t"), "value")
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("double").alias("w_start"),
+            (F.col("ts").cast("double") + hour).alias("w_end"),
+        )
+    )
+    j = range_join(
+        clicks, purchases, "t", "w_start", "w_end", bin_width=hour,
+        on="user_id",
+    )
+    return (
+        j.groupBy("purchase_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_1h"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("sum_click_value_1h"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EVENTS_RANGE_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, epoch(ts) AS t, value FROM events
+  WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id, epoch(ts) AS pt FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id,
+       count(*) AS n_clicks_1h,
+       sum(CAST(round(c.value * 100) AS BIGINT)) / 100.0
+         AS sum_click_value_1h
+FROM p JOIN c
+  ON c.user_id = p.user_id AND p.pt <= c.t AND c.t < p.pt + 3600.0
+GROUP BY p.purchase_id, p.user_id
+ORDER BY p.purchase_id
+"""
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction (get_json_object) + bucket aggregation."""
     ev = load_table(spark, sf_dir, "events")
@@ -375,6 +433,11 @@ QUERIES = {
     ),
     "events_asof_order": Query(
         events_asof_order, EVENTS_ASOF_ORACLE, "as-of join enrichment"
+    ),
+    "events_order_range_join": Query(
+        events_order_range_join,
+        EVENTS_RANGE_JOIN_ORACLE,
+        "binned range (interval) join",
     ),
     "events_json_props": Query(
         events_json_props, EVENTS_JSON_ORACLE, "JSON extraction"
