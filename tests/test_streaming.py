@@ -131,6 +131,36 @@ def test_end_to_end_parquet_sink(spark, tmp_path):
     assert leveldirs == ["level=1", "level=2"]
 
 
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup: duplicate ids inside and across micro-batches are
+    dropped while state stays watermark-bounded."""
+    from tower_parse_spark.streaming.dedup import stream_exact_dedup
+
+    batches = [
+        [probe_line(1, 1.0, 1), probe_line(1, 1.0, 1), probe_line(1, 2.0, 2)],
+        [probe_line(1, 2.0, 2), probe_line(1, 3.0, 3)],  # cross-batch dup
+    ]
+    src = write_line_files(tmp_path, batches)
+    lines = SRC.file_lines(spark, src, max_files_per_trigger=1)
+    deduped = stream_exact_dedup(
+        P.parse_stream(lines, PROBE), ["id"], watermark="10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT id FROM dedup_mem").collect()
+    ids = sorted(r["id"] for r in rows)
+    assert ids == [1.0, 2.0, 3.0]
+
+
 def test_metrics_listener_heartbeat(spark, tmp_path):
     """A24: the heartbeat listener records per-batch progress (rows/s,
     batch duration) for an ingest query wired through run_ingest."""
