@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Scale smoke: 10M-row synthetic ingest, no parquet in the way.
+
+Generates probe lines with spark.range + format_string (distributed,
+zero I/O, materialized once), then times extraction in its packed
+(one-regex-execution), per-variable, and dispatched forms at 4 and 16
+capture groups, plus the full extract+pack pipeline.
+Prints one JSON line; numbers land in SCALE.md.
+
+Usage: python tools/scale_smoke.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tower_parse_spark.functions.extraction import extract_lines  # noqa: E402
+from tower_parse_spark.queries.ingest import PROBE_FMT, PROBE_PROFILE  # noqa: E402
+from tower_parse_spark.operators.pack import with_pack_id  # noqa: E402
+from tower_parse_spark.session import get_spark  # noqa: E402
+
+
+def lines_df(spark, n: int):
+    r = spark.range(0, n, 1, 64)
+    val = (F.col("id") % 1000) / 10.0
+    line = F.format_string(
+        PROBE_FMT,
+        (F.col("id") % 3 + 1).cast("int"),
+        F.format_string("%+08.3f", val),
+        -val,
+        F.col("id"),
+    )
+    return r.select(
+        F.col("id").alias("event_id"),
+        (F.lit(1700000000.0) + F.col("id") / 20.0).alias("ts"),
+        line.alias("line"),
+    )
+
+
+def noop(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    spark = get_spark("scale_smoke")
+    # materialize the synthetic lines so timings measure extraction, not
+    # the format_string generator
+    src = lines_df(spark, n).localCheckpoint(eager=True)
+    noop(src)  # warm-up
+
+    from tower_parse_spark.functions import extraction as X
+
+    def forced(df, profile, min_groups):
+        prev = X.PACKED_MIN_GROUPS
+        X.PACKED_MIN_GROUPS = min_groups
+        try:
+            return noop(extract_lines(df, profile, extra_cols=["event_id"]))
+        finally:
+            X.PACKED_MIN_GROUPS = prev
+
+    one_pass = forced(src, PROBE_PROFILE, 1)  # force packed parse
+    n_pass = forced(src, PROBE_PROFILE, 99)  # force per-variable extracts
+    dispatched = noop(
+        extract_lines(src, PROBE_PROFILE, extra_cols=["event_id"])
+    )
+    packed = noop(
+        with_pack_id(
+            extract_lines(src, PROBE_PROFILE, extra_cols=["event_id"]),
+            12_000,
+            None,
+            ["time", "event_id"],
+        )
+    )
+
+    # Wide schema (16 groups, the KLDPIO shape): one-pass vs N-pass.
+    from tower_parse_spark.plans.profile import DeviceProfile
+
+    k = 16
+    wide_n = max(n // 5, 1)
+    wide_fmt = " ".join(f"v{i}=%+08.3f" for i in range(k))
+    wide_regex = "^" + " ".join(
+        f"v{i}=(?P<g{i}>\\S+)" for i in range(k)
+    ) + "$"
+    wide_prof = DeviceProfile(name="wide", regex=[wide_regex])
+    wsrc = (
+        spark.range(0, wide_n, 1, 64)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.lit(1700000000.0) + F.col("id") / 20.0).alias("ts"),
+            F.format_string(
+                wide_fmt, *[(F.col("id") % 997) / (7.0 + i) for i in range(k)]
+            ).alias("line"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    noop(wsrc)
+    wide_one = forced(wsrc, wide_prof, 1)  # packed (also the dispatch choice)
+    wide_npass = forced(wsrc, wide_prof, 99)
+    print(
+        json.dumps(
+            {
+                "rows": n,
+                "extract_packed_sec": one_pass,
+                "extract_n_pass_sec": n_pass,
+                "extract_dispatched_sec": dispatched,
+                "extract_rows_per_sec": int(n / dispatched),
+                "extract_pack_sec": packed,
+                "pipeline_rows_per_sec": int(n / packed),
+                "wide16_rows": wide_n,
+                "wide16_one_pass_sec": wide_one,
+                "wide16_n_pass_sec": wide_npass,
+                "wide16_speedup": round(wide_npass / wide_one, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

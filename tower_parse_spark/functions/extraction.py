@@ -25,14 +25,21 @@ Spark-first re-expression — all plan-time, zero Python per row:
   semantics, SURVEY.md §2.A12).
 
 At 100 TB this stays a single scan + project: no shuffle, no UDF. The hot
-path (:func:`extract_lines`) executes the pattern ONCE per (row, branch),
-like the reference's single ``match`` per line (readport.py:345): a
-``regexp_replace`` packs every capture group into one separator-joined
-string, a single ``split`` unpacks it, and the per-variable expressions
-are cheap array indexing. The widest reference schema (27 groups,
-configs/readport_4004_KLDPIO.conf:17) costs 1 regex execution instead of
-28. :func:`extraction_columns` remains the composable per-column form
-(N ``regexp_extract`` calls) for callers that need standalone Columns.
+path (:func:`extract_lines`) dispatches per branch on capture-group
+count, from 10M-row measurements (tools/scale_smoke.py):
+
+- **narrow branches (< 8 groups)**: one ``regexp_extract`` per variable —
+  a packed parse's fixed cost (regexp_replace + split + array reads) is
+  ~6-7x one anchored extract, so per-variable wins below ~7 groups
+  (probe's 4-group schema: N-pass is 1.6x faster);
+- **wide branches (>= 8 groups)**: ONE ``regexp_replace`` packs every
+  group into a separator-joined string, one ``split`` unpacks it —
+  measured 2.2x faster at 16 groups, more at the reference's widest
+  schema (27 groups, configs/readport_4004_KLDPIO.conf:17). This is the
+  reference's single ``match`` per line (readport.py:345), re-expressed.
+
+:func:`extraction_columns` remains the composable per-column form for
+callers that need standalone Columns.
 """
 
 from __future__ import annotations
@@ -113,6 +120,11 @@ def matches_any_branch(profile: DeviceProfile, line_col: str = "line") -> Column
     return cond
 
 
+#: Branches with at least this many capture groups use the packed
+#: one-pass parse; below it, per-variable regexp_extract is cheaper
+#: (measured break-even ~7 groups at 10M rows, tools/scale_smoke.py).
+PACKED_MIN_GROUPS = 8
+
 # Packing delimiters for the one-pass parse. Outside every device wire
 # format (reference lines are printable ASCII plus STX/ETX framing bytes,
 # tests/test_parser.py:21): US (unit separator) joins groups, RS (record
@@ -135,7 +147,12 @@ def packed_parts(line: Column, branch: str) -> Column:
     would change the inner pattern's own ``.`` semantics).
     """
     n_groups = re.compile(branch).groups
-    wrapped = f"^[\\s\\S]*?(?:{unnamed_pattern(branch)})[\\s\\S]*$"
+    pat = unnamed_pattern(branch)
+    # ^-anchored patterns (every reference config) skip the lazy scan
+    # prefix — `[\s\S]*?` backtracking costs more than the match itself
+    # on short device lines (measured 20% at 10M rows).
+    prefix = "^" if branch.startswith("^") else "^[\\s\\S]*?"
+    wrapped = f"{prefix}(?:{pat})[\\s\\S]*$"
     replacement = _MATCH_MARK + "".join(
         f"{_GROUP_SEP}${i}" for i in range(1, n_groups + 1)
     )
@@ -160,24 +177,23 @@ def extract_lines(
     ``_corrupt`` when *keep_corrupt* — otherwise malformed lines are
     filtered out (the reference skips them, readport.py:490-494).
 
-    One-pass plan: each branch's pattern executes once per row into a
-    staged ``_parts_i`` array column (its own projection, so Catalyst
-    doesn't inline the regexp_replace into every consumer); variables are
-    ``F.get`` array lookups (NULL out of bounds — no ANSI error on
-    unmatched lines, whose parts array has length 1).
+    Plan shape: wide branches (>= :data:`PACKED_MIN_GROUPS` groups)
+    execute once per row into a staged ``_parts_i`` array column (its own
+    projection, so Catalyst doesn't inline the regexp_replace into every
+    consumer); their variables are ``F.get`` array lookups (NULL out of
+    bounds — no ANSI error on unmatched lines, whose parts array has
+    length 1). Narrow branches use per-variable ``regexp_extract``
+    (cheaper below the packed parse's fixed cost — see module doc).
     """
-    staged = df
-    for i in range(len(profile.regex)):
-        staged = staged.withColumn(
-            f"_parts_{i}", packed_parts(F.col(line_col), profile.regex[i])
-        )
-    branch_matched = [
-        F.get(F.col(f"_parts_{i}"), 0) == F.lit(_MATCH_MARK)
-        for i in range(len(profile.regex))
+    packed = [
+        re.compile(b).groups >= PACKED_MIN_GROUPS for b in profile.regex
     ]
-    matched = branch_matched[0]
-    for m in branch_matched[1:]:
-        matched = matched | m
+    staged = df
+    for i, branch in enumerate(profile.regex):
+        if packed[i]:
+            staged = staged.withColumn(
+                f"_parts_{i}", packed_parts(F.col(line_col), branch)
+            )
 
     out: dict[str, Column] = {}
     for var in profile.variables:
@@ -186,15 +202,23 @@ def extract_lines(
             gidx = group_indices(branch).get(var)
             if gidx is None:
                 continue
-            raw = F.get(F.col(f"_parts_{i}"), gidx)
-            # '' covers "group did not participate"; unmatched branches have
-            # a 1-element parts array so F.get returns NULL; the sentinel is
-            # the device's explicit missing marker (readport.py:348-351).
-            per_branch.append(
-                F.nullif(
-                    F.nullif(raw, F.lit("")), F.lit(profile.sentinel)
+            if packed[i]:
+                raw = F.get(F.col(f"_parts_{i}"), gidx)
+                # '' covers "group did not participate"; unmatched branches
+                # have a 1-element parts array so F.get returns NULL; the
+                # sentinel is the device's explicit missing marker
+                # (readport.py:348-351).
+                per_branch.append(
+                    F.nullif(
+                        F.nullif(raw, F.lit("")), F.lit(profile.sentinel)
+                    )
                 )
-            )
+            else:
+                per_branch.append(
+                    _extract_one(
+                        F.col(line_col), branch, var, profile.sentinel
+                    )
+                )
         expr = per_branch[0] if len(per_branch) == 1 else F.coalesce(*per_branch)
         if profile.group is not None and var == profile.group.var:
             expr = expr.try_cast(profile.group.spark_type)
@@ -206,5 +230,23 @@ def extract_lines(
     if extra_cols:
         projected = [F.col(c) for c in extra_cols] + projected
     if keep_corrupt:
+        # per-branch flag: free parts lookup for packed branches (no
+        # Filter in this path, so no pushdown duplication), plain rlike
+        # for narrow ones
+        flags = [
+            F.get(F.col(f"_parts_{i}"), 0) == F.lit(_MATCH_MARK)
+            if packed[i]
+            else F.col(line_col).rlike(unnamed_pattern(profile.regex[i]))
+            for i in range(len(profile.regex))
+        ]
+        matched = flags[0]
+        for m in flags[1:]:
+            matched = matched | m
         return staged.select(*projected, (~matched).alias("_corrupt"))
-    return staged.filter(matched).select(*projected)
+    # Filter with a plain rlike, NOT the packed-parts flag: predicate
+    # pushdown substitutes the staged regexp_replace+split into the
+    # Filter and would execute the heavy parse twice per row; a bare
+    # match is the cheap reject path (same pattern, search semantics).
+    return staged.filter(matches_any_branch(profile, line_col)).select(
+        *projected
+    )
