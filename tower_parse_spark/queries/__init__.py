@@ -37,6 +37,8 @@ _DEFER_TO_TAIL = [
     "big_basket_orders",  # join+having — q3/q5/orders_with_returns stay
     "disjunctive_filter_revenue",  # conditional agg — promo_revenue_pct stays
     "top_return_customers",  # join+agg+topk — q3 is the same shape
+    "customers_without_urgent_orders",  # anti join — wealthy_inactive covers it
+    "running_revenue_by_nation",  # window frames — top_customers_per_nation stays
 ]
 
 

@@ -533,9 +533,114 @@ ORDER BY o_orderkey
 """
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate, then a
+    distribution over the grouped counts — customers bucketed by how many
+    non-urgent orders they placed (zero-order customers included)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+CUSTOMER_DISTRIBUTION_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery threshold + anti join —
+    above-average-balance customers (within selected country codes) who
+    never placed an URGENT order, aggregated per code (the synthetic
+    tables give every customer at least one order, so the anti-join
+    predicate filters on priority to stay non-degenerate).
+
+    Engine-parity: the average threshold is computed as an exact scaled-
+    integer sum (c_acctbal is 2-dp) so the > comparison never flips on a
+    partial-agg-order-dependent double between engines."""
+    codes = [1, 3, 5, 7, 9]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_nationkey") % 10).alias("cntrycode"),
+        "c_acctbal",
+    )
+    sel = cust.filter(F.col("cntrycode").isin(codes))
+    threshold = sel.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+            / 100.0
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    wealthy = sel.join(
+        F.broadcast(threshold), F.col("c_acctbal") > F.col("avg_bal")
+    ).join(urgent, sel.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        wealthy.groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+WEALTHY_INACTIVE_ORACLE = """
+WITH sel AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode, c_acctbal
+  FROM customer WHERE (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+), t AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 / count(*)
+           AS avg_bal
+  FROM sel WHERE c_acctbal > 0
+)
+SELECT cntrycode,
+       count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM sel, t
+WHERE c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = sel.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 QUERIES = {
     "orders_with_returns": Query(
         orders_with_returns, ORDERS_RETURNS_ORACLE, "EXISTS semi-join"
+    ),
+    "customer_order_distribution": Query(
+        customer_order_distribution,
+        CUSTOMER_DISTRIBUTION_ORACLE,
+        "Q13: outer join + count distribution",
+    ),
+    "wealthy_inactive_customers": Query(
+        wealthy_inactive_customers,
+        WEALTHY_INACTIVE_ORACLE,
+        "Q22: scalar subquery threshold + anti join",
     ),
     "segment_set_ops": Query(
         segment_set_ops, SEGMENT_SET_OPS_ORACLE, "INTERSECT / EXCEPT ALL"
