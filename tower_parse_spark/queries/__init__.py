@@ -39,6 +39,7 @@ _DEFER_TO_TAIL = [
     "top_return_customers",  # join+agg+topk — q3 is the same shape
     "customers_without_urgent_orders",  # anti join — wealthy_inactive covers it
     "running_revenue_by_nation",  # window frames — top_customers_per_nation stays
+    "q5_local_supplier",  # broadcast snowflake join — q3 is the same shape
 ]
 
 

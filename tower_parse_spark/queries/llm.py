@@ -16,6 +16,7 @@ Portability contract with the oracle:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tower_parse_spark.functions import text as T
@@ -653,6 +654,88 @@ ORDER BY doc_id
 """
 
 
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed from the engine's own
+    stages: quality scoring -> threshold filter -> exact dedup (survivor
+    = min doc_id per text hash) -> per-source corpus stats. One scan,
+    one window shuffle on the text hash, one agg shuffle — the composed
+    plan the individual queries exercise piecewise.
+
+    The filter compares the 4-dp-rounded (pround) score so the threshold
+    decision is bit-identical on both engines."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", T.tokens(F.col("text"))
+    )
+    feats = T.quality_features(F.col("text"), toks=F.col("_toks"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("text_hash"),
+        feats["n_tokens"].alias("n_tokens"),
+        pround(feats["quality_score"], 4).alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    w = W.partitionBy("text_hash").orderBy("doc_id")
+    survivors = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # q is 4-dp quantized after pround: exact integer mean
+            pround(
+                F.sum(F.round(F.col("q") * 10000).cast("long"))
+                / 10000.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+TRAINING_PIPELINE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, text, {SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id, source, md5(text) AS text_hash,
+         len(toks) AS n_tokens,
+         {sql_pround(
+             "0.4 * least(len(toks) / 100.0, 1.0)"
+             " + 0.3 * (CASE WHEN len(toks) > 0 THEN "
+             + T.sql_stopword_hits('toks', 'en')
+             + " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)"
+             " + 0.2 * least((CASE WHEN len(toks) > 0 THEN"
+             " length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE)"
+             " ELSE 0.0 END) / 8.0, 1.0)"
+             " + 0.1 * (1.0 - (CASE WHEN length(text) > 0 THEN"
+             " (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+             " / CAST(length(text) AS DOUBLE) ELSE 0.0 END))", 4)} AS q
+  FROM tok
+), scored AS (
+  SELECT * FROM feat WHERE q >= 0.5
+), survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id)
+      AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       {sql_pround(
+           "sum(CAST(round(q * 10000) AS BIGINT)) / 10000.0 / count(*)", 4
+       )} AS avg_quality
+FROM survivors
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
     "dedup_minhash_lsh": Query(
@@ -688,5 +771,10 @@ QUERIES = {
         multimodal_pipeline,
         MULTIMODAL_PIPELINE_ORACLE,
         "decode->resize->features->frames, one Arrow pass",
+    ),
+    "training_data_pipeline": Query(
+        training_data_pipeline,
+        TRAINING_PIPELINE_ORACLE,
+        "quality filter -> exact dedup -> corpus stats, composed",
     ),
 }
