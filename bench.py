@@ -44,6 +44,7 @@ HEADLINE = [
     "events_sessionize",
     "events_session_window",
     "events_asof_order",
+    "events_order_range_join",
     "orders_with_returns",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -55,6 +56,7 @@ HEADLINE = [
     "text_token_stats",
     "text_fingerprint",
     "multimodal_decode",
+    "training_data_pipeline",
 ]
 
 

@@ -61,7 +61,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
@@ -81,19 +81,26 @@ def connected_components(
         # Every label value is itself a node (labels are node ids and the
         # edge set is symmetric), so the left join only misses when the
         # pointer is already a root — coalesce keeps it.
-        parents = propagated.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            propagated.join(
-                parents, propagated.label == parents.p_node, "left"
+        # Skipped for the first two rounds: typical duplicate clusters
+        # converge by then, and the extra self-join would only add cost;
+        # deep chains (the pathological case) still get O(log d) from
+        # round 3 on.
+        if it >= 2:
+            parents = propagated.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
-            .select(
-                "node",
-                F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+            propagated = (
+                propagated.join(
+                    parents, propagated.label == parents.p_node, "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce(F.col("p_label"), F.col("label")).alias(
+                        "label"
+                    ),
+                )
             )
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = propagated.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
