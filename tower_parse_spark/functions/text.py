@@ -86,6 +86,33 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+#: polynomial base for combining token hashes into shingle hashes
+SHINGLE_BASE = 131
+
+
+def combine_shingle_hashes(th: Column, n: int = 3) -> Column:
+    """Shingle hashes from a pre-staged token-hash array *th* (values in
+    [0, P)): hash of shingle i = polynomial fold of n consecutive token
+    hashes mod P. One md5 per TOKEN instead of one per (3x longer)
+    shingle string — measurably cheaper, identical on both engines
+    (every intermediate < P * SHINGLE_BASE < 2^63).
+
+    Twin: list_transform(range(1, greatest(len(th)-1, 1)),
+    i -> ((th[i]*131 + th[i+1]) % P * 131 + th[i+2]) % P).
+    """
+
+    def comb(i: Column) -> Column:
+        h = F.element_at(th, i)
+        for j in range(1, n):
+            h = (h * SHINGLE_BASE + F.element_at(th, i + j)) % HASH_P
+        return h
+
+    idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+    return F.when(F.size(th) >= n, F.transform(idx, comb)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """Count of distinct tokens that are stopwords of *lang*."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

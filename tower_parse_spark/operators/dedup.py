@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from tower_parse_spark.functions.text import (
     HASH_P,
+    combine_shingle_hashes,
     shingles,
     token_hash,
     token_hash_fast,
@@ -62,21 +63,29 @@ def with_minhash(
 ) -> DataFrame:
     """Append ``mh`` (array<long> of k minhash components).
 
-    Computed entirely inside the row projection: shingle array ->
-    transform to hashes -> array_min per seed. No explode, no shuffle.
+    Computed entirely inside the row projection: token hashes -> shingle
+    hashes (polynomial combine) -> array_min per seed. No explode, no
+    shuffle, and ONE md5 per token — combining pre-hashed tokens into
+    shingle hashes arithmetically is cheaper than hashing each (3x
+    longer) shingle string, with an exact SQL twin either way.
 
-    Two-stage projection on purpose: the md5 shingle hashing is projected
-    into its own column first, so each of the k per-seed folds is cheap
-    int arithmetic over that array. Inlining the hash expression into all
-    k folds (one giant projection) recomputes md5 k times per shingle —
-    measured ~50x slower at sf0.1. CollapseProject keeps the split because
-    the hash column is expensive and multiply-referenced.
+    Three-stage projection on purpose: the md5 token hashing and the
+    shingle-hash array are each projected into their own columns, so the
+    k per-seed folds are cheap int arithmetic over a staged array.
+    Inlining the hash expression into all k folds (one giant projection)
+    recomputes md5 k times per token — measured ~50x slower at sf0.1.
+    CollapseProject keeps the split because the hash column is expensive
+    and multiply-referenced.
     """
     hfn = HASH_FNS[hash_fn]
     toks = tokens(F.col(text_col))
-    sh = F.array_distinct(shingles(toks, 3))
-    hashed = ensure_parallelism(df).withColumn(
-        "_sh_hashes", F.transform(sh, lambda s: hfn(s) % HASH_P)
+    hashed = (
+        ensure_parallelism(df)
+        .withColumn("_th", F.transform(toks, lambda t: hfn(t) % HASH_P))
+        .withColumn(
+            "_sh_hashes",
+            F.array_distinct(combine_shingle_hashes(F.col("_th"), 3)),
+        )
     )
     base = F.col("_sh_hashes")
     comps = [
@@ -85,7 +94,7 @@ def with_minhash(
         )
         for (a, b) in minhash_params(k)
     ]
-    return hashed.withColumn("mh", F.array(*comps)).drop("_sh_hashes")
+    return hashed.withColumn("mh", F.array(*comps)).drop("_th", "_sh_hashes")
 
 
 def minhash_lsh_pairs(

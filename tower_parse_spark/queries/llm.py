@@ -37,9 +37,17 @@ SQL_SHINGLES = (
     "list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
-SQL_SHINGLE_HASHES = (
-    "list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % "
-    f"{P})"
+#: token hashes reduced mod P (minhash pipeline; twin of
+#: functions/text.py::token_hash % HASH_P)
+SQL_TOKEN_HASHES_MODP = (
+    "list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)"
+    f" % {P})"
+)
+#: shingle hashes combined from pre-hashed tokens (twin of
+#: functions/text.py::combine_shingle_hashes, SHINGLE_BASE=131)
+SQL_SHINGLE_HASHES_COMBINED = (
+    "list_distinct(list_transform(range(1, greatest(len(th) - 1, 1)), "
+    f"i -> ((th[i] * 131 + th[i+1]) % {P} * 131 + th[i+2]) % {P}))"
 )
 SQL_TOKEN_HASHES = (
     "list_transform(toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
@@ -117,10 +125,10 @@ def _minhash_pairs_ctes(docs_rel: str) -> str:
     )
     return f"""tok AS (
   SELECT doc_id, {SQL_TOKS} AS toks FROM {docs_rel}
-), sh AS (
-  SELECT doc_id, {SQL_SHINGLES} AS sh FROM tok
+), th AS (
+  SELECT doc_id, {SQL_TOKEN_HASHES_MODP} AS th FROM tok
 ), hs AS (
-  SELECT doc_id, {SQL_SHINGLE_HASHES} AS hs FROM sh
+  SELECT doc_id, {SQL_SHINGLE_HASHES_COMBINED} AS hs FROM th
 ), sig AS (
   SELECT doc_id, {_minhash_sql_components()} AS mh FROM hs
 ), banded AS (
