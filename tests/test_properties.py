@@ -66,6 +66,41 @@ def test_tokens_shingles_algebra(spark, text):
     assert all(t and t == t.lower() for t in row["toks"])
 
 
+@given(
+    points=st.lists(st.integers(0, 200), min_size=1, max_size=30),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=1,
+        max_size=15,
+    ),
+    bin_width=st.sampled_from([3.0, 10.0, 50.0]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_naive(spark, points, intervals, bin_width):
+    """Binned range join ≡ the naive inequality join for any inputs and
+    bin width (incl. empty intervals, bin-boundary points, duplicates)."""
+    from tower_parse_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, t double"
+    )
+    iv = spark.createDataFrame(
+        [(j, float(s), float(s + w)) for j, (s, w) in enumerate(intervals)],
+        "iid long, s double, e double",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "t", "s", "e", bin_width).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            iv, (F.col("s") <= F.col("t")) & (F.col("t") < F.col("e"))
+        ).collect()
+    )
+    assert got == want
+
+
 @given(words=st.lists(st.sampled_from(["the", "cat", "und", "la", "x9"]), max_size=12))
 @settings(**SETTINGS)
 def test_fingerprint_deterministic(spark, words):
