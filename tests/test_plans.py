@@ -1,0 +1,77 @@
+"""Physical-plan regression tests — lock in the SCALE.md audit claims.
+
+These assert plan *shape*, not timings: broadcast joins where expected,
+rank pushdown for top-k, the as-of join's single shuffle, zero
+row-at-a-time Python UDFs anywhere in the registry, and partition
+pruning on partitioned parquet reads.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    from tower_parse_spark.queries.relational import q3_shipping_priority
+
+    plan = plan_of(q3_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must not shuffle at this SF
+
+
+def test_top_customers_rank_pushdown(spark):
+    from tower_parse_spark.queries.relational import top_customers_per_nation
+
+    plan = plan_of(top_customers_per_nation(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan  # rank filter pruned before sort
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is union + one Exchange on the key + one Window —
+    an inequality-join row explosion would show extra joins/exchanges."""
+    from tower_parse_spark.queries.temporal import events_asof_order
+
+    plan = plan_of(events_asof_order(spark, SF_DIR))
+    body = plan.split("TakeOrderedAndProject")[-1]  # ignore output sort
+    assert body.count("Exchange") <= 2  # key exchange (+ AQE read)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_no_nested_loop(spark):
+    from tower_parse_spark.queries.temporal import events_order_range_join
+
+    plan = plan_of(events_order_range_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.slow
+def test_no_row_at_a_time_python_anywhere(spark):
+    """Every registry query must stay JVM-side or Arrow-batched: the
+    row-at-a-time Python UDF operator (BatchEvalPython) is banned."""
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Key-in-path layout (A19) pays off at read time: a filter on the
+    partition column prunes directories at planning, not post-scan."""
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 5 AS INT) AS lvl")
+    path = str(tmp_path / "part")
+    df.write.partitionBy("lvl").parquet(path)
+    read = spark.read.parquet(path).filter("lvl = 3")
+    plan = plan_of(read)
+    assert "PartitionFilters: [isnotnull(lvl" in plan
+    assert read.count() == 200
+    # pruned scan reads exactly one of the five directories
+    assert all("lvl=3" in f for f in read.inputFiles())
