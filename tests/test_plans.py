@@ -72,6 +72,8 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     read = spark.read.parquet(path).filter("lvl = 3")
     plan = plan_of(read)
     assert "PartitionFilters: [isnotnull(lvl" in plan
-    assert read.count() == 200
-    # pruned scan reads exactly one of the five directories
-    assert all("lvl=3" in f for f in read.inputFiles())
+    # execute THIS dataframe's plan (count() would build a different one,
+    # leaving these metrics at zero), then read the scan metrics
+    assert len(read.collect()) == 200
+    scan = read._jdf.queryExecution().executedPlan().collectLeaves().head()
+    assert scan.metrics().apply("numPartitions").value() == 1
