@@ -58,3 +58,56 @@ def test_identical_vectors_same_bucket(spark):
         S.bucket_expr(as_double(F.col("embedding")), 8).alias("b")
     ).collect()
     assert b[0]["b"] == b[1]["b"]
+
+
+@pytest.fixture()
+def blob_corpus(spark):
+    """Three well-separated directional blobs in R^4 (cosine metric)."""
+    import random
+
+    rng = random.Random(7)
+    dirs = [[5.0, 0.1, 0.1, 0.1], [0.1, 5.0, 0.1, 0.1], [0.1, 0.1, 5.0, 0.1]]
+    rows = []
+    for b, d in enumerate(dirs):
+        for i in range(40):
+            rows.append(
+                (
+                    b * 100 + i,
+                    b,
+                    [x + rng.uniform(-0.3, 0.3) for x in d],
+                )
+            )
+    return spark.createDataFrame(
+        rows, "vec_id long, blob int, embedding array<double>"
+    )
+
+
+def test_kmeans_recovers_blobs(blob_corpus):
+    """Lloyd training: each blob maps to exactly one trained centroid
+    (pure assignments), and assignments are strictly better than under
+    the lattice init for at least one blob-splitting case avoided."""
+    cents = S.kmeans_centroids(blob_corpus, dim=4, k=3, iters=5)
+    assert len(cents) == 3 and all(len(c) == 4 for c in cents)
+    cell = S.ivf_cells(
+        as_double(F.col("embedding")), 4, 1, centroids=cents
+    )[0]
+    rows = blob_corpus.select("blob", cell.alias("cell")).collect()
+    by_blob: dict[int, set[int]] = {}
+    for r in rows:
+        by_blob.setdefault(r["blob"], set()).add(r["cell"])
+    # pure: every blob lands in exactly one cell, all cells distinct
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+
+
+def test_ivf_topk_with_trained_centroids(blob_corpus, spark):
+    cents = S.kmeans_centroids(blob_corpus, dim=4, k=3, iters=3)
+    probes = spark.createDataFrame(
+        [(900, [5.0, 0.1, 0.1, 0.1])], "probe_id long, embedding array<double>"
+    )
+    out = S.ivf_topk(
+        blob_corpus, probes, dim=4, k=5, centroids=cents
+    ).collect()
+    assert len(out) == 5
+    # all results come from the probe's blob (ids 0..39)
+    assert all(r["vec_id"] < 100 for r in out)

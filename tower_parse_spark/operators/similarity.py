@@ -54,29 +54,93 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
 
 def centroid(dim: int, j: int) -> list[float]:
     """Deterministic IVF centroid j: a fixed integer lattice decorrelated
-    from the LSH hyperplanes ((i*37 + j*29) mod 15 - 7). A production
-    deployment would train these with k-means (pyspark.ml.clustering);
-    the lattice keeps the operator seedless and oracle-reproducible."""
+    from the LSH hyperplanes ((i*37 + j*29) mod 15 - 7). The lattice
+    keeps the oracle-checked query seedless and SQL-reproducible; it is
+    also the k-means init (:func:`kmeans_centroids`) for deployments
+    that train the quantizer."""
     return [float((i * 37 + j * 29) % 15 - 7) for i in range(dim)]
 
 
-def _centroid_cos_scores(vec_col, dim: int, k: int = IVF_K):
-    """Array of cosine similarities to each of the k centroids."""
+def lattice_centroids(dim: int, k: int = IVF_K) -> list[list[float]]:
+    return [centroid(dim, j) for j in range(k)]
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    dim: int,
+    k: int = IVF_K,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: Lloyd's k-means on the DataFrame.
+
+    Spherical variant (cosine assignment, arithmetic-mean update) — the
+    metric :func:`ivf_topk` searches with. Each iteration is ONE
+    distributed pass: assign cell = argmax cosine against the current
+    centroids (plan literals), then a k-row aggregate of per-component
+    means. The driver only ever holds k x dim floats (same posture as
+    pack offsets); the vectors never leave the executors. Deterministic:
+    lattice init, no RNG. Empty cells reseed from the worst-covered
+    vectors (lowest best-cosine) — the standard Lloyd fix that lets a
+    dead cell capture an unclaimed cluster."""
+    vecs = df.select(as_double(F.col(vec_col)).alias("v"))
+    cents = lattice_centroids(dim, k)
+    for _ in range(iters):
+        scores = _centroid_cos_scores(F.col("v"), cents)
+        assigned = vecs.select(
+            "v",
+            F.array_position(scores, F.array_max(scores)).alias("cell"),
+            F.array_max(scores).alias("best"),
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        filled = set()
+        for r in means:
+            new[r["cell"] - 1] = [float(r[f"m{i}"]) for i in range(dim)]
+            filled.add(r["cell"] - 1)
+        empty = [j for j in range(k) if j not in filled]
+        if empty:
+            # reseed each dead cell with a distinct worst-covered vector
+            worst = (
+                assigned.orderBy(F.col("best").asc())
+                .limit(len(empty))
+                .collect()
+            )
+            for j, r in zip(empty, worst):
+                new[j] = [float(x) for x in r["v"]]
+        cents = new
+    return cents
+
+
+def _centroid_cos_scores(vec_col, centroids: list[list[float]]):
+    """Array of cosine similarities to each centroid (plan literals)."""
     scores = []
-    for j in range(k):
-        c = F.array(*[F.lit(x) for x in centroid(dim, j)])
-        scores.append(cosine(vec_col, c))
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        scores.append(cosine(vec_col, carr))
     return F.array(*scores)
 
 
-def ivf_cells(vec_col, dim: int, nprobe: int, k: int = IVF_K):
+def ivf_cells(
+    vec_col,
+    dim: int,
+    nprobe: int,
+    k: int = IVF_K,
+    centroids: list[list[float]] | None = None,
+):
     """The *nprobe* nearest centroid ids (1-based), best first.
 
     argmax via array_position(scores, array_max(scores)) — first maximum
     wins, a deterministic tie-break both engines share. Subsequent probes
     mask the already-chosen cell and repeat.
     """
-    scores = _centroid_cos_scores(vec_col, dim, k)
+    scores = _centroid_cos_scores(
+        vec_col, centroids if centroids is not None else lattice_centroids(dim, k)
+    )
     cells = []
     masked = scores
     for _ in range(nprobe):
@@ -99,19 +163,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to their
     nearest coarse-quantizer cell (inverted list); each probe scans only
     its *nprobe* nearest cells. The cell join is an equi-join on a small
     int — at 10^9+ vectors the inverted lists are the partition key and
-    only probed cells are read (partition pruning on cell id)."""
+    only probed cells are read (partition pruning on cell id).
+
+    *centroids*: pass :func:`kmeans_centroids` output for a trained
+    quantizer; default is the seedless lattice (oracle-reproducible)."""
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", ivf_cells(F.col("cv"), dim, 1)[0])
+    ).withColumn("cell", ivf_cells(F.col("cv"), dim, 1, centroids=centroids)[0])
     p = probes.select(
         F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
     ).withColumn(
-        "cell", F.explode(F.array(*ivf_cells(F.col("pv"), dim, nprobe)))
+        "cell",
+        F.explode(
+            F.array(*ivf_cells(F.col("pv"), dim, nprobe, centroids=centroids))
+        ),
     )
     scored = c.join(F.broadcast(p), "cell").select(
         probe_id_col,
