@@ -161,6 +161,106 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     assert ids == [1.0, 2.0, 3.0]
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Native session windows on a STREAM with watermark: sessions
+    finalize (append mode) once the watermark passes; the same operator
+    the batch events_session_window query proves against the oracle."""
+    # two sessions for id=1 separated by > 10s gap; event-times as epoch
+    batch1 = [probe_line(1, 100.0, 1), probe_line(1, 101.0, 2)]
+    batch2 = [probe_line(1, 200.0, 3), probe_line(1, 999.0, 99)]
+    d = tmp_path / "in_sw"
+    d.mkdir()
+    (d / "b0.txt").write_text("\n".join(batch1) + "\n")
+    (d / "b1.txt").write_text("\n".join(batch2) + "\n")
+    import os
+
+    os.utime(d / "b0.txt", (1, 1))  # deterministic trigger order (mtime)
+    os.utime(d / "b1.txt", (2, 2))
+    lines = SRC.file_lines(spark, str(d), max_files_per_trigger=1)
+    parsed = P.parse_stream(lines, PROBE)
+    # rh carries the event time in these synthetic lines
+    sessions = (
+        parsed.withColumn("_evt", F.timestamp_seconds(F.col("rh")))
+        .withWatermark("_evt", "10 seconds")
+        # streaming session windows require a grouping key next to the
+        # window (global session agg is unsupported) — group per level
+        .groupBy("level", F.session_window("_evt", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("s"), "n")
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["s"]: r["n"] for r in spark.sql("SELECT * FROM sess_mem").collect()}
+    # sessions at 100-101 (2 events) and 200 (1 event) are finalized by
+    # the 999 watermark push; the 999 session itself is still open
+    assert rows == {100: 2, 200: 1}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (clicks x purchases per user within 5s):
+    both sides watermarked, the range condition bounds the join state —
+    the streaming twin of the batch range join."""
+    clicks = [probe_line(1, 10.0, 1), probe_line(1, 20.0, 2)]
+    buys = [probe_line(1, 12.0, 51), probe_line(1, 40.0, 52)]
+    dc, db = tmp_path / "in_c", tmp_path / "in_b"
+    dc.mkdir(), db.mkdir()
+    (dc / "c.txt").write_text("\n".join(clicks) + "\n")
+    (db / "b.txt").write_text("\n".join(buys) + "\n")
+    parse = lambda path: P.parse_stream(
+        SRC.file_lines(spark, str(path)), PROBE
+    ).withColumn("_evt", F.timestamp_seconds(F.col("rh")))
+    c = (
+        parse(dc)
+        .select(
+            F.col("level").alias("c_level"),
+            F.col("id").alias("click_id"),
+            F.col("_evt").alias("c_evt"),
+        )
+        .withWatermark("c_evt", "1 minute")
+    )
+    b = (
+        parse(db)
+        .select(
+            F.col("level").alias("b_level"),
+            F.col("id").alias("buy_id"),
+            F.col("_evt").alias("b_evt"),
+        )
+        .withWatermark("b_evt", "1 minute")
+    )
+    joined = c.join(
+        b,
+        (F.col("c_level") == F.col("b_level"))
+        & (F.col("b_evt") >= F.col("c_evt"))
+        & (F.col("b_evt") < F.col("c_evt") + F.expr("INTERVAL 5 SECONDS")),
+    ).select("click_id", "buy_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["click_id"], r["buy_id"])
+        for r in spark.sql("SELECT * FROM ssj_mem").collect()
+    )
+    # click@10 matches buy@12 (within 5s); click@20 matches nothing
+    assert got == [(1.0, 51.0)]
+
+
 def test_metrics_listener_heartbeat(spark, tmp_path):
     """A24: the heartbeat listener records per-batch progress (rows/s,
     batch duration) for an ingest query wired through run_ingest."""
