@@ -106,6 +106,34 @@ def main() -> int:
     noop(wsrc)
     wide_one = forced(wsrc, wide_prof, 1)  # packed (also the dispatch choice)
     wide_npass = forced(wsrc, wide_prof, 99)
+    # Dedup at scale: MinHash+LSH candidate pairs over a replicated
+    # documents corpus. Each replica's text is vowel-rotated by replica
+    # index mod 5, so replicas sharing a rotation are exact duplicates
+    # (controlled dup groups) and the rest don't collide — a realistic
+    # duplicate density instead of an all-pairs explosion.
+    from tower_parse_spark.operators.dedup import minhash_lsh_pairs
+    from tower_parse_spark.session import load_table
+
+    reps = int(os.environ.get("SMOKE_DEDUP_REPS", "100"))
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    vowels = "aeiou"
+    big = docs
+    for r in range(1, reps):
+        rot = vowels[r % 5 :] + vowels[: r % 5]
+        big = big.unionAll(
+            docs.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                F.translate(F.col("text"), vowels, rot).alias("text"),
+            )
+        )
+    big = big.localCheckpoint(eager=True)
+    n_docs = big.count()
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(big, hash_fn="fast").count()
+    dedup_sec = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -120,6 +148,10 @@ def main() -> int:
                 "wide16_one_pass_sec": wide_one,
                 "wide16_n_pass_sec": wide_npass,
                 "wide16_speedup": round(wide_npass / wide_one, 2),
+                "dedup_docs": n_docs,
+                "dedup_pairs": n_pairs,
+                "dedup_lsh_sec": dedup_sec,
+                "dedup_docs_per_sec": int(n_docs / dedup_sec),
             }
         )
     )

@@ -103,6 +103,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -122,7 +123,7 @@ def minhash_lsh_pairs(
     # DataFrame is GC'd, so repeated calls in a long-lived session don't
     # accumulate pinned executor storage.
     sig = (
-        with_minhash(df, text_col, bands * rows)
+        with_minhash(df, text_col, bands * rows, hash_fn)
         .select(id_col, "mh")
         .localCheckpoint(eager=True)
     )
