@@ -25,6 +25,11 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--echo", metavar="HOST:PORT", help="dump raw lines")
     p.add_argument("--out", default="./data", help="output base directory")
     p.add_argument("--log-level", default="WARN")
+    p.add_argument(
+        "--metrics",
+        action="store_true",
+        help="log per-batch heartbeat metrics (rows/s, batch ms) — A24",
+    )
     return p
 
 
@@ -58,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
 
         prof = DeviceProfile.from_ini(args.config)
         lines = SRC.socket_lines(spark, prof.host, prof.port)
-        q = P.run_ingest(spark, prof, lines, args.out)
+        q = P.run_ingest(spark, prof, lines, args.out, metrics=args.metrics)
     try:
         q.awaitTermination()
     except KeyboardInterrupt:

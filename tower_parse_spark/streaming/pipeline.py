@@ -114,9 +114,13 @@ def run_ingest(
     *metrics=True* attaches the A24 heartbeat listener
     (streaming/metrics.py) to the session bus before starting."""
     if metrics:
+        import sys
+
         from tower_parse_spark.streaming.metrics import attach_metrics
 
-        attach_metrics(spark)
+        attach_metrics(
+            spark, emit=lambda rec: print(f"[heartbeat] {rec}", file=sys.stderr)
+        )
     packed = packed_stream(lines, profile)
     group = profile.group.var if profile.group else "_g"
     return write_packs(
