@@ -244,8 +244,13 @@ def ngram_jaccard_pairs(
     toks = tokens(F.col(text_col))
     sh = F.array_distinct(shingles(toks, n))
     prefix = F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens)))
-    base = df.select(
-        F.col(id_col), prefix.alias("block_key"), sh.alias("sh")
+    # materialize the (id, block, shingles) relation once: both join legs
+    # would otherwise recompute tokenization+shingling per leg (the same
+    # "persist the signatures" step as the LSH pipeline)
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), prefix.alias("block_key"), sh.alias("sh"))
+        .localCheckpoint(eager=True)
     )
     left = base.select(
         "block_key", F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
