@@ -57,3 +57,61 @@ def test_asof_keeps_all_left_columns(sides):
     left, right = sides
     cols = asof_join(left, right, on="k", left_time="t", right_time="rt").columns
     assert cols == ["eid", "k", "t", "payload"]
+
+
+def test_asof_forward(sides):
+    """Forward direction: earliest right row at or after the left time."""
+    left, right = sides
+    out = {
+        r["eid"]: r["payload"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            direction="forward",
+        ).collect()
+    }
+    # eid1 t=10 -> rt=10 (equal included); eid2 t=20 -> nothing after;
+    # eid3 t=15 -> rt=99; eid4 'c' -> no right rows at all
+    assert out == {1: 101, 2: None, 3: 200, 4: None}
+
+
+def test_asof_tolerance(sides):
+    """Bounded staleness: matches further than the tolerance null out."""
+    left, right = sides
+    out = {
+        r["eid"]: r["payload"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            tolerance=1.5,
+        ).collect()
+    }
+    # eid1: rt=10 gap 0 ok; eid2: rt=19 gap 1 ok; eid3: rt none before
+    assert out == {1: 101, 2: 102, 3: None, 4: None}
+    strict = {
+        r["eid"]: r["payload"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            tolerance=0.5,
+        ).collect()
+    }
+    assert strict == {1: 101, 2: None, 3: None, 4: None}
+
+
+def test_asof_rejects_bad_direction(sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            direction="nearest",
+        )

@@ -35,14 +35,25 @@ def asof_join(
     right_time: str,
     right_payload: list[str] | None = None,
     right_tiebreak: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: latest right row with right_time <= left_time.
+    """Left as-of join: the nearest right row per key and direction.
+
+    ``direction="backward"`` (default): latest right row with
+    right_time <= left_time — the same scan, ordered descending, yields
+    ``"forward"``: earliest right row with right_time >= left_time
+    (pandas ``merge_asof`` parity). *tolerance* (same units as the time
+    columns) nulls the payload when the matched row is further than
+    that from the left row — bounded-staleness semantics.
 
     Returns all left columns plus *right_payload* columns (NULL when no
-    right row precedes the left row). *right_tiebreak* makes the choice
-    deterministic when several right rows share a timestamp (the greatest
-    tiebreak tuple wins).
+    right row qualifies). *right_tiebreak* makes the choice
+    deterministic when several right rows share a timestamp (the
+    greatest tiebreak tuple wins).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = right_payload or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -80,7 +91,15 @@ def asof_join(
     # left rows' NULL tiebreak sorts first, but _tag already puts every
     # right row before the left rows of the same instant, so the NULLs
     # never reorder left vs right — _tb only disambiguates right-vs-right.
-    order = ["_t", "_tag"] + (["_tb"] if tiebreak else [])
+    # Forward direction = the identical scan over time DESCENDING: the
+    # last right row seen before a left row is then the nearest future
+    # one (>=, equal times still included via _tag ordering).
+    t_order = (
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    )
+    order = [t_order, F.col("_tag").asc()] + (
+        [F.col("_tb").asc()] if tiebreak else []
+    )
     w = (
         W.partitionBy("_k")
         .orderBy(*order)
@@ -88,7 +107,26 @@ def asof_join(
     )
     carried = u.withColumn(
         "_rlast", F.last("_rpay", ignorenulls=True).over(w)
-    ).filter(F.col("_tag") == 1)
+    )
+    if tolerance is not None:
+        # carry the matched row's time alongside and null the payload
+        # when it lies further than the tolerance from the left time
+        carried = carried.withColumn(
+            "_rt",
+            F.last(
+                F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
+            ).over(w),
+        )
+        gap = (
+            F.col("_t") - F.col("_rt")
+            if direction == "backward"
+            else F.col("_rt") - F.col("_t")
+        )
+        carried = carried.withColumn(
+            "_rlast",
+            F.when(gap <= F.lit(float(tolerance)), F.col("_rlast")),
+        )
+    carried = carried.filter(F.col("_tag") == 1)
     out_cols = [F.col("_lrow")[c].alias(c) for c in left.columns] + [
         F.col("_rlast")[c].alias(c) for c in payload
     ]
