@@ -161,6 +161,31 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     assert ids == [1.0, 2.0, 3.0]
 
 
+def test_dead_letter_stream(spark, tmp_path):
+    """A12 streaming: corrupt lines land in the quarantine parquet with
+    their raw text; clean lines flow to packs — nothing silently drops."""
+    lines = [
+        probe_line(1, 1.0, 1),
+        "GARBAGE ###",
+        probe_line(1, 2.0, 2),
+        "torn",
+    ]
+    src = write_line_files(tmp_path, [lines])
+    stream = SRC.file_lines(spark, src)
+    errors_dir = str(tmp_path / "errors")
+    q = P.write_dead_letters(
+        P.dead_letter_stream(stream, PROBE),
+        errors_dir,
+        str(tmp_path / "ckpt_dl"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    bad = sorted(r["line"] for r in spark.read.parquet(errors_dir).collect())
+    assert bad == ["GARBAGE ###", "torn"]
+
+
 def test_streaming_session_window(spark, tmp_path):
     """Native session windows on a STREAM with watermark: sessions
     finalize (append mode) once the watermark passes; the same operator

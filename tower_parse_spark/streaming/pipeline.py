@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tower_parse_spark.functions.extraction import extract_lines
@@ -96,6 +97,38 @@ def echo(lines: DataFrame, query_name: str = "echo") -> StreamingQuery:
         lines.writeStream.format("console")
         .option("truncate", "false")
         .queryName(query_name)
+        .start()
+    )
+
+
+def dead_letter_stream(
+    lines: DataFrame, profile: DeviceProfile, line_col: str = "line"
+) -> DataFrame:
+    """A12 streaming form: the corrupt-line side channel — raw line +
+    receive time for every record no regex branch matches (the records
+    the reference silently skips, readport.py:490-494).
+
+    Run as a SECOND query over a *replayable* source (file/kafka); a
+    socket source is not replayable, so there the corrupt stream must be
+    derived in-batch instead (or accept the reference's drop semantics).
+    """
+    parsed = extract_lines(
+        lines, profile, keep_corrupt=True, extra_cols=[line_col]
+    )
+    return parsed.filter(F.col("_corrupt")).select("time", line_col)
+
+
+def write_dead_letters(
+    corrupt: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Append the corrupt-line stream to its own parquet dir — a
+    replayable quarantine instead of a silent drop."""
+    return (
+        corrupt.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("dead_letter")
         .start()
     )
 
