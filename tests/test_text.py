@@ -87,3 +87,11 @@ def test_quality_features_known_values(spark):
     assert row["np"] == 1
     assert row["sr"] == pytest.approx(1 / 3)
     assert row["al"] == pytest.approx((3 + 3 + 3) / 3)
+
+
+def test_bpe_pretokens(spark):
+    """GPT-2-shaped pre-tokenization: contractions split, space glued to
+    the following word, digit runs separate."""
+    df = spark.createDataFrame([("It's over 9000 tokens!",)], "text string")
+    row = df.select(T.bpe_pretokens(F.col("text")).alias("t")).collect()[0]
+    assert row["t"] == ["it", "'s", " over", " 9000", " tokens", "!"]

@@ -45,6 +45,20 @@ def tokens(text: Column) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible
+#: subset (no lookahead) so the DuckDB twin matches byte-for-byte:
+#: contractions | space?+letters | space?+digits | space?+other | spaces.
+#: Both Java regex and RE2 (DuckDB) resolve alternation leftmost-first.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the unit LLM token budgets count):
+    regexp_extract_all with the GPT-2-shaped pattern over lowercased
+    text. Twin: regexp_extract_all(lower(x), <same pattern>)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0)
+
+
 def token_hash(tok: Column) -> Column:
     """Portable 60-bit token hash: first 15 hex chars of md5 as bigint.
 

@@ -532,16 +532,24 @@ ORDER BY doc_id
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level token statistics per source (the whitespace+BPE-ish
-    token-counting pass every training pipeline runs)."""
+    """Corpus-level token statistics per source: whitespace tokens AND
+    BPE-ish pre-tokens (the unit LLM token budgets count) — the
+    token-counting pass every training pipeline runs."""
     docs = load_table(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
+    bpe = T.bpe_pretokens(F.col("text"))
     return (
-        docs.select("source", F.size(toks).alias("n_tokens"), F.col("n_chars"))
+        docs.select(
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.size(bpe).alias("n_bpe"),
+            F.col("n_chars"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             # integer sum / count: exact on both engines (avg() of ints may
             # take a float partial-sum path and land on round boundaries)
             pround(
@@ -555,11 +563,17 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_TOKEN_STATS_ORACLE = f"""
 WITH tok AS (
-  SELECT source, len({SQL_TOKS}) AS n_tokens, n_chars FROM documents
+  SELECT source,
+         len({SQL_TOKS}) AS n_tokens,
+         len(regexp_extract_all(lower(text),
+             '{T.BPE_PRETOKEN_RE.replace(chr(39), chr(39) * 2)}')) AS n_bpe,
+         n_chars
+  FROM documents
 )
 SELECT source,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
        {sql_pround("sum(n_tokens) / CAST(count(*) AS DOUBLE)", 4)} AS avg_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM tok
