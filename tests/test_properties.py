@@ -101,6 +101,69 @@ def test_range_join_matches_naive(spark, points, intervals, bin_width):
     assert got == want
 
 
+@given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.sampled_from([None, 0.0, 5.0]),
+)
+@settings(**SETTINGS)
+def test_asof_matches_reference(spark, lefts, rights, direction, tolerance):
+    """asof_join ≡ a pure-Python nearest-row reference for random keys,
+    times, both directions, and tolerance bounds (payload = unique rid
+    so ties resolve via the greatest-tiebreak rule)."""
+    from tower_parse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, float(t)) for i, (k, t) in enumerate(lefts)],
+        "lid long, k string, t double",
+    )
+    right = spark.createDataFrame(
+        [(j, k, float(rt)) for j, (k, rt) in enumerate(rights)],
+        "rid long, k string, rt double",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            left_time="t",
+            right_time="rt",
+            right_payload=["rid"],
+            right_tiebreak=["rid"],
+            direction=direction,
+            tolerance=tolerance,
+        ).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [
+            (rt, j)
+            for j, (rk, rt) in enumerate(rights)
+            if rk == k
+            and (rt <= t if direction == "backward" else rt >= t)
+            and (tolerance is None or abs(rt - t) <= tolerance)
+        ]
+        if direction == "backward":
+            want[i] = max(cands)[1] if cands else None  # latest, max rid
+        else:
+            # earliest time; among equal times the greatest rid wins
+            best_t = min(rt for rt, _ in cands) if cands else None
+            want[i] = (
+                max(j for rt, j in cands if rt == best_t) if cands else None
+            )
+    assert got == want
+
+
 @given(words=st.lists(st.sampled_from(["the", "cat", "und", "la", "x9"]), max_size=12))
 @settings(**SETTINGS)
 def test_fingerprint_deterministic(spark, words):
