@@ -24,7 +24,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def all_confs():
-    out = [os.path.join(REF, "extras", "debug.conf")]
+    out = [
+        os.path.join(REF, "extras", "debug.conf"),
+        os.path.join(REF, "extras", "readport_gill.conf"),
+    ]
     cfg_dir = os.path.join(REF, "configs")
     out += sorted(
         os.path.join(cfg_dir, f)
@@ -58,3 +61,22 @@ def test_debug_conf_parses_generator_lines(spark):
     assert by_seq[3]["id"] == 3.0
     # group key typed per config (level:int)
     assert dict(out.dtypes)["level"] == "int"
+
+
+def test_gill_conf_parses_gill_frame(spark):
+    """extras/readport_gill.conf against the real Gill frame from the
+    reference's parser test (tests/test_parser.py:21), decoded from its
+    STX/ETX-framed bytes upstream (SURVEY §7.4 binary path)."""
+    prof = DeviceProfile.from_ini(
+        os.path.join(REF, "extras", "readport_gill.conf")
+    )
+    frame = b"\x02Q,+000.079,-000.102,+000.095,M,+014.94,0000001,\x030F\r\n"
+    df = spark.createDataFrame(
+        [(1, 100.0, bytearray(frame))], "seq long, ts double, payload binary"
+    )
+    lines = df.withColumn("line", F.decode(F.col("payload"), "UTF-8"))
+    row = extract_lines(lines, prof, extra_cols=["seq"]).collect()[0]
+    assert (row["u"], row["v"], row["w"], row["temp"]) == (
+        0.079, -0.102, 0.095, 14.94,
+    )
+    assert prof.timeout == 120.0 and prof.pack_length == 12000
