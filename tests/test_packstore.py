@@ -28,8 +28,10 @@ def test_read_packs_npz_shape(spark, tmp_path):
     assert len(out) == 4  # 2 groups x 2 packs
     r = {(row["level"], row["pack_id"]): row for row in out}[(1, 0)]
     assert r["n_rows"] == 3
-    # vectors come back in pack_seq (arrival) order, npz-style
+    # vectors come back in pack_seq (arrival) order, npz-style —
+    # including the full time vector (readport.py:392-405)
     assert r["rh"] == [100.5, 101.5, 102.5]
+    assert r["time"] == [100.0, 101.0, 102.0]
     assert (r["t_min"], r["t_max"]) == (100.0, 102.0)
 
 

@@ -37,6 +37,9 @@ def read_packs(
         for c in df.columns
         if c not in (group_col, "pack_id", "pack_seq", "time")
     ]
+    # the reference's npz stores the full time vector too
+    # (readport.py:392-405) — reconstruct it alongside the values
+    vals = ["time"] + [c for c in vals if c != "time"]
     aggs = [
         F.array_sort(
             F.collect_list(F.struct("pack_seq", c))
