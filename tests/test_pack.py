@@ -97,6 +97,43 @@ def test_scalable_explicit_num_buckets_1(spark):
     ]
 
 
+def test_scalable_grouped_matches_window_form(spark):
+    """Grouped scalable packs ≡ the per-group window form — the fix for
+    one huge group serializing through a single window task."""
+    rows = [
+        (i, float((i * 13) % 211) + i * 0.001, i % 3 if i % 10 else None)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, time double, level int"
+    ).repartition(7)
+    a = with_pack_id(df, 25, "level", ["time", "event_id"]).select(
+        "event_id", "pack_id", "pack_seq"
+    )
+    b = with_pack_id_scalable(
+        df,
+        25,
+        order_col="time",
+        tiebreak_col="event_id",
+        num_buckets=5,
+        group_col="level",
+    ).select("event_id", "pack_id", "pack_seq")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_scalable_grouped_no_single_partition(spark):
+    rows = [(i, float(i), 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_id long, time double, level int")
+    out = with_pack_id_scalable(
+        df, 7, order_col="time", tiebreak_col="event_id",
+        num_buckets=4, group_col="level",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    got = sorted((r["event_id"], r["pack_id"]) for r in out.collect())
+    assert got[:8] == [(i, 0) for i in range(7)] + [(7, 1)]
+
+
 def test_ungrouped_auto_dispatch_no_single_partition_window(spark):
     """Ungrouped with_pack_id must not build a single-partition global
     window: the auto-dispatched plan matches the window form's output and

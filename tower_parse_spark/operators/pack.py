@@ -85,8 +85,18 @@ def with_pack_id_scalable(
     tiebreak_col: str | None = None,
     num_buckets: int | None = None,
     reuse: str = "checkpoint",
+    group_col: str | None = None,
 ) -> DataFrame:
-    """Ungrouped pack assignment without a single-partition window.
+    """Pack assignment without a single-partition window.
+
+    With *group_col*, the same three-pass value-bucketed indexing runs
+    PER GROUP (bounds, counts, and offsets keyed by group) — the fix for
+    a skewed group that would serialize through one window task in
+    :func:`with_pack_id` (the reference's real deployments have a
+    handful of `level` groups carrying 20 Hz each). Driver state is
+    O(groups x buckets) bounds/offsets — fine for realistic group
+    cardinalities; for millions of groups use the plain window form,
+    which is already parallel at that cardinality.
 
     Value-based three-pass global indexing (never trusts physical
     partition ids, which are not stable across jobs):
@@ -120,41 +130,94 @@ def with_pack_id_scalable(
         [F.col(tiebreak_col)] if tiebreak_col else []
     )
     parts = num_buckets or spark.sparkContext.defaultParallelism
-    # Pass 1: boundary literals (deterministic once collected). With a
-    # single bucket there are no boundaries — skip the pass entirely
-    # (percentile_approx rejects an empty percentage array).
+    gcols = [group_col] if group_col else []
+
+    def _bucket_for(bounds: list) -> F.Column:
+        if not bounds:
+            return F.lit(0)
+        barr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + (F.col(order_col) >= b).cast("int"),
+        )
+
+    # NULL-safe group key for dict/map lookups (a corrupt group value is
+    # its own group, same as the window form's PARTITION BY semantics)
+    _NULL = "\x00null"
+    gkey_expr = (
+        F.coalesce(F.col(group_col).cast("string"), F.lit(_NULL))
+        if group_col
+        else None
+    )
+
+    # Pass 1: boundary literals (deterministic once collected), per group
+    # when grouped. With a single bucket there are no boundaries — skip
+    # the pass (percentile_approx rejects an empty percentage array).
     if parts < 2:
-        bounds = []
+        bounds_by_g: dict = {None: []}
+    elif group_col:
+        qs = [i / parts for i in range(1, parts)]
+        rows = (
+            df.groupBy(group_col)
+            .agg(F.percentile_approx(order_col, qs, 10000).alias("b"))
+            .collect()
+        )
+        bounds_by_g = {
+            (_NULL if r[group_col] is None else str(r[group_col])): sorted(
+                set(r["b"] or [])
+            )
+            for r in rows
+        }
     else:
         qs = [i / parts for i in range(1, parts)]
-        bounds = (
+        b = (
             df.select(
                 F.percentile_approx(order_col, qs, 10000).alias("b")
             ).collect()[0]["b"]
             or []
         )
-        bounds = sorted(set(bounds))
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + (F.col(order_col) >= b).cast("int"),
-        )
-    else:
+        bounds_by_g = {None: sorted(set(b))}
+
+    if group_col:
         bucket = F.lit(0)
+        for g, bs in bounds_by_g.items():
+            bucket = F.when(gkey_expr == F.lit(g), _bucket_for(bs)).otherwise(
+                bucket
+            )
+    else:
+        bucket = _bucket_for(bounds_by_g[None])
     bucketed = df.withColumn("_bkt", bucket)
-    # Pass 2: per-bucket counts -> cumulative offsets (tiny).
-    counts = bucketed.groupBy("_bkt").count().orderBy("_bkt").collect()
-    offsets: dict[int, int] = {}
-    running = 0
-    for row in counts:
-        offsets[row["_bkt"]] = running
-        running += row["count"]
-    offset_col = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    # Pass 3: local row number within the value-bucket + frozen offset.
-    w_local = W.partitionBy("_bkt").orderBy(*order_exprs)
-    global_row = offset_col[F.col("_bkt")] + F.row_number().over(w_local) - 1
+
+    # Pass 2: per-(group, bucket) counts -> cumulative offsets (tiny).
+    counts = bucketed.groupBy(*gcols, "_bkt").count().collect()
+    if group_col:
+        by_group: dict[str, list] = {}
+        for row in counts:
+            g = _NULL if row[group_col] is None else str(row[group_col])
+            by_group.setdefault(g, []).append((row["_bkt"], row["count"]))
+        offset_entries: list = []
+        for g, items in by_group.items():
+            running = 0
+            for bkt, n in sorted(items):
+                offset_entries += [f"{g}\x1f{bkt}", running]
+                running += n
+        offset_col = F.create_map(*[F.lit(x) for x in offset_entries])
+        okey = F.concat_ws("\x1f", gkey_expr, F.col("_bkt").cast("string"))
+    else:
+        offsets: dict[int, int] = {}
+        running = 0
+        for row in sorted(counts, key=lambda r: r["_bkt"]):
+            offsets[row["_bkt"]] = running
+            running += row["count"]
+        offset_col = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        okey = F.col("_bkt")
+
+    # Pass 3: local row number within the (group, bucket) + frozen offset.
+    w_local = W.partitionBy(*gcols, "_bkt").orderBy(*order_exprs)
+    global_row = offset_col[okey] + F.row_number().over(w_local) - 1
     return (
         bucketed.withColumn("_grow", global_row.cast("long"))
         .withColumn("pack_id", F.floor(F.col("_grow") / pack_length))
