@@ -54,6 +54,9 @@ HEADLINE = [
     "dedup_cluster_resolution",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "decontaminate_ngram",
+    "train_val_split",
+    "market_share_by_year",
     "text_quality",
     "text_token_stats",
     "text_fingerprint",

@@ -1,0 +1,102 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Train/validation/test assignment at 100 TB must be a pure function of
+the row, never of the partitioning: ``df.sample()``/``rand()`` change
+under retries, repartitioning, and re-runs, which silently leaks
+validation rows into training between pipeline versions. The standard
+fix (public practice in every large corpus pipeline) is hash-bucketing:
+
+    bucket(id) = md5(salt || id) mod B            -- stable, uniform
+    split     = first interval of cumulative weights containing bucket
+
+Everything here is a row-local JVM expression (md5 + conv + pmod) — no
+shuffle, no UDF, no driver involvement — and md5 makes it bit-identical
+in the DuckDB oracle, in any other engine, and across Spark versions
+(engine-native hash seeds differ; md5 does not).
+
+The same bucket column drives per-stratum downsampling ("domain
+mixing"): keep a row iff bucket < rate(stratum) * B — deterministic,
+join-free, and exactly reproducible for audits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space; 10_000 gives 0.01% rate resolution while keeping the
+#: md5-prefix -> bigint conversion exact (15 hex chars < 2^60).
+N_BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, salt: str = "split") -> Column:
+    """Uniform deterministic bucket in [0, N_BUCKETS): first 15 hex chars
+    of md5(salt || '|' || key) as bigint, mod N_BUCKETS.
+
+    Twin: CAST('0x' || substr(md5('salt|' || key), 1, 15) AS BIGINT)
+    % N_BUCKETS. The salt decorrelates independent sampling decisions
+    made on the same key (split vs downsample vs sharding).
+    """
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_BUCKETS
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Append ``split``: deterministic assignment by cumulative weight
+    intervals over the hash bucket. Weights must sum to 1 (±1e-9);
+    interval edges are exact integers so assignment is engine-portable.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), salt)
+    expr = None
+    edge = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        edge += weights[name]
+        cut = int(round(edge * N_BUCKETS))
+        cond = bucket < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))
+
+
+def stratified_downsample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling ("domain mixing").
+
+    Keeps a row iff its (salted) hash bucket falls below
+    ``rate(stratum) * N_BUCKETS`` — an exact, reproducible Bernoulli
+    sample per domain with zero shuffles (pure filter; at scale it
+    rides the parquet scan). Unknown strata use *default_rate*.
+    """
+    bucket = hash_bucket(F.col(id_col), salt)
+    rate = None
+    for name, r in sorted(rates.items()):
+        cut = F.lit(int(round(r * N_BUCKETS)))
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, cut) if rate is None else rate.when(cond, cut)
+    cut_default = F.lit(int(round(default_rate * N_BUCKETS)))
+    rate = cut_default if rate is None else rate.otherwise(cut_default)
+    return df.filter(bucket < rate)
+
+
+def sql_hash_bucket(key_expr: str, salt: str = "split") -> str:
+    """DuckDB twin of :func:`hash_bucket` (key cast to VARCHAR first)."""
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 15) "
+        f"AS BIGINT) % {N_BUCKETS}"
+    )

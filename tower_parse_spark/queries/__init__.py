@@ -40,6 +40,12 @@ _DEFER_TO_TAIL = [
     "customers_without_urgent_orders",  # anti join — wealthy_inactive covers it
     "running_revenue_by_nation",  # window frames — top_customers_per_nation stays
     "q5_local_supplier",  # broadcast snowflake join — q3 is the same shape
+    "orders_date_functions",  # date/time — events_tumbling_window stays
+    "promo_revenue_pct",  # conditional ratio — market_share_by_year stays
+    "dedup_simhash",  # dedup family — exact/minhash/jaccard/cluster stay
+    "dedup_embedding_cosine",  # dedup family — same
+    "ann_ivf_topk",  # similarity — cosine/lsh stay
+    "text_langid",  # text family — quality/token_stats/fingerprint stay
 ]
 
 

@@ -22,8 +22,10 @@ from pyspark.sql import functions as F
 from tower_parse_spark.functions import text as T
 from tower_parse_spark.functions.rounding import pround, sql_pround
 from tower_parse_spark.operators import components as C
+from tower_parse_spark.operators import decontam as DC
 from tower_parse_spark.operators import dedup as D
 from tower_parse_spark.operators import multimodal as M
+from tower_parse_spark.operators import sampling as SP
 from tower_parse_spark.operators import similarity as S
 from tower_parse_spark.queries import Query
 from tower_parse_spark.session import load_table
@@ -758,6 +760,142 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus assembly: decontamination, splitting, domain mixing
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    3-gram hash with a held-out set (docs with doc_id % 25 == 0 play the
+    benchmark). n=3 because the synthetic vocabulary is tiny
+    (operators/decontam.py::DECONTAM_N documents the production default
+    of 8); the plan shape — broadcast benchmark gram set, corpus never
+    shuffled — is the 100 TB design under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    return DC.flag_contaminated(corpus, bench, n=3).orderBy("doc_id")
+
+
+DECONTAM_ORACLE = f"""
+WITH bench AS (
+  SELECT text FROM documents WHERE doc_id % 25 = 0
+), corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+), btok AS (
+  SELECT {SQL_TOKS} AS toks FROM bench
+), bth AS (
+  SELECT {SQL_TOKEN_HASHES_MODP} AS th FROM btok
+), bgrams AS (
+  SELECT DISTINCT unnest({SQL_SHINGLE_HASHES_COMBINED}) AS g FROM bth
+), ctok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM corp
+), cth AS (
+  SELECT doc_id, {SQL_TOKEN_HASHES_MODP} AS th FROM ctok
+), cgrams AS (
+  SELECT doc_id, unnest({SQL_SHINGLE_HASHES_COMBINED}) AS g FROM cth
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM cgrams JOIN bgrams USING (g)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+
+
+#: train/val/test weights for the split query (cumulative bucket edges
+#: 8000/9000 of sampling.N_BUCKETS — exact integers on both engines)
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment, reported as
+    per-(source, split) counts — the reproducible-split primitive every
+    training pipeline needs (operators/sampling.py::with_split). Pure
+    row-local md5 arithmetic: no shuffle beyond the final small agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        SP.with_split(docs, weights=_SPLIT_WEIGHTS)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+TRAIN_VAL_SPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {SP.sql_hash_bucket("doc_id", "split")} AS bucket
+  FROM documents
+), s AS (
+  SELECT source, n_chars,
+         CASE WHEN bucket < 8000 THEN 'train'
+              WHEN bucket < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT source, split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s
+GROUP BY source, split
+ORDER BY source, split
+"""
+
+
+#: per-source keep rates for the domain-mixing query; unlisted sources
+#: keep everything (default_rate=1.0)
+_MIX_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8}
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: deterministic per-source Bernoulli downsampling via
+    salted hash buckets (operators/sampling.py::stratified_downsample) —
+    a pure filter that rides the parquet scan; reported as per-source
+    kept counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = SP.stratified_downsample(docs, _MIX_RATES)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mix_rate_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{name}' THEN {int(round(r * SP.N_BUCKETS))}"
+        for name, r in sorted(_MIX_RATES.items())
+    )
+    return f"CASE {arms} ELSE {SP.N_BUCKETS} END"
+
+
+DOMAIN_MIX_ORACLE = f"""
+WITH b AS (
+  SELECT source, n_chars,
+         {SP.sql_hash_bucket("doc_id", "mix")} AS bucket
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM b
+WHERE bucket < {_mix_rate_sql()}
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
     "dedup_minhash_lsh": Query(
@@ -798,5 +936,16 @@ QUERIES = {
         training_data_pipeline,
         TRAINING_PIPELINE_ORACLE,
         "quality filter -> exact dedup -> corpus stats, composed",
+    ),
+    "decontaminate_ngram": Query(
+        decontaminate_ngram,
+        DECONTAM_ORACLE,
+        "benchmark n-gram decontamination",
+    ),
+    "train_val_split": Query(
+        train_val_split, TRAIN_VAL_SPLIT_ORACLE, "deterministic hash split"
+    ),
+    "domain_mix_sample": Query(
+        domain_mix_sample, DOMAIN_MIX_ORACLE, "per-source deterministic downsample"
     ),
 }
