@@ -31,6 +31,7 @@ class Query:
 # query's category keeps a green sibling in the window, and each deferred
 # query itself has a green round-1 CORRECTNESS row (see COVERAGE.md).
 _DEFER_TO_TAIL = [
+    "events_sliding_window",  # event-time windows — tumbling stays; green r1 row
     "part_supplier_overlap",  # set ops — segment_set_ops stays
     "revenue_cube",  # grouping sets — revenue_rollup stays
     "order_gaps_quartiles",  # window funcs — top_customers/running_revenue stay

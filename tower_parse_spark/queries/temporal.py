@@ -416,6 +416,60 @@ ORDER BY event_type
 )
 
 
+def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: per-user event-type histogram as a map column
+    — construction (map_from_entries over sorted collected entries),
+    size, key lookup (element_at), membership (map_contains_key), keys
+    join, value fold (aggregate over map_values), and map_filter. The
+    map stays internal; every output column is scalar so the driver's
+    pandas canonicalizer can sort/hash rows (dict cells are unhashable,
+    same hazard as the r1 customer_order_arrays arrays)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    heavy = F.size(
+        F.map_filter("m", lambda k, v: v >= 12)
+    )
+    return m.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.element_at("m", "click").alias("n_clicks"),
+        F.map_contains_key("m", "error").alias("has_error"),
+        F.concat_ws("|", F.map_keys("m")).alias("types_joined"),
+        total.alias("n_total"),
+        heavy.alias("n_heavy_types"),
+    ).orderBy("user_id")
+
+
+EVENTS_MAP_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+), m AS (
+  SELECT user_id,
+         map_from_entries(list_sort(list(struct_pack(k := event_type,
+                                                     v := n)))) AS m
+  FROM counts GROUP BY user_id
+)
+SELECT user_id,
+       cardinality(m) AS n_types,
+       CAST(m['click'][1] AS BIGINT) AS n_clicks,
+       list_contains(map_keys(m), 'error') AS has_error,
+       array_to_string(map_keys(m), '|') AS types_joined,
+       CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS n_total,
+       len(list_filter(map_values(m), x -> x >= 12)) AS n_heavy_types
+FROM m ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling_window": Query(
         events_tumbling_window, EVENTS_TUMBLING_ORACLE, "tumbling time window"
@@ -441,6 +495,9 @@ QUERIES = {
     ),
     "events_json_props": Query(
         events_json_props, EVENTS_JSON_ORACLE, "JSON extraction"
+    ),
+    "events_map_functions": Query(
+        events_map_functions, EVENTS_MAP_ORACLE, "map function family"
     ),
     "events_value_distribution": Query(
         events_value_distribution,
