@@ -188,6 +188,16 @@ def quality_features(text: Column, toks: Column | None = None) -> dict[str, Colu
     }
 
 
+def chunk_starts(toks: Column, stride: int) -> Column:
+    """1-based start offsets of overlapping chunks: 1, 1+stride, ... while
+    <= len(toks); empty docs get no chunks. Twin:
+    range(1, len(toks)+1, stride) (exclusive stop)."""
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.sequence(F.lit(1), n, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def rolling_fingerprint(toks: Column) -> Column:
     """Order-sensitive polynomial rolling hash over token hashes:
     ``acc = (acc * 131 + h(tok)) mod P`` — a portable document fingerprint

@@ -31,7 +31,16 @@ class Query:
 # query's category keeps a green sibling in the window, and each deferred
 # query itself has a green round-1 CORRECTNESS row (see COVERAGE.md).
 _DEFER_TO_TAIL = [
+    # round-2 TPC-H gap sweep (relational_more.py) — shapes covered in the
+    # window by q1/q3/market_share/min_cost/wealthy_inactive siblings
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q21_blame_suppliers",
     "events_sliding_window",  # event-time windows — tumbling stays; green r1 row
+    "nation_volume_shipping",  # Q7 join shape — q3/market_share cover the category
+    "top_revenue_supplier",  # Q15 argmax — wealthy_inactive's threshold covers it
     "part_supplier_overlap",  # set ops — segment_set_ops stays
     "revenue_cube",  # grouping sets — revenue_rollup stays
     "order_gaps_quartiles",  # window funcs — top_customers/running_revenue stay
@@ -57,12 +66,21 @@ def registry() -> dict[str, Query]:
         llm,
         relational,
         relational_ext,
+        relational_more,
         streaming_q,
         temporal,
     )
 
     out: dict[str, Query] = {}
-    for mod in (relational, relational_ext, ingest, llm, streaming_q, temporal):
+    for mod in (
+        relational,
+        relational_ext,
+        relational_more,
+        ingest,
+        llm,
+        streaming_q,
+        temporal,
+    ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

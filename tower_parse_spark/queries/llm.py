@@ -896,6 +896,143 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# PII redaction + chunking
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic synthetic PII appended (the corpus is
+    PII-free word salad, so both engines inject identical emails/phones/
+    IPs derived from doc_id — the redaction regexes then do real work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 == 0,
+        F.concat(F.lit(" contact user"), d, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit(" call +1 555-010-"), F.lpad((d % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+_SQL_DOCS_WITH_PII = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555-010-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100)
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails/phones/IPs (functions/pii.py) —
+    3 regexp executions per row, all JVM-side, zero shuffle beyond the
+    final sort. The redacted text is fingerprinted (not returned whole)
+    to keep the verified output compact."""
+    from tower_parse_spark.functions import pii
+
+    aug = _docs_with_pii(spark, sf_dir)
+    counts = pii.pii_counts(F.col("text"))
+    red = pii.redact_pii(F.col("text"))
+    return aug.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.length(red).alias("n_redacted_chars"),
+        F.substring(F.md5(red), 1, 16).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from tower_parse_spark.functions import pii
+
+    cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in pii.sql_counts("text").items()
+    )
+    red = pii.sql_redact("text")
+    return f"""
+WITH aug AS ({_SQL_DOCS_WITH_PII})
+SELECT doc_id,
+       {cols},
+       length({red}) AS n_redacted_chars,
+       substr(md5({red}), 1, 16) AS redacted_fp
+FROM aug
+ORDER BY doc_id
+"""
+
+
+TEXT_PII_ORACLE = _pii_oracle()
+
+#: chunking geometry: 32-token chunks every 24 tokens (8-token overlap)
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (the context-window prep step):
+    stage tokens once, generate start offsets arithmetically, posexplode
+    to one row per chunk, fingerprint each chunk. Explode fan-out is
+    bounded (~n_tokens/stride per doc); no shuffle until the final sort —
+    at 100 TB this is a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    ).withColumn("starts", T.chunk_starts(F.col("toks"), CHUNK_STRIDE))
+    ch = staged.select(
+        "doc_id",
+        "toks",
+        F.posexplode("starts").alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+DOC_CHUNKING_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), ch AS (
+  SELECT doc_id, toks,
+         unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
+  FROM tok
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       len(toks[start : start + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+       substr(md5(array_to_string(toks[start : start + {CHUNK_TOKENS - 1}],
+                                  ' ')), 1, 16) AS chunk_fp
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
     "dedup_minhash_lsh": Query(
@@ -947,5 +1084,11 @@ QUERIES = {
     ),
     "domain_mix_sample": Query(
         domain_mix_sample, DOMAIN_MIX_ORACLE, "per-source deterministic downsample"
+    ),
+    "text_pii_redact": Query(
+        text_pii_redact, TEXT_PII_ORACLE, "PII detect + redact (email/phone/IP)"
+    ),
+    "doc_chunking": Query(
+        doc_chunking, DOC_CHUNKING_ORACLE, "overlapping token-window chunking"
     ),
 }
