@@ -1,0 +1,88 @@
+"""Fixture-shape-proofing: ``events.ts`` has shipped in different parquet
+physical types across test-data regenerations (TIMESTAMP(NANOS) in round 1,
+micros TIMESTAMP_NTZ in round 2). ``session.load_table`` must normalize any
+of them to a session-tz TIMESTAMP so every downstream ``ts.cast("double")``
+(epoch-seconds, readport.py:449-453 stamping parity) analyzes.
+
+Writes a tiny events table in each of the three shapes and asserts the
+load + ingest probe path works on all of them, with identical epoch values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import functions as F
+
+from tower_parse_spark.queries.ingest import _probe_lines
+from tower_parse_spark.session import load_table
+
+# One row per shape is enough to prove analysis + value parity.
+_EPOCH_US = [1_700_000_000_000_000, 1_700_000_123_456_789 // 1000 * 1000]
+
+
+def _base_arrays():
+    n = len(_EPOCH_US)
+    return {
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "user_id": pa.array([7] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "value": pa.array([1.25] * n, pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }
+
+
+def _write_events(dirpath, ts_array):
+    cols = _base_arrays()
+    table = pa.table(
+        {
+            "event_id": cols["event_id"],
+            "ts": ts_array,
+            "user_id": cols["user_id"],
+            "event_type": cols["event_type"],
+            "value": cols["value"],
+            "props": cols["props"],
+        }
+    )
+    pq.write_table(table, str(dirpath / "events.parquet"))
+    return str(dirpath)
+
+
+@pytest.fixture(
+    params=["nanos_as_long", "micros_ntz", "micros_tz"],
+)
+def events_dir(request, tmp_path):
+    """A tiny events.parquet in one of the three observed fixture shapes."""
+    if request.param == "nanos_as_long":
+        # parquet TIMESTAMP(NANOS): Spark reads it as bigint under
+        # spark.sql.legacy.parquet.nanosAsLong
+        ts = pa.array([us * 1000 for us in _EPOCH_US], pa.timestamp("ns"))
+    elif request.param == "micros_ntz":
+        ts = pa.array(_EPOCH_US, pa.timestamp("us"))
+    else:
+        ts = pa.array(_EPOCH_US, pa.timestamp("us", tz="UTC"))
+    return _write_events(tmp_path, ts)
+
+
+def test_load_table_normalizes_ts(spark, events_dir):
+    df = load_table(spark, events_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # cast("double") must analyze AND give exact epoch seconds (UTC session)
+    got = (
+        df.select(F.col("ts").cast("double").alias("t"))
+        .orderBy("t")
+        .collect()
+    )
+    want = sorted(us / 1e6 for us in _EPOCH_US)
+    assert [r["t"] for r in got] == pytest.approx(want, abs=0)
+
+
+def test_probe_lines_analyzes_on_any_shape(spark, events_dir):
+    lines = _probe_lines(spark, events_dir)
+    rows = lines.orderBy("event_id").collect()
+    assert len(rows) == len(_EPOCH_US)
+    assert rows[0]["ts"] == pytest.approx(_EPOCH_US[0] / 1e6, abs=0)
+    assert "RH=" in rows[0]["line"]

@@ -82,21 +82,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize an ``events``-shaped ``ts`` column to session-tz TIMESTAMP
+    regardless of the parquet fixture's physical shape. The test fixtures
+    have shipped in (at least) three shapes across regenerations, and any
+    of them must analyze identically downstream:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read under ``nanosAsLong``: rebuild a
+      micros-precision timestamp with integer math (``div 1000`` — double
+      division would lose precision above 2^53 nanos).
+    - ``timestamp_ntz`` — plain micros with no zone: cast to TIMESTAMP.
+      The session runs in UTC, so the cast is exact and value-identical
+      to DuckDB's ``epoch(ts)`` on the same file.
+    - ``timestamp`` — already the canonical shape; passthrough.
+
+    Downstream code may then rely on ``ts.cast("double")`` (epoch seconds)
+    analyzing — TIMESTAMP_NTZ does not support that cast, which is why the
+    normalization lives at the single load entry point.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; columnar parquet scan with pushdown/pruning.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    reader rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is on —
-    set it here (runtime SQL conf) so the engine also works on a caller's
-    plain SparkSession, then rebuild a micros-precision timestamp with
-    integer math (``div 1000`` — double division would lose precision
-    above 2^53 nanos). Matches DuckDB's micro truncation of the same file.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (rejected by the
+    vectorized reader unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+    on — set here as a runtime SQL conf so the engine also works on a
+    caller's plain SparkSession) and as micros TIMESTAMP_NTZ. Either way,
+    ``normalize_event_ts`` rebuilds the canonical session-tz TIMESTAMP.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 
