@@ -15,14 +15,17 @@ same printf template evaluated by both engines.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tower_parse_spark.functions.rounding import pround, sql_pround
 from tower_parse_spark.queries import Query
 from tower_parse_spark.queries.ingest import PROBE_PROFILE, _probe_lines
 from tower_parse_spark.streaming import sources as SRC
@@ -35,22 +38,45 @@ N_SPOOL_FILES = 4
 def streaming_pack_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the real applyInPandasWithState pack operator over a replayed
     line stream (4 micro-batches) and return per-pack stats."""
-    lines = _probe_lines(spark, sf_dir).orderBy("ts", "event_id")
+    lines = _probe_lines(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="tps_stream_")
     spool = os.path.join(tmp, "in")
+    spool_raw = os.path.join(tmp, "raw")
     try:
-        # Spool in arrival order: file i gets the i-th contiguous slice.
-        n = lines.count()
-        per = -(-n // N_SPOOL_FILES)
-        pdf = lines.toPandas()
+        # Spool in arrival order, executor-side: range-partition on the
+        # arrival key so file i is the i-th *contiguous* (ts, event_id)
+        # slice, sort within each partition, and write.text distributed —
+        # no driver materialization of the line table (the old
+        # toPandas+iterrows spool was the one driver-sized loop in
+        # queries/). Rows carry event_id+ts in-band, no side channel:
+        # "<ts> <event_id> <payload>"; %.17g round-trips the double
+        # exactly through the reader's cast("double").
+        (
+            lines.select(
+                F.format_string(
+                    "%.17g %d %s",
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.col("line"),
+                ).alias("value"),
+                "ts",
+                "event_id",
+            )
+            .repartitionByRange(N_SPOOL_FILES, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .select("value")
+            .write.text(spool_raw)
+        )
+        # The file stream source replays by modification time: rename the
+        # ordered part files (name order == range order) into the spool
+        # dir with strictly increasing mtimes. O(files), not O(rows).
+        parts = sorted(glob.glob(os.path.join(spool_raw, "part-*")))
         os.makedirs(spool)
-        for i in range(N_SPOOL_FILES):
-            chunk = pdf.iloc[i * per : (i + 1) * per]
-            with open(os.path.join(spool, f"b{i:02d}.txt"), "w") as f:
-                # carry event_id+ts through the line so the stream needs no
-                # side channel: "<ts> <event_id> <payload>"
-                for _, r in chunk.iterrows():
-                    f.write(f"{r.ts!r} {int(r.event_id)} {r.line}\n")
+        t0 = time.time() - len(parts) - 10
+        for i, p in enumerate(parts):
+            dst = os.path.join(spool, f"b{i:02d}.txt")
+            shutil.move(p, dst)
+            os.utime(dst, (t0 + i, t0 + i))
         src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
         split = F.split(F.col("value"), " ", 3)
         lines_stream = src.select(
@@ -83,7 +109,17 @@ def streaming_pack_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).alias("n_rows"),
                 F.min("time").alias("t_min"),
                 F.max("time").alias("t_max"),
-                F.round(F.avg("rh"), 4).alias("avg_rh"),
+                # rh is 3-decimal quantized (printf %+08.3f roundtrip):
+                # sum exact scaled integers so the average is partial-agg
+                # order independent, then pround (floor-based) — a raw
+                # round(avg(),4) flipped on a half boundary between
+                # partitioning layouts.
+                pround(
+                    F.sum(F.round(F.col("rh") * 1000).cast("long"))
+                    / 1000.0
+                    / F.count("rh"),
+                    4,
+                ).alias("avg_rh"),
             )
             .orderBy("level", "pack_id")
         )
@@ -116,7 +152,7 @@ SELECT level, pack_id,
        count(*) AS n_rows,
        min(time) AS t_min,
        max(time) AS t_max,
-       round(avg(rh), 4) AS avg_rh
+       {sql_pround("sum(CAST(round(rh * 1000) AS BIGINT)) / 1000.0 / count(rh)", 4)} AS avg_rh
 FROM completed
 GROUP BY level, pack_id
 ORDER BY level, pack_id

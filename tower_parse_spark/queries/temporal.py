@@ -7,10 +7,12 @@ sessionization, as-of enrichment, JSON prop extraction, distribution
 stats. Batch forms here (oracle-checkable); the same window expressions
 run on a stream with ``withWatermark`` (see streaming/pipeline.py).
 
-Timestamp parity notes: the session runs in UTC; events.ts is parquet
-TIMESTAMP(NANOS) read as micros (session.load_table) — identical to
-DuckDB's truncation. Spark ``window()`` and DuckDB ``date_trunc`` agree
-on epoch-aligned tumbling windows.
+Timestamp parity notes: the session runs in UTC; events.ts arrives in
+whatever parquet shape the current fixture uses (nanos-as-long, micros
+NTZ, or micros TZ) and ``session.normalize_event_ts`` canonicalizes it
+to a session-tz TIMESTAMP — value-identical to DuckDB's ``epoch(ts)``.
+Spark ``window()`` and DuckDB ``date_trunc`` agree on epoch-aligned
+tumbling windows.
 """
 
 from __future__ import annotations

@@ -53,9 +53,9 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; read as long nanos and rebuild micros-precision timestamps
-        # in load_table (matches DuckDB's micro truncation of the same file).
+        # events.parquet has shipped as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects without this conf; load_table's
+        # normalize_event_ts rebuilds the canonical timestamp either way.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
