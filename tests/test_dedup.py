@@ -82,7 +82,57 @@ def test_embedding_near_dup(spark):
     )
     pairs = {
         (r["id1"], r["id2"]): r["cos_sim"]
-        for r in D.embedding_near_dup_pairs(df, threshold=0.9).collect()
+        for r in D.embedding_near_dup_pairs(
+            df, block_col="label", threshold=0.9
+        ).collect()
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.99
+
+
+def test_embedding_near_dup_defaults_to_lsh_bucket(spark):
+    """Unblocked corpora (no block_col) must route through the sign-LSH
+    bucket, not a natural-label self-join: with a skewed/degenerate label
+    column the per-label join is O(n^2/B). Assert the default path (a)
+    still finds a planted near-dup pair and (b) spreads a skewed corpus
+    over multiple buckets with no block close to the full table."""
+    import math
+
+    from tower_parse_spark.operators.similarity import bucket_expr
+    from tower_parse_spark.functions.vectors import as_double
+    from pyspark.sql import functions as F
+
+    n, dim = 240, 8
+    rows = []
+    for i in range(n):
+        # deterministic spread directions (every vector has label "a")
+        v = [
+            math.sin(0.7 * i + 1.3 * j) + 0.1 * ((i * 7 + j * 11) % 5 - 2)
+            for j in range(dim)
+        ]
+        rows.append((i, v, "a"))
+    # planted near-duplicate of row 0
+    rows.append((n, [x * 1.0001 for x in rows[0][1]], "a"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+    pairs = {
+        (r["id1"], r["id2"])
+        for r in D.embedding_near_dup_pairs(df, threshold=0.999).collect()
+    }
+    assert (0, n) in pairs
+
+    # block-size bound: the LSH buckets the default path joins on must
+    # keep every block well under the single-label degenerate size
+    sizes = [
+        r["c"]
+        for r in df.select(
+            bucket_expr(as_double(F.col("embedding")), dim).alias("blk")
+        )
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(sizes) >= 4
+    assert max(sizes) <= (n + 1) // 2

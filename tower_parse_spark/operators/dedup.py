@@ -273,17 +273,33 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_col: str = "label",
+    block_col: str | None = None,
     threshold: float = 0.99,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates within a blocking key.
 
-    Blocked self-join (per-label buckets) + in-row cosine — the shuffle
-    carries (id, vector) only. For unblocked corpora, feed the LSH bucket
-    from operators/similarity.py as *block_col*.
+    Blocked self-join + in-row cosine — the shuffle carries (id, vector)
+    only. *block_col* names a natural blocking column (e.g. a curated
+    label) when one exists; the DEFAULT (None) blocks on the sign-LSH
+    bucket from operators/similarity.py, because a per-label self-join
+    is O(n^2/B) for B distinct labels — with few labels (the common
+    unblocked-corpus case) that degenerates toward all-pairs, while the
+    2^planes LSH buckets stay balanced by construction. *dim* (vector
+    dimensionality) is needed to build the hyperplane literals for the
+    default path; if omitted it is inferred with a single-row peek.
     """
+    if block_col is not None:
+        blk = F.col(block_col)
+    else:
+        from tower_parse_spark.operators.similarity import bucket_expr
+
+        if dim is None:
+            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = row["d"] if row is not None else 1  # empty df: any dim
+        blk = bucket_expr(as_double(F.col(vec_col)), dim)
     base = df.select(
-        F.col(block_col).alias("blk"),
+        blk.alias("blk"),
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
     )

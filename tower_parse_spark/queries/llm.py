@@ -248,7 +248,7 @@ emb2 AS (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cos >= 0.9) within label blocks."""
     return D.embedding_near_dup_pairs(
-        _emb_with_near_copies(spark, sf_dir), threshold=0.9
+        _emb_with_near_copies(spark, sf_dir), block_col="label", threshold=0.9
     ).orderBy("id1", "id2")
 
 
