@@ -34,17 +34,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_endpoint(raw: str) -> tuple[str, int]:
-    """Validate HOST:PORT (readport.py:748-755 semantics)."""
-    host, sep, port = raw.rpartition(":")
-    if not sep or not host:
-        raise SystemExit(f"invalid endpoint {raw!r}: expected HOST:PORT")
+    """Validate IP:PORT exactly the reference's way (readport.py:748-755):
+    urlparse against a tcp:// scheme (handles bracketed IPv6), the host
+    must be a literal IP address, the port in urlparse's valid range;
+    any failure exits 1 with the offending input echoed."""
+    from ipaddress import ip_address
+    from urllib.parse import urlparse
+
     try:
-        port_n = int(port)
-    except ValueError:
-        raise SystemExit(f"invalid port {port!r}") from None
-    if not (0 < port_n < 65536):
-        raise SystemExit(f"port out of range: {port_n}")
-    return host, port_n
+        parsed = urlparse(f"tcp://{raw}")
+        host = str(ip_address(parsed.hostname))
+        port = parsed.port
+        assert host, "please provide a valid IP address"
+        assert port, "please provide a valid port number"
+    except (ValueError, AssertionError) as e:
+        raise SystemExit(f"Failed to parse {raw!r} as IP:PORT: {e}") from None
+    return host, port
 
 
 def main(argv: list[str] | None = None) -> int:
