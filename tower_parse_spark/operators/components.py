@@ -60,21 +60,25 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence witness: labels are node ids and only ever DECREASE
+    # (least/min over neighbors), so sum(label) strictly decreases while
+    # any label changes and is a fixpoint certificate when it stalls.
+    # One tiny agg job per round instead of a join+filter+count.
+    prev_sum = None
     converged = False
     for it in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
+        # label(v) <- min(label(v), min over neighbors(label(u))) as ONE
+        # aggregation: neighbor contributions unioned with the node's own
+        # label, then groupBy-min — one join + one shuffle per round
+        # (the separate neighbor-min groupBy + left-join-back shape costs
+        # a second join for the same result).
+        contrib = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), "label"
         )
         propagated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+            labels.unionAll(contrib)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         # Path compression: follow the label pointer one hop
         # (label(v) <- label(label(v))), halving chain lengths each round.
@@ -101,17 +105,16 @@ def connected_components(
                 )
             )
         new_labels = propagated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # decimal accumulator: a long sum of 64-bit ids overflows (ANSI
+        # error) at billions of nodes; decimal(38,0) holds ~1e38
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
