@@ -43,6 +43,8 @@ _DEFER_TO_TAIL = [
     "dedup_ngram_jaccard",  # dedup family — exact/minhash/cluster stay
     "text_fingerprint",  # text family — quality/token_stats stay
     "multimodal_pipeline",  # multimodal — multimodal_decode stays
+    "orders_with_returns",  # outer join — q3/q9/q21 keep joins; makes
+    # room for the new events_time_rollup inside the 50-window
     # --- carried from r2 rotation: each has a green r1 row ---
     "events_sliding_window",  # event-time windows — tumbling stays
     "part_supplier_overlap",  # set ops — 1x green r2

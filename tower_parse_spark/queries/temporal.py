@@ -472,9 +472,58 @@ FROM m ORDER BY user_id
 """
 
 
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: hour-resolution and
+    day-resolution continuous aggregates (plus the grand total) computed
+    in ONE pass via ROLLUP over (day, hour) truncations — partial aggs
+    are reused across resolutions instead of re-scanning per level, the
+    property that makes multi-resolution dashboards cheap at 100 TB.
+    value is 2-decimal quantized, so the sum is carried as exact scaled
+    longs (partial-agg-order independent) and rescaled at the edge."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        t.rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("day").asc_nulls_first(), F.col("hour").asc_nulls_first()
+        )
+    )
+
+
+EVENTS_TIME_ROLLUP_ORACLE = """
+WITH t AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+         value
+  FROM events
+)
+SELECT day, hour,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM t
+GROUP BY ROLLUP (day, hour)
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "events_tumbling_window": Query(
         events_tumbling_window, EVENTS_TUMBLING_ORACLE, "tumbling time window"
+    ),
+    "events_time_rollup": Query(
+        events_time_rollup,
+        EVENTS_TIME_ROLLUP_ORACLE,
+        "hypertable-style multi-resolution time rollup",
     ),
     "events_sliding_window": Query(
         events_sliding_window, EVENTS_SLIDING_ORACLE, "sliding time window"
