@@ -52,6 +52,19 @@ def test_range_join_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_time_rollup_single_pass(spark):
+    """The multi-resolution rollup must be ONE aggregation pass: an
+    Expand over the grouping sets feeding a single agg exchange — not a
+    scan/shuffle per resolution (output sort exchange aside)."""
+    from tower_parse_spark.queries.temporal import events_time_rollup
+
+    plan = plan_of(events_time_rollup(spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+    body = plan.split("Sort")[-1]  # below the output sort
+    assert body.count("Exchange") <= 2  # agg exchange (+ AQE read)
+
+
 @pytest.mark.slow
 def test_no_row_at_a_time_python_anywhere(spark):
     """Every registry query must stay JVM-side or Arrow-batched: the
