@@ -65,15 +65,55 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
     return spark
 
 
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate how many input splits the file scan will produce, from
+    file metadata only (no job, no RDD conversion): each file yields
+    ceil(size / maxPartitionBytes) splits. Returns None for non-file
+    relations (literal rows, streams, post-shuffle plans)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    spark = df.sparkSession
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    max_bytes = int(str(raw).lower().rstrip("b") or 134217728)
+    sc = spark.sparkContext
+    hconf = sc._jsc.hadoopConfiguration()
+    jvm = sc._jvm
+    total = 0
+    for uri in files:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = p.getFileSystem(hconf)
+        total += -(-fs.getFileStatus(p).getLen() // max_bytes)
+    return int(total)
+
+
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition iff the input has fewer partitions than
     cores — used in front of compute-bound projections (minhash/simhash
     signature hashing). A small parquet table arrives as ONE input split,
     which would serialize per-row CPU work; a big table (the 100 TB case)
     already has >= cores splits and passes through untouched, so the
-    shuffle is only paid when it is worth cores-x speedup."""
+    shuffle is only paid when it is worth cores-x speedup.
+
+    The partition probe is file-metadata arithmetic (size /
+    maxPartitionBytes per file): job-free, no DataFrame->RDD conversion,
+    a handful of filesystem stats. When the file count already reaches
+    the target the stats are skipped too; non-file relations fall back
+    to the RDD partition count (tiny literal test inputs)."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df  # >= one split per file: parallel enough already
+    est = _estimated_scan_splits(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
 
