@@ -55,10 +55,14 @@ def connected_components(
         .distinct()
     )
     sym = sym.localCheckpoint(eager=True)
+    # Fused round 0: with identity initial labels, the first propagation
+    # min(label(v), min neighbors(label(u))) is just min(v, min(u)) — one
+    # aggregation over the edge list, no join.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nb"))
+        .select("node", F.least(F.col("node"), F.col("nb")).alias("label"))
+        .localCheckpoint(eager=True)
     )
     # Convergence witness: labels are node ids and only ever DECREASE
     # (least/min over neighbors), so sum(label) strictly decreases while
