@@ -407,3 +407,31 @@ def test_socket_source_live(spark, tmp_path):
     ids = sorted(r["id"] for r in rows)
     assert ids == [float(i) for i in range(6)]
     assert all(r["time"] > 1.0e9 for r in rows)  # processing-time stamped
+
+
+def test_spool_double_format_roundtrips_exactly(spark):
+    """The pack-carry replay spool serializes the arrival timestamp with
+    %%.17g and re-parses it with cast('double'): 17 significant digits
+    guarantee bit-exact double round-trip. Lock the invariant across
+    magnitudes (epoch seconds, negatives, subnormal-ish, integers)."""
+    from pyspark.sql import functions as F
+
+    vals = [
+        1704583776.640325,
+        1.705501227422899e9,
+        -0.000123456789012345,
+        12345678901234.5,
+        2.0,
+        1e-300,
+        7.0 / 3.0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "ts double")
+    bad = (
+        df.select(
+            "ts",
+            F.format_string("%.17g", F.col("ts")).cast("double").alias("back"),
+        )
+        .where(F.col("back") != F.col("ts"))
+        .count()
+    )
+    assert bad == 0
