@@ -195,34 +195,41 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     hash array inside the projection — one pass, no explode. Weight of
     bit j = (#tokens with bit set) - (#tokens without); fingerprint bit
     j = weight > 0 (token multiplicity preserved, per Charikar's scheme).
+
+    ONE fold over the token-hash array accumulates all *bits* counters
+    as an array (zip_with against precomputed mask literals), instead of
+    *bits* separate aggregates each re-traversing the array — measured
+    1.8x at sf0.1. Masks (not shiftright) because pyspark's bit-shift
+    helpers take only Python-int shift amounts, and a double ``pow``
+    reconstruction would lose bits above 2^53.
     """
     toks = tokens(F.col(text_col))
-    # Stage the md5 token hashing as its own projected column: the 32 bit
-    # aggregates below each traverse the array, and inlining the md5
-    # expression into every one recomputes it 32x per token (measured
-    # ~10x slower at sf0.1). As a staged column it is hashed once.
+    # Stage the md5 token hashing as its own projected column so the fold
+    # consumes pre-hashed longs: inlining the md5 expression into the
+    # accumulator would recompute it per mask (measured ~10x slower).
     hashed = ensure_parallelism(df).withColumn(
         "_th", F.transform(toks, lambda t: token_hash(t))
     )
     hashes = F.col("_th")
     n = F.size(hashes)
-
-    def ones_at(j: int):
-        # closure factory: binds j at definition time (a bare lambda in the
-        # loop would late-bind and break pyspark's 2-arg lambda contract)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, j).bitwiseAND(F.lit(1)),
-        )
-
-    bit_terms = []
-    for j in range(bits):
-        bit = (ones_at(j) * 2 > n).cast("long")
-        bit_terms.append(F.shiftleft(bit, j))
-    fp = bit_terms[0]
-    for t in bit_terms[1:]:
-        fp = fp + t
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda a, m: a + (h.bitwiseAND(m) != 0).cast("long")
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c * 2 > n, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return hashed.withColumn("simhash", fp).drop("_th")
 
 
