@@ -88,13 +88,25 @@ def with_minhash(
         )
     )
     base = F.col("_sh_hashes")
-    comps = [
-        F.array_min(
-            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_P)
-        )
-        for (a, b) in minhash_params(k)
-    ]
-    return hashed.withColumn("mh", F.array(*comps)).drop("_th", "_sh_hashes")
+    # ONE fold over the shingle-hash array carries all k running minima
+    # as an array accumulator (k separate array_min folds re-traverse the
+    # array k times — measured 1.5x at sf0.1). NULL-initialized: least()
+    # skips nulls, so a shingle-less document yields [null]*k, identical
+    # to array_min over an empty transform.
+    params = minhash_params(k)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
+    init = F.array_repeat(F.lit(None).cast("long"), k)
+    mins = F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % HASH_P),
+            lambda m, v: F.least(m, v),
+        ),
+    )
+    return hashed.withColumn("mh", mins).drop("_th", "_sh_hashes")
 
 
 def minhash_lsh_pairs(
