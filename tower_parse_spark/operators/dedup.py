@@ -39,7 +39,7 @@ from tower_parse_spark.functions.text import (
 #: hash families: "portable" (md5, DuckDB-checkable) vs "fast" (xxhash64,
 #: 2.7x cheaper — the production default at scale)
 HASH_FNS = {"portable": token_hash, "fast": token_hash_fast}
-from tower_parse_spark.functions.vectors import as_double, cosine
+from tower_parse_spark.functions.vectors import as_double, dot, norm
 from tower_parse_spark.session import ensure_parallelism
 
 # MinHash parameters: K signatures in B bands of R rows (K = B*R).
@@ -317,14 +317,26 @@ def embedding_near_dup_pairs(
             row = df.select(F.size(F.col(vec_col)).alias("d")).first()
             dim = row["d"] if row is not None else 1  # empty df: any dim
         blk = bucket_expr(as_double(F.col(vec_col)), dim)
+    # norm projected per row pre-join: scoring a pair is one dot fold,
+    # not three traversals (bit-identical — same fold per row)
     base = df.select(
         blk.alias("blk"),
         F.col(id_col),
         as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    left = base.select(
+        "blk",
+        F.col(id_col).alias("id1"),
+        F.col("v").alias("v1"),
+        F.col("nv").alias("n1"),
     )
-    left = base.select("blk", F.col(id_col).alias("id1"), F.col("v").alias("v1"))
-    right = base.select("blk", F.col(id_col).alias("id2"), F.col("v").alias("v2"))
-    cos = cosine(F.col("v1"), F.col("v2"))
+    right = base.select(
+        "blk",
+        F.col(id_col).alias("id2"),
+        F.col("v").alias("v2"),
+        F.col("nv").alias("n2"),
+    )
+    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
     return (
         left.join(right, "blk")
         .filter(F.col("id1") < F.col("id2"))
