@@ -67,8 +67,12 @@ def connected_components(
     # Convergence witness: labels are node ids and only ever DECREASE
     # (least/min over neighbors), so sum(label) strictly decreases while
     # any label changes and is a fixpoint certificate when it stalls.
-    # One tiny agg job per round instead of a join+filter+count.
-    prev_sum = None
+    # One tiny agg job per round instead of a join+filter+count. Seeded
+    # from the fused round-0 labels: a graph already converged at init
+    # (every duplicate CLIQUE is) exits after a single confirmation round.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
     converged = False
     for it in range(max_iter):
         # label(v) <- min(label(v), min over neighbors(label(u))) as ONE
