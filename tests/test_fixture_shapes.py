@@ -86,3 +86,33 @@ def test_probe_lines_analyzes_on_any_shape(spark, events_dir):
     assert len(rows) == len(_EPOCH_US)
     assert rows[0]["ts"] == pytest.approx(_EPOCH_US[0] / 1e6, abs=0)
     assert "RH=" in rows[0]["line"]
+
+
+def test_non_utc_caller_session_gets_utc_semantics(spark):
+    """The driver calls queries with its OWN session. If that session's
+    timezone were not UTC, NTZ casts and date_trunc would shift against
+    the tz-naive DuckDB oracle. load_table pins the session tz, so a
+    caller who set a different one still gets UTC-parity values."""
+    from tower_parse_spark.session import load_table
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        # pinned back to UTC by load_table
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        row = (
+            df.select(F.col("ts").cast("double").alias("t"))
+            .orderBy("t")
+            .first()
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        want = (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .select(F.col("ts").cast("double").alias("t"))
+            .orderBy("t")
+            .first()
+        )
+        assert row["t"] == want["t"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)

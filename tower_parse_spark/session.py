@@ -157,6 +157,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller's plain SparkSession) and as micros TIMESTAMP_NTZ. Either way,
     ``normalize_event_ts`` rebuilds the canonical session-tz TIMESTAMP.
     """
+    # Defensive runtime conf, like nanosAsLong below: every timestamp
+    # semantic in this engine (NTZ casts, date_trunc, window(), epoch
+    # doubles) assumes a UTC session for value parity with the tz-naive
+    # DuckDB oracle. The engine's own get_spark() sets it at build time;
+    # pin it here too so a CALLER's plain session (the driver's) is safe
+    # even if the host stops defaulting to UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
