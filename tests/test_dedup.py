@@ -136,3 +136,22 @@ def test_embedding_near_dup_defaults_to_lsh_bucket(spark):
     ]
     assert len(sizes) >= 4
     assert max(sizes) <= (n + 1) // 2
+
+
+def test_simhash_fast_family(spark):
+    """hash_fn='fast' (xxhash64) mirrors the MinHash production family:
+    different fingerprints than the portable md5 family, but the same
+    dedup property — identical texts collide, disjoint texts don't."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "entirely different words about spark and parquet tables"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for fam in ("portable", "fast"):
+        fps = {
+            r["doc_id"]: r["simhash"]
+            for r in D.with_simhash(df, hash_fn=fam).collect()
+        }
+        assert fps[1] == fps[2]
+        assert fps[1] != fps[3]

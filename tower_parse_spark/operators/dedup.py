@@ -200,7 +200,12 @@ def exact_dedup(
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    hash_fn: str = "portable",
+) -> DataFrame:
     """Append a ``simhash`` column (bits-wide weighted-bit fingerprint).
 
     Vector form: per-document bit weights computed by folding the token
@@ -215,12 +220,15 @@ def with_simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataF
     helpers take only Python-int shift amounts, and a double ``pow``
     reconstruction would lose bits above 2^53.
     """
+    hfn = HASH_FNS[hash_fn]
     toks = tokens(F.col(text_col))
-    # Stage the md5 token hashing as its own projected column so the fold
-    # consumes pre-hashed longs: inlining the md5 expression into the
+    # Stage the token hashing as its own projected column so the fold
+    # consumes pre-hashed longs: inlining the hash expression into the
     # accumulator would recompute it per mask (measured ~10x slower).
+    # hash_fn="fast" swaps md5 for xxhash64 (same trade-off as MinHash:
+    # production speed vs DuckDB-checkable portability).
     hashed = ensure_parallelism(df).withColumn(
-        "_th", F.transform(toks, lambda t: token_hash(t))
+        "_th", F.transform(toks, lambda t: hfn(t))
     )
     hashes = F.col("_th")
     n = F.size(hashes)
