@@ -111,3 +111,58 @@ def test_ivf_topk_with_trained_centroids(blob_corpus, spark):
     assert len(out) == 5
     # all results come from the probe's blob (ids 0..39)
     assert all(r["vec_id"] < 100 for r in out)
+
+
+def test_multiprobe_recovers_boundary_neighbor(spark):
+    """A near-identical neighbor separated by one sign flip (a vector
+    sitting on a hyperplane boundary) is invisible to single-bucket LSH
+    but recovered by Hamming-1 multiprobe; exact brute force is the
+    ground truth both are measured against."""
+    from tower_parse_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    dim = 8
+    # a vector whose dot with plane 0 is tiny: nudge across the boundary
+    base = [0.5] * dim
+    plane0 = S.hyperplane(dim, 0)
+    # project out the plane-0 component, then offset slightly each way
+    d = sum(b * p for b, p in zip(base, plane0))
+    n2 = sum(p * p for p in plane0)
+    on_plane = [b - d * p / n2 for b, p in zip(base, plane0)]
+    eps = 1e-3
+    plus = [x + eps * p / n2**0.5 for x, p in zip(on_plane, plane0)]
+    minus = [x - eps * p / n2**0.5 for x, p in zip(on_plane, plane0)]
+
+    corpus = spark.createDataFrame(
+        [(1, minus), (2, [float(j) for j in range(dim)])],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(10, plus)], "probe_id long, embedding array<double>"
+    )
+
+    buckets = {
+        r["probe_id" if "probe_id" in r.__fields__ else "vec_id"]: r["b"]
+        for df, idc in ((corpus, "vec_id"), (probes, "probe_id"))
+        for r in df.select(
+            F.col(idc),
+            S.bucket_expr(
+                F.transform("embedding", lambda x: x.cast("double")), dim
+            ).alias("b"),
+        ).collect()
+    }
+    # construction check: one sign bit apart
+    assert bin(buckets[1] ^ buckets[10]).count("1") == 1
+
+    single = {
+        r["vec_id"]
+        for r in S.hyperplane_lsh_topk(corpus, probes, dim, k=1).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in S.hyperplane_lsh_topk(
+            corpus, probes, dim, k=1, multiprobe=True
+        ).collect()
+    }
+    assert 1 not in single  # boundary neighbor missed by one bucket
+    assert multi == {1}  # recovered at Hamming distance 1

@@ -254,9 +254,17 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: score only the probe's LSH bucket.
-    Norms projected per row pre-join (see brute_force_topk)."""
+    Norms projected per row pre-join (see brute_force_topk).
+
+    *multiprobe*: additionally search every bucket at Hamming distance 1
+    from the probe's (flip each sign bit) — the standard recall knob for
+    near-boundary neighbors. The probe side (tiny, broadcast) explodes
+    1+planes ways; the corpus side is untouched, so the join stays a
+    bucket equi-join with (planes+1)x the probe rows, NOT a wider scan.
+    """
     c = (
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
         .withColumn("bucket", bucket_expr(F.col("cv"), dim, planes))
@@ -269,6 +277,15 @@ def hyperplane_lsh_topk(
         .withColumn("bucket", bucket_expr(F.col("pv"), dim, planes))
         .withColumn("pn", norm(F.col("pv")))
     )
+    if multiprobe:
+        neighbors = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(planes)
+            ],
+        )
+        p = p.withColumn("bucket", F.explode(neighbors))
     scored = c.join(F.broadcast(p), "bucket").select(
         probe_id_col,
         id_col,
