@@ -68,12 +68,20 @@ def test_time_rollup_single_pass(spark):
 @pytest.mark.slow
 def test_no_row_at_a_time_python_anywhere(spark):
     """Every registry query must stay JVM-side or Arrow-batched: the
-    row-at-a-time Python UDF operator (BatchEvalPython) is banned."""
+    row-at-a-time Python UDF operator (BatchEvalPython) is banned, and
+    the tools/plan_audit.py operator policy is locked in the same sweep:
+    no CartesianProduct anywhere; BroadcastNestedLoopJoin only for the
+    ANN brute-force baseline (broadcast cross join IS the exact scan)
+    and the Q22 scalar-threshold shape (one-row broadcast aggregate)."""
     import __spark_entry__ as e
+    from tools.plan_audit import NESTED_LOOP_OK
 
     for name, fn in e.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        if name not in NESTED_LOOP_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
