@@ -45,6 +45,8 @@ _DEFER_TO_TAIL = [
     "multimodal_pipeline",  # multimodal — multimodal_decode stays
     "orders_with_returns",  # outer join — q3/q9/q21 keep joins; makes
     # room for the new events_time_rollup inside the 50-window
+    "order_priority_pivot",  # pivot — 2x green; makes room for the new
+    # streaming_late_data watermark oracle inside the 50-window
     # --- carried from r2 rotation: each has a green r1 row ---
     "events_sliding_window",  # event-time windows — tumbling stays
     "part_supplier_overlap",  # set ops — 1x green r2

@@ -159,6 +159,136 @@ ORDER BY level, pack_id
 """
 
 
+WM_DELAY_S = 7 * 86400  # watermark: 7 days
+WM_WINDOW_S = 86400  # 1-day tumbling windows
+N_WM_BATCHES = 4
+
+
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked late-data handling with a full value-level oracle.
+
+    Replays ``events`` as N_WM_BATCHES micro-batches keyed by
+    ``event_id % N_WM_BATCHES`` — each batch spans the whole 30-day
+    event-time range, so later batches carry heavy out-of-order data —
+    through ``withWatermark`` + tumbling-window append aggregation. The
+    semantics being checked (calibrated empirically, locked by the
+    DuckDB twin):
+
+    - the watermark DURING batch i = max event time over batches
+      0..i-2 minus the delay (Structured Streaming's one-batch lag);
+    - a row is DROPPED iff its window end <= that watermark;
+    - a window is EMITTED iff its end <= the final watermark
+      (no-data micro-batch after the last file).
+
+    Batch assignment is a pure row function (event_id mod), so the
+    oracle reproduces the exact kept/dropped/emitted partition in SQL.
+    """
+    ev = _probe_events_for_wm(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="tps_wm_")
+    spool = os.path.join(tmp, "in")
+    os.makedirs(spool)
+    try:
+        t0 = time.time() - N_WM_BATCHES - 10
+        for i in range(N_WM_BATCHES):
+            raw = os.path.join(tmp, f"raw{i}")
+            (
+                ev.filter(F.col("event_id") % N_WM_BATCHES == i)
+                .select(
+                    F.format_string(
+                        "%.17g %.17g", F.col("t"), F.col("value")
+                    ).alias("value")
+                )
+                .coalesce(1)
+                .write.text(raw)
+            )
+            part = glob.glob(os.path.join(raw, "part-*"))[0]
+            dst = os.path.join(spool, f"b{i:02d}.txt")
+            shutil.move(part, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+        src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
+        sp = F.split(F.col("value"), " ")
+        rows = src.select(
+            F.timestamp_seconds(sp[0].cast("double")).alias("ts"),
+            sp[1].cast("double").alias("v"),
+        )
+        agg = (
+            rows.withWatermark("ts", f"{WM_DELAY_S} seconds")
+            .groupBy(F.window("ts", f"{WM_WINDOW_S} seconds").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (
+                    F.sum(F.round(F.col("v") * 100).cast("long")) / 100.0
+                ).alias("sum_value"),
+            )
+        )
+        sink = f"wm_windows_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(sink)
+            .select(
+                F.col("w.start").alias("window_start"),
+                "n_events",
+                "sum_value",
+            )
+            .orderBy("window_start")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _probe_events_for_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tower_parse_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.col("ts").cast("double").alias("t"), "value"
+    )
+
+
+STREAMING_LATE_DATA_ORACLE = f"""
+WITH r AS (
+  SELECT event_id, epoch(ts) AS t, value,
+         event_id % {N_WM_BATCHES} AS b,
+         floor(epoch(ts) / {WM_WINDOW_S}) * {WM_WINDOW_S} AS wstart
+  FROM events
+), batch_max AS (
+  SELECT b, max(t) AS mx FROM r GROUP BY b
+), wm AS (
+  -- watermark during batch i: max event time through batch i-2, minus
+  -- the delay (one-batch lag), floored at 0
+  SELECT b,
+         greatest(0, coalesce(max(mx) OVER (
+             ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+           ), 0) - {WM_DELAY_S}) AS wmv
+  FROM batch_max
+), kept AS (
+  SELECT r.* FROM r JOIN wm ON r.b = wm.b
+  WHERE r.wstart + {WM_WINDOW_S} > wm.wmv
+), final_wm AS (
+  SELECT max(t) - {WM_DELAY_S} AS f FROM r
+)
+SELECT CAST(to_timestamp(wstart) AT TIME ZONE 'UTC' AS TIMESTAMP)
+         AS window_start,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM kept, final_wm
+WHERE wstart + {WM_WINDOW_S} <= f
+GROUP BY wstart
+ORDER BY wstart
+"""
+
+
 def streaming_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 generator parity via its deterministic batch twin (the rate
     source applies the same template to the same sequence numbers)."""
@@ -183,6 +313,11 @@ QUERIES = {
         streaming_pack_carry,
         STREAMING_PACK_ORACLE,
         "A17 streaming: stateful exact-count packs w/ remainder carry",
+    ),
+    "streaming_late_data": Query(
+        streaming_late_data,
+        STREAMING_LATE_DATA_ORACLE,
+        "watermarked late-data drop/emit semantics, value-level oracle",
     ),
     "streaming_generator": Query(
         streaming_generator,
