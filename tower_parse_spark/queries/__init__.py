@@ -25,45 +25,43 @@ class Query:
 
 
 # The driver checks exactly the first 50 registry entries (observed cap:
-# CORRECTNESS_r01/r02.json each have 50 rows cut in registry order).
-# Queries listed here rotate to the registry tail. Round-3 rotation goal
-# (VERDICT r2 #4): every registry entry earns at least one driver-green
-# CORRECTNESS row across rounds — so the 7 queries that had never been
-# driver-checked (q6/q9/q16/q17/q21, nation_volume_shipping,
-# top_revenue_supplier) move INTO the window, and 7 queries that are
-# 2x driver-green (r1 AND r2) take their place in the tail. Each
-# deferred query's category keeps a green sibling in the window where
-# one exists (see COVERAGE.md rotation table).
+# CORRECTNESS_r01/r02/r03.json each have 50 rows cut in registry order).
+# Queries listed here rotate to the registry tail. Round-4 rotation goal
+# (VERDICT r3 #1): exactly 25 registry entries have a latest driver-green
+# row that predates round 3 — the 16 whose only green is r1
+# (pre-fixture-regeneration) plus 9 whose latest green is r2. All 25 move
+# INTO the window this round. Their places in the tail go to the 13
+# triple-green (r1+r2+r3) queries and 12 double-green queries whose
+# freshest row is r3. Each deferred query's category keeps a green
+# sibling in the window (see COVERAGE.md rotation table).
 _DEFER_TO_TAIL = [
-    # --- rotated out in r3: 2x driver-green (r1+r2), evidence banked ---
-    "part_string_functions",  # strings — 2x green
-    "part_measures_unpivot",  # unpivot — order_priority_pivot keeps pivot
-    "segment_set_ops",  # set ops — 2x green
-    "min_cost_parts",  # correlated subquery — wealthy_inactive stays
-    "dedup_ngram_jaccard",  # dedup family — exact/minhash/cluster stay
-    "text_fingerprint",  # text family — quality/token_stats stay
-    "multimodal_pipeline",  # multimodal — multimodal_decode stays
-    "orders_with_returns",  # outer join — q3/q9/q21 keep joins; makes
-    # room for the new events_time_rollup inside the 50-window
-    "order_priority_pivot",  # pivot — 2x green; makes room for the new
-    # streaming_late_data watermark oracle inside the 50-window
-    # --- carried from r2 rotation: each has a green r1 row ---
-    "events_sliding_window",  # event-time windows — tumbling stays
-    "part_supplier_overlap",  # set ops — 1x green r2
-    "revenue_cube",  # grouping sets — revenue_rollup stays
-    "order_gaps_quartiles",  # window funcs — top_customers stays
-    "big_basket_orders",  # join+having — q3/orders_with_returns stay
-    "disjunctive_filter_revenue",  # conditional agg
-    "top_return_customers",  # join+agg+topk — q3 is the same shape
-    "customers_without_urgent_orders",  # anti join — wealthy_inactive covers
-    "running_revenue_by_nation",  # window frames — top_customers stays
-    "q5_local_supplier",  # broadcast snowflake join — q3 same shape
-    "orders_date_functions",  # date/time — events_tumbling_window stays
-    "promo_revenue_pct",  # conditional ratio — market_share_by_year stays
-    "dedup_simhash",  # dedup family — exact/minhash/cluster stay
-    "dedup_embedding_cosine",  # dedup family — same
-    "ann_ivf_topk",  # similarity — cosine/lsh stay
-    "text_langid",  # text family — quality/token_stats stay
+    # --- 3x driver-green (r1+r2+r3): freshest possible evidence ---
+    "q1_pricing_summary",  # aggregations — q6/q9/q16/q17 in window
+    "q3_shipping_priority",  # joins+topk — q5/q21/big_basket in window
+    "top_customers_per_nation",  # window funcs — order_gaps/running_rev in
+    "revenue_rollup",  # rollup — revenue_cube/events_time_rollup in
+    "events_tumbling_window",  # event-time windows — sliding/session in
+    "streaming_generator",  # streaming — late_data/pack_carry in window
+    "multimodal_decode",  # multimodal — multimodal_pipeline in window
+    "text_quality",  # text family — langid/fingerprint in window
+    "dedup_exact",  # dedup family — simhash/embedding/jaccard in window
+    "dedup_minhash_lsh",  # dedup family — same
+    "dedup_cluster_resolution",  # dedup family — same
+    "ann_cosine_topk",  # similarity — ann_ivf_topk in window
+    "ann_lsh_topk",  # similarity — same
+    # --- 2x driver-green with an r3 row: evidence already fresh ---
+    "ingest_echo",  # ingest — extract_probe/pack_scalable in window
+    "ingest_sentinel_stats",  # ingest — same
+    "ingest_multiformat",  # ingest — same
+    "ingest_malformed_routing",  # ingest — same
+    "ingest_pack_assign",  # packs — ingest_pack_scalable in window
+    "customer_order_arrays",  # arrays — events_json_props in window
+    "lineitem_math_functions",  # math — priority stats siblings in window
+    "events_map_functions",  # maps — events_json_props in window
+    "domain_mix_sample",  # sampling — train/val covered by pipeline
+    "train_val_split",  # sampling — same
+    "text_token_stats",  # text family — langid/fingerprint in window
+    "priority_ship_stats",  # agg shape — q6/q16 cover in window
 ]
 
 
