@@ -1,0 +1,127 @@
+"""Measure ANN recall@k against the exact brute-force baseline.
+
+Builds a deterministic clustered corpus (10k vectors, dim 16, 10
+directional clusters with noise), computes exact top-k per probe with
+``brute_force_topk``, then recall@k for:
+
+- ``hyperplane_lsh_topk`` — planes sweep, multiprobe on/off
+- ``ivf_topk`` — trained k-means quantizer, nprobe sweep
+
+Run: ``python tools/ann_recall.py`` — prints one JSON line. The pytest
+floor assertions live in ``tests/test_similarity.py`` (recall section);
+SCALE.md records the measured curve.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+
+N_VECS = 10_000
+N_PROBES = 40
+DIM = 16
+K = 10
+N_CLUSTERS = 10
+SEED = 42
+
+
+def make_corpus_rows(
+    n: int = N_VECS,
+    dim: int = DIM,
+    clusters: int = N_CLUSTERS,
+    seed: int = SEED,
+    spread: float = 0.35,
+):
+    """Deterministic clustered vectors: each row = unit-ish cluster
+    direction + per-component noise. Clustered (not uniform) because
+    that is the workload ANN indexes exist for — real embeddings
+    concentrate; uniform vectors have no recoverable neighbors."""
+    rng = random.Random(seed)
+    dirs = []
+    for _ in range(clusters):
+        d = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        nrm = sum(x * x for x in d) ** 0.5
+        dirs.append([x / nrm for x in d])
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        rows.append(
+            (
+                i,
+                [x + rng.gauss(0.0, spread) for x in dirs[c]],
+            )
+        )
+    return rows
+
+
+def recall_at_k(approx_rows, truth: dict[int, set[int]], k: int = K) -> float:
+    got: dict[int, set[int]] = {}
+    for r in approx_rows:
+        got.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    per_probe = [
+        len(got.get(p, set()) & ids) / len(ids) for p, ids in truth.items()
+    ]
+    return sum(per_probe) / len(per_probe)
+
+
+def measure(
+    spark,
+    planes_list: tuple[int, ...] = (4, 6, 8),
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> dict[str, float]:
+    from tower_parse_spark.operators import similarity as S
+
+    rows = make_corpus_rows()
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).cache()
+    # probes = every 250th corpus vector re-noised (same cluster, new id)
+    rng = random.Random(SEED + 1)
+    probe_rows = [
+        (10_000_000 + j, [x + rng.gauss(0.0, 0.1) for x in rows[j * 250][1]])
+        for j in range(N_PROBES)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "probe_id long, embedding array<double>"
+    ).cache()
+
+    exact = S.brute_force_topk(corpus, probes, k=K).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    out: dict[str, float] = {}
+    for planes in planes_list:
+        for multi in (False, True):
+            rows_a = S.hyperplane_lsh_topk(
+                corpus, probes, dim=DIM, k=K, planes=planes, multiprobe=multi
+            ).collect()
+            key = f"lsh_p{planes}" + ("_multi" if multi else "")
+            out[key] = round(recall_at_k(rows_a, truth), 4)
+
+    cents = S.kmeans_centroids(corpus, dim=DIM, k=8, iters=5)
+    for nprobe in nprobes:
+        rows_a = S.ivf_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=nprobe, centroids=cents
+        ).collect()
+        out[f"ivf_np{nprobe}"] = round(recall_at_k(rows_a, truth), 4)
+    # lattice (untrained, oracle-default) quantizer for comparison
+    rows_a = S.ivf_topk(corpus, probes, dim=DIM, k=K, nprobe=2).collect()
+    out["ivf_np2_lattice"] = round(recall_at_k(rows_a, truth), 4)
+    return out
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from tower_parse_spark.session import get_spark
+
+    spark = get_spark("ann-recall", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = measure(spark)
+    print(json.dumps({"recall_at_k": out, "k": K, "n": N_VECS, "dim": DIM}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
