@@ -201,9 +201,16 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .coalesce(1)
                 .write.text(raw)
             )
-            part = glob.glob(os.path.join(raw, "part-*"))[0]
+            parts = glob.glob(os.path.join(raw, "part-*"))
             dst = os.path.join(spool, f"b{i:02d}.txt")
-            shutil.move(part, dst)
+            if parts:
+                shutil.move(parts[0], dst)
+            else:
+                # Spark writes no part file for an empty partition; an
+                # empty residue class (tiny/filtered fixture) still gets
+                # an empty batch file so the trigger layout — and the
+                # oracle's batch numbering — stays intact.
+                open(dst, "w").close()
             os.utime(dst, (t0 + i, t0 + i))
         src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
         sp = F.split(F.col("value"), " ")

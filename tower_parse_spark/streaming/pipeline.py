@@ -45,6 +45,33 @@ def packed_stream(lines: DataFrame, profile: DeviceProfile) -> DataFrame:
     return stream_pack(parsed, profile.pack_length, group)
 
 
+def make_epoch_writer(out_dir: str, group_col: str):
+    """The idempotent per-epoch pack writer ``write_packs`` installs.
+
+    Dynamic partition overwrite keyed by (group, pack_id): a pack is
+    emitted by ``stream_pack`` in exactly ONE epoch (only completed packs
+    leave the state store; the tail rides in state), so an epoch owns a
+    fixed set of (group, pack_id) partitions. A replayed epoch — crash
+    after the parquet write but before the checkpoint commit — recomputes
+    the same packs from the same offsets + pre-epoch state version and
+    OVERWRITES exactly its own partition dirs, leaving every other pack
+    untouched. Replay is therefore a no-op, which upgrades at-least-once
+    append to an exactly-once end state
+    (`tests/test_streaming.py::test_exactly_once_across_kill_restart`).
+    """
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.repartition(group_col, "pack_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(group_col, "pack_id")
+            .parquet(out_dir)
+        )
+
+    return write_epoch
+
+
 def write_packs(
     packed: DataFrame,
     out_dir: str,
@@ -67,21 +94,13 @@ def write_packs(
     The in-batch repartition on (group, pack_id) makes each completed pack
     exactly one parquet file — the reference's one-npz-per-pack layout.
 
-    Delivery: offsets are checkpointed per epoch; a replayed epoch
-    re-appends its packs (at-least-once), which still upgrades the
-    reference's drop-pack-on-failure at-most-once (readport.py:409-419).
-    Dedup on read: packs are keyed by (group, pack_id)."""
-
-    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.repartition(group_col, "pack_id")
-            .write.mode("append")
-            .partitionBy(group_col, "pack_id")
-            .parquet(out_dir)
-        )
+    Delivery: offsets are checkpointed per epoch and the epoch writer
+    (:func:`make_epoch_writer`) is idempotent under replay, so the sink
+    holds each pack exactly once across any crash/restart — vs the
+    reference's drop-pack-on-failure at-most-once (readport.py:409-419)."""
 
     writer = (
-        packed.writeStream.foreachBatch(write_epoch)
+        packed.writeStream.foreachBatch(make_epoch_writer(out_dir, group_col))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .queryName(query_name)
