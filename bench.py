@@ -33,6 +33,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q21_blame_suppliers",
     "top_customers_per_nation",
     "running_revenue_by_nation",
     "revenue_rollup",
@@ -47,21 +52,28 @@ HEADLINE = [
     "events_session_window",
     "events_asof_order",
     "events_order_range_join",
+    "events_time_rollup",
     "orders_with_returns",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "dedup_cluster_resolution",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "decontaminate_ngram",
     "train_val_split",
     "market_share_by_year",
     "text_quality",
     "text_token_stats",
     "text_fingerprint",
+    "text_pii_redact",
     "multimodal_decode",
     "training_data_pipeline",
+    "doc_chunking",
+    "streaming_late_data",
 ]
 
 

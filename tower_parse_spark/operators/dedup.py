@@ -314,7 +314,11 @@ def embedding_near_dup_pairs(
     unblocked-corpus case) that degenerates toward all-pairs, while the
     2^planes LSH buckets stay balanced by construction. *dim* (vector
     dimensionality) is needed to build the hyperplane literals for the
-    default path; if omitted it is inferred with a single-row peek.
+    default path — PASS IT EXPLICITLY when known: the fallback inference
+    runs a Spark job at plan-build time (surprising for a DataFrame-in/
+    DataFrame-out operator). The inference aggregates max(size) over
+    non-null vectors, so a NULL first row cannot poison the bucket
+    expression.
     """
     if block_col is not None:
         blk = F.col(block_col)
@@ -322,8 +326,11 @@ def embedding_near_dup_pairs(
         from tower_parse_spark.operators.similarity import bucket_expr
 
         if dim is None:
-            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-            dim = row["d"] if row is not None else 1  # empty df: any dim
+            row = df.filter(F.col(vec_col).isNotNull()).agg(
+                F.max(F.size(F.col(vec_col))).alias("d")
+            ).first()
+            d = row["d"] if row is not None else None
+            dim = d if d is not None and d > 0 else 1  # empty df: any dim
         blk = bucket_expr(as_double(F.col(vec_col)), dim)
     # norm projected per row pre-join: scoring a pair is one dot fold,
     # not three traversals (bit-identical — same fold per row)

@@ -246,9 +246,16 @@ emb2 AS (
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cos >= 0.9) within label blocks."""
+    """Embedding near-dup pairs (cos >= 0.9) via the DEFAULT sign-LSH
+    bucket blocking (the scale path: 2^planes balanced buckets vs the
+    O(n^2/B) label self-join — at sf0.1 the label-blocked form scored
+    ~800k pairs, the bucketed form ~1/6 of that). The oracle reproduces
+    the same seedless hyperplane lattice, so kept/compared pairs match
+    exactly; near-dups whose perturbation flips a sign bit are missed by
+    BOTH engines identically (the documented LSH recall tradeoff —
+    SCALE.md's recall table quantifies it)."""
     return D.embedding_near_dup_pairs(
-        _emb_with_near_copies(spark, sf_dir), block_col="label", threshold=0.9
+        _emb_with_near_copies(spark, sf_dir), threshold=0.9, dim=64
     ).orderBy("id1", "id2")
 
 
@@ -258,11 +265,29 @@ _SQL_COS = (
     " * sqrt(list_sum(list_transform(r.embedding, x -> x*x))))"
 )
 
+def _sql_lsh_bucket(planes: int = 6) -> str:
+    """The sign-LSH bucket id in DuckDB SQL — same seedless hyperplane
+    lattice as operators/similarity.py::hyperplane (plane_j[i] =
+    ((i*31 + j*17) % 13) - 6, i 0-based; here p[2] is 1-based)."""
+    terms = []
+    for j in range(planes):
+        d = (
+            "list_sum(list_transform("
+            "list_zip(embedding, range(1, len(embedding) + 1)), "
+            f"p -> p[1] * ((((p[2] - 1) * 31 + {j} * 17) % 13) - 6)))"
+        )
+        terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 DEDUP_EMB_COS_ORACLE = f"""
-WITH {_EMB_NEAR_COPIES_SQL}
+WITH {_EMB_NEAR_COPIES_SQL},
+blocked AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket()} AS blk FROM emb2
+)
 SELECT l.vec_id AS id1, r.vec_id AS id2,
        round({_SQL_COS}, 4) AS cos_sim
-FROM emb2 l JOIN emb2 r ON l.label = r.label AND l.vec_id < r.vec_id
+FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.vec_id < r.vec_id
 WHERE round({_SQL_COS}, 4) >= 0.9
 ORDER BY id1, id2
 """
