@@ -134,6 +134,23 @@ def test_scalable_grouped_no_single_partition(spark):
     assert got[:8] == [(i, 0) for i in range(7)] + [(7, 1)]
 
 
+def test_scalable_grouped_offset_map_guard(spark, monkeypatch):
+    """Past MAX_OFFSET_ENTRIES (group x bucket) plan literals the grouped
+    form must fail loudly, directing callers to the window form — not
+    build a driver-OOM-sized create_map (bound shrunk via monkeypatch so
+    the test stays tiny)."""
+    import tower_parse_spark.operators.pack as pack_mod
+
+    monkeypatch.setattr(pack_mod, "MAX_OFFSET_ENTRIES", 3)
+    rows = [(i, float(i), i % 4) for i in range(80)]
+    df = spark.createDataFrame(rows, "event_id long, time double, level int")
+    with pytest.raises(ValueError, match="window .?form|with_pack_id"):
+        with_pack_id_scalable(
+            df, 5, order_col="time", tiebreak_col="event_id",
+            num_buckets=2, group_col="level",
+        )
+
+
 def test_ungrouped_auto_dispatch_no_single_partition_window(spark):
     """Ungrouped with_pack_id must not build a single-partition global
     window: the auto-dispatched plan matches the window form's output and

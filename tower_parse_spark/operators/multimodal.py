@@ -49,11 +49,31 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
-def decode_real(payload: bytes) -> dict:  # pragma: no cover - by design
-    """The real decoder hook (image/audio libs not in this container)."""
-    raise NotImplementedError(
-        "plug a real decoder here, e.g. PIL.Image.open(io.BytesIO(payload))"
-    )
+def decode_real(payload: bytes) -> dict:
+    """Real image decode via Pillow — the optional-dependency production
+    decoder behind the same contract as :func:`decode_stub` (n_bytes /
+    width / height / format). Pillow is not baked into this container,
+    so the import is gated: where it is absent the error names the
+    dependency instead of failing mid-executor with a bare ImportError.
+    ``tests/test_multimodal.py::test_decode_real_with_pillow`` exercises
+    the full mapInPandas path wherever Pillow IS installed
+    (pytest.importorskip)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container lacks PIL
+        raise NotImplementedError(
+            "decode_real needs the optional 'pillow' dependency "
+            "(pip install pillow); decode_stub is the hermetic default"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "n_bytes": len(payload),
+            "width": im.width,
+            "height": im.height,
+            "format": (im.format or "unknown").lower(),
+        }
 
 
 def decode_batches(
@@ -67,10 +87,16 @@ def decode_batches(
         yield out
 
 
-def decode_payloads(df_with_payload: DataFrame) -> DataFrame:
-    """Distributed decode: Arrow-batched Pandas over every partition."""
+def decode_payloads(df_with_payload: DataFrame, decoder=decode_stub) -> DataFrame:
+    """Distributed decode: Arrow-batched Pandas over every partition.
+    *decoder* picks the per-payload function — :func:`decode_stub`
+    (hermetic default, exact SQL oracle) or :func:`decode_real`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return decode_batches(it, decoder=decoder)
+
     return df_with_payload.select("doc_id", "payload").mapInPandas(
-        decode_batches, schema=DECODED_SCHEMA
+        batches, schema=DECODED_SCHEMA
     )
 
 

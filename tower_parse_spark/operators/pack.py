@@ -78,6 +78,14 @@ def with_pack_id(
     )
 
 
+#: grouped-mode driver-plan bound: the offset create_map holds
+#: groups x buckets literal entries in the PLAN; past ~100k entries the
+#: plan itself becomes driver-memory- and analysis-time-hostile. The
+#: guard turns that misuse into a named error pointing at the window
+#: form (which needs no driver state) instead of a silent driver OOM.
+MAX_OFFSET_ENTRIES = 100_000
+
+
 def with_pack_id_scalable(
     df: DataFrame,
     pack_length: int,
@@ -202,6 +210,14 @@ def with_pack_id_scalable(
             for bkt, n in sorted(items):
                 offset_entries += [f"{g}\x1f{bkt}", running]
                 running += n
+        if len(offset_entries) > 2 * MAX_OFFSET_ENTRIES:
+            raise ValueError(
+                f"with_pack_id_scalable grouped mode builds a plan-literal "
+                f"offset map of {len(offset_entries) // 2} (group, bucket) "
+                f"entries — over the {MAX_OFFSET_ENTRIES} driver-plan bound. "
+                f"For high-cardinality groups use with_pack_id (window "
+                f"form): its per-group window needs no driver state at all."
+            )
         offset_col = F.create_map(*[F.lit(x) for x in offset_entries])
         okey = F.concat_ws("\x1f", gkey_expr, F.col("_bkt").cast("string"))
     else:

@@ -65,29 +65,84 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
     return spark
 
 
+def _size_bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    """Read a byte-size SQL conf accepting every form Spark does
+    ('134217728', '134217728b', '128m', '1g'): delegate to Spark's own
+    JavaUtils parser, fall back to plain-int, then to *default* — a
+    caller-set '128m' must not explode an unrelated query from inside a
+    parallelism helper."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
+        return default
+    try:
+        jvm = spark.sparkContext._jvm
+        return int(
+            jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                str(raw)
+            )
+        )
+    except Exception:
+        try:
+            return int(str(raw).lower().rstrip("b"))
+        except ValueError:
+            return default
+
+
+#: past this many files the metadata simulation is more FS stats than the
+#: exact answer costs — fall back to Spark's own partition planning
+_MAX_STAT_FILES = 4096
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
-    """Estimate how many input splits the file scan will produce, from
-    file metadata only (no job, no RDD conversion): each file yields
-    ceil(size / maxPartitionBytes) splits. Returns None for non-file
-    relations (literal rows, streams, post-shuffle plans)."""
+    """Estimate how many scan partitions Spark will plan, from file
+    metadata only (no job): mirrors FilePartition's split math —
+    maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + files*openCost) / defaultParallelism)), files chopped
+    into maxSplitBytes chunks, chunks greedily bin-packed largest-first
+    with openCost added per chunk. Plain per-file ceil(size/
+    maxPartitionBytes) overestimates many-small-files tables, which
+    Spark bin-packs into far fewer partitions. Returns None for
+    non-file relations (literal rows, streams, post-shuffle plans) and
+    for very wide file lists (caller falls back to the exact planner
+    count)."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
-    if not files:
+    if not files or len(files) > _MAX_STAT_FILES:
         return None
     spark = df.sparkSession
-    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    max_bytes = int(str(raw).lower().rstrip("b") or 134217728)
+    max_pb = _size_bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    open_cost = _size_bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 * 1024 * 1024
+    )
     sc = spark.sparkContext
     hconf = sc._jsc.hadoopConfiguration()
     jvm = sc._jvm
-    total = 0
+    sizes = []
     for uri in files:
         p = jvm.org.apache.hadoop.fs.Path(uri)
         fs = p.getFileSystem(hconf)
-        total += -(-fs.getFileStatus(p).getLen() // max_bytes)
-    return int(total)
+        sizes.append(int(fs.getFileStatus(p).getLen()))
+    par = max(sc.defaultParallelism, 1)
+    bytes_per_core = (sum(sizes) + len(sizes) * open_cost) // par
+    max_split = max(min(max_pb, max(open_cost, bytes_per_core)), 1)
+    chunks: list[int] = []
+    for sz in sizes:
+        while sz > max_split:
+            chunks.append(max_split)
+            sz -= max_split
+        chunks.append(sz)
+    chunks.sort(reverse=True)
+    parts, current = 0, 0
+    for c in chunks:  # Spark's greedy closePartition loop
+        if current + c > max_split and current > 0:
+            parts += 1
+            current = 0
+        current += c + open_cost
+    return parts + (1 if current > 0 else 0)
 
 
 def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -98,18 +153,14 @@ def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame
     already has >= cores splits and passes through untouched, so the
     shuffle is only paid when it is worth cores-x speedup.
 
-    The partition probe is file-metadata arithmetic (size /
-    maxPartitionBytes per file): job-free, no DataFrame->RDD conversion,
-    a handful of filesystem stats. When the file count already reaches
-    the target the stats are skipped too; non-file relations fall back
-    to the RDD partition count (tiny literal test inputs)."""
+    The partition probe simulates Spark's own FilePartition bin-packing
+    from file metadata (job-free, no DataFrame->RDD conversion, one FS
+    stat per file) — a raw file COUNT is not evidence of parallelism,
+    because Spark packs many small files into few partitions
+    (openCostInBytes). Non-file relations (tiny literal test inputs)
+    and very wide file lists fall back to the RDD partition count —
+    Spark's exact planning answer, at the cost of the plan conversion."""
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if len(files) >= target:
-        return df  # >= one split per file: parallel enough already
     est = _estimated_scan_splits(df)
     if est is None:
         est = df.rdd.getNumPartitions()
