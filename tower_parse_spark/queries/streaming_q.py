@@ -189,24 +189,32 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(spool)
     try:
         t0 = time.time() - N_WM_BATCHES - 10
-        for i in range(N_WM_BATCHES):
-            raw = os.path.join(tmp, f"raw{i}")
-            (
-                ev.filter(F.col("event_id") % N_WM_BATCHES == i)
-                .select(
-                    F.format_string(
-                        "%.17g %.17g", F.col("t"), F.col("value")
-                    ).alias("value")
-                )
-                .coalesce(1)
-                .write.text(raw)
+        # ONE spool job for all batches: partition the write by the
+        # residue class (batch key), then rename each class's part files
+        # into mtime order — vs one filter+coalesce job per batch, which
+        # re-scanned events N_WM_BATCHES times.
+        raw = os.path.join(tmp, "raw")
+        (
+            ev.select(
+                (F.col("event_id") % N_WM_BATCHES).alias("b"),
+                F.format_string(
+                    "%.17g %.17g", F.col("t"), F.col("value")
+                ).alias("value"),
             )
-            parts = glob.glob(os.path.join(raw, "part-*"))
+            .repartition(N_WM_BATCHES, "b")
+            .write.partitionBy("b")
+            .text(raw)
+        )
+        for i in range(N_WM_BATCHES):
+            parts = sorted(glob.glob(os.path.join(raw, f"b={i}", "part-*")))
             dst = os.path.join(spool, f"b{i:02d}.txt")
             if parts:
-                shutil.move(parts[0], dst)
+                with open(dst, "wb") as out_f:
+                    for p in parts:
+                        with open(p, "rb") as in_f:
+                            shutil.copyfileobj(in_f, out_f)
             else:
-                # Spark writes no part file for an empty partition; an
+                # Spark writes no part dir for an empty partition; an
                 # empty residue class (tiny/filtered fixture) still gets
                 # an empty batch file so the trigger layout — and the
                 # oracle's batch numbering — stays intact.
