@@ -172,25 +172,49 @@ def ivf_topk(
     only probed cells are read (partition pruning on cell id).
 
     *centroids*: pass :func:`kmeans_centroids` output for a trained
-    quantizer; default is the seedless lattice (oracle-reproducible)."""
+    quantizer; default is the seedless lattice (oracle-reproducible).
+
+    The k-cosine score array and each masking level are STAGED as named
+    columns (the round-1 lesson: an expression referenced N times is
+    inlined N times by Catalyst — the nprobe masked-argmax embeds the
+    score array recursively, so unstaged trees grow combinatorially in
+    nprobe). Identical arithmetic, identical values."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     c = (
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("cell", ivf_cells(F.col("cv"), dim, 1, centroids=centroids)[0])
-        .withColumn("cn", norm(F.col("cv")))
-    )
-    p = (
-        probes.select(
-            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
-        )
+        .withColumn("sc", _centroid_cos_scores(F.col("cv"), cents))
         .withColumn(
-            "cell",
-            F.explode(
-                F.array(
-                    *ivf_cells(F.col("pv"), dim, nprobe, centroids=centroids)
-                )
-            ),
+            "cell", F.array_position(F.col("sc"), F.array_max(F.col("sc")))
         )
+        .withColumn("cn", norm(F.col("cv")))
+        .drop("sc")
+    )
+    p = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+    ).withColumn("sc0", _centroid_cos_scores(F.col("pv"), cents))
+    cell_cols = []
+    for lvl in range(nprobe):
+        best = F.array_position(
+            F.col(f"sc{lvl}"), F.array_max(F.col(f"sc{lvl}"))
+        )
+        p = p.withColumn(f"cell{lvl}", best)
+        if lvl + 1 < nprobe:
+
+            def _mask(chosen):
+                return lambda x, i: F.when(
+                    i + 1 == chosen, F.lit(-9.0)
+                ).otherwise(x)
+
+            p = p.withColumn(
+                f"sc{lvl + 1}",
+                F.transform(F.col(f"sc{lvl}"), _mask(F.col(f"cell{lvl}"))),
+            )
+        cell_cols.append(F.col(f"cell{lvl}"))
+    p = (
+        p.withColumn("cell", F.explode(F.array(*cell_cols)))
         .withColumn("pn", norm(F.col("pv")))
+        .drop(*[f"sc{i}" for i in range(nprobe)])
+        .drop(*[f"cell{i}" for i in range(nprobe)])
     )
     scored = c.join(F.broadcast(p), "cell").select(
         probe_id_col,
