@@ -1,0 +1,106 @@
+"""ANN scale smoke: brute-force vs LSH vs IVF at 100k+ vectors.
+
+Generates a synthetic clustered corpus with spark.range (distributed,
+zero I/O — the vector is a deterministic function of the id, so there
+is no driver-side data generation), then times each index family for
+the same top-k probe workload. The point is the CROSSOVER: brute force
+scores |corpus| x |probes| pairs, the bucketed families score ~1/B of
+that — the gap that widens to make-or-break at 10^9 vectors.
+
+Prints one JSON line; numbers land in SCALE.md.
+
+Usage: python tools/ann_scale_smoke.py [n_vecs] [n_probes]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from tower_parse_spark.operators import similarity as S  # noqa: E402
+from tower_parse_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+K = 10
+N_CLUSTERS = 32
+
+
+def corpus_df(spark, n: int):
+    """Clustered vectors as a pure id function: component i of vector v
+    = lattice(cluster, i) + small id-dependent jitter. JVM-side
+    expression, fully distributed, reproducible."""
+    r = spark.range(0, n, 1, 64)
+    cl = F.col("id") % N_CLUSTERS
+    idx = F.sequence(F.lit(0), F.lit(DIM - 1))
+    vec = F.transform(
+        idx,
+        lambda i: (
+            ((cl * 37 + i * 11) % 19 - 9).cast("double")
+            + ((F.col("id") * 7919 + i * 104729) % 1000).cast("double")
+            / 2500.0
+        ),
+    )
+    return r.select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    n_probes = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    spark = get_spark("ann-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    corpus = corpus_df(spark, n).localCheckpoint(eager=True)
+    probes = (
+        corpus_df(spark, n_probes * 997)
+        .filter(F.col("vec_id") % 997 == 0)
+        .select(
+            (F.col("vec_id") + 10_000_000).alias("probe_id"), "embedding"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    out: dict[str, float] = {}
+
+    def timed(name, make):
+        t0 = time.time()
+        make().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+
+    timed("brute", lambda: S.brute_force_topk(corpus, probes, k=K))
+    timed(
+        "lsh",
+        lambda: S.hyperplane_lsh_topk(corpus, probes, dim=DIM, k=K),
+    )
+    timed(
+        "lsh_multiprobe",
+        lambda: S.hyperplane_lsh_topk(
+            corpus, probes, dim=DIM, k=K, multiprobe=True
+        ),
+    )
+    timed(
+        "ivf_np2",
+        lambda: S.ivf_topk(corpus, probes, dim=DIM, k=K, nprobe=2),
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "ann_scale_smoke",
+                "n_vecs": n,
+                "n_probes": n_probes,
+                "dim": DIM,
+                "k": K,
+                "sec": out,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
