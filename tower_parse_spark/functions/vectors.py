@@ -42,6 +42,61 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---- single-fold multi-accumulator variants -------------------------------
+#
+# HOF folds are interpreted per element, so k separate dot() calls cost k
+# full array traversals. Carrying all k dot accumulators (plus optionally
+# the self-square for the norm) through ONE traversal is the same trick
+# the simhash fingerprint uses for its 32 bit counters (operators/
+# dedup.py) — measured 4x there in round 3. Each accumulator's summation
+# is still the identical 0.0-seeded, index-ascending left fold, so every
+# dot/norm value is bit-for-bit what the one-at-a-time folds (and the
+# DuckDB oracle's list_sum) produce.
+
+
+def multi_dot_lit(
+    a: Column, weights: list[list[float]], with_self_sq: bool = False
+) -> Column:
+    """``[dot(a, w_0), ..., dot(a, w_{k-1})]`` — plus ``sum(a[i]^2)`` as
+    a final element when *with_self_sq* — in one array traversal.
+
+    The caller must reference the result ONCE (or stage it as its own
+    column): interpreted evaluation has no common-subexpression reuse,
+    so every extra reference re-runs the fold."""
+    k = len(weights)
+    dim = len(weights[0])
+    wmat = F.array(
+        *[
+            F.array(*[F.lit(float(weights[j][i])) for j in range(k)])
+            for i in range(dim)
+        ]
+    )
+
+    def _per_element(x, row):
+        prods = F.transform(row, lambda w: x * w)
+        return F.concat(prods, F.array(x * x)) if with_self_sq else prods
+
+    width = k + 1 if with_self_sq else k
+    return F.aggregate(
+        F.zip_with(a, wmat, _per_element),
+        F.array(*([F.lit(0.0)] * width)),
+        lambda acc, p: F.zip_with(acc, p, lambda s, q: s + q),
+    )
+
+
+def lit_norm(weights: list[float]) -> float:
+    """Norm of a constant vector, computed driver-side with the same
+    0.0-seeded left fold as norm() — Python floats are IEEE doubles and
+    math.sqrt is correctly rounded like JVM/DuckDB sqrt, so the value is
+    bit-identical to the runtime fold over the same literals."""
+    import math
+
+    acc = 0.0
+    for x in weights:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 # ---- SQL twins (DuckDB dialect); {a}/{b} are DOUBLE[] expressions ----------
 
 SQL_DOT = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"

@@ -25,7 +25,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from tower_parse_spark.functions.vectors import as_double, cosine, dot, norm
+from tower_parse_spark.functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    lit_norm,
+    multi_dot_lit,
+    norm,
+)
 
 #: number of hyperplanes (sign bits) for the LSH bucket key
 LSH_PLANES = 6
@@ -43,13 +50,27 @@ def hyperplane(dim: int, j: int) -> list[float]:
 
 
 def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
-    """LSH bucket id = sum_j (dot(v, plane_j) >= 0) << j."""
-    acc = F.lit(0).cast("long")
-    for j in range(planes):
-        plane = F.array(*[F.lit(x) for x in hyperplane(dim, j)])
-        bit = (dot(vec_col, plane) >= 0).cast("long")
-        acc = acc + F.shiftleft(bit, j)
-    return acc
+    """LSH bucket id = sum_j (dot(v, plane_j) >= 0) << j.
+
+    All *planes* dots ride ONE array traversal (multi_dot_lit — the
+    simhash single-fold pattern), and the fold result is referenced
+    exactly once: the sign/weight mapping and the bit-sum are a
+    zip_with + fold over the k-wide dot array, so the expensive
+    traversal is never re-inlined. Each dot is bit-identical to the
+    separate-fold form, so bucket ids (and the DuckDB oracle's) are
+    unchanged."""
+    dots = multi_dot_lit(vec_col, [hyperplane(dim, j) for j in range(planes)])
+    powers = F.array(
+        *[F.lit(1 << j).cast("long") for j in range(planes)]
+    )
+    bits = F.zip_with(
+        dots,
+        powers,
+        lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc + b
+    )
 
 
 def centroid(dim: int, j: int) -> list[float]:
@@ -86,11 +107,12 @@ def kmeans_centroids(
     vecs = df.select(as_double(F.col(vec_col)).alias("v"))
     cents = lattice_centroids(dim, k)
     for _ in range(iters):
-        scores = _centroid_cos_scores(F.col("v"), cents)
-        assigned = vecs.select(
+        assigned = _with_centroid_scores(vecs, "v", cents).select(
             "v",
-            F.array_position(scores, F.array_max(scores)).alias("cell"),
-            F.array_max(scores).alias("best"),
+            F.array_position(F.col("sc"), F.array_max(F.col("sc"))).alias(
+                "cell"
+            ),
+            F.array_max(F.col("sc")).alias("best"),
         )
         means = (
             assigned.groupBy("cell")
@@ -117,12 +139,52 @@ def kmeans_centroids(
 
 
 def _centroid_cos_scores(vec_col, centroids: list[list[float]]):
-    """Array of cosine similarities to each centroid (plan literals)."""
+    """Array of cosine similarities to each centroid (plan literals).
+
+    Expression form: k separate cosine folds. Fine for single-reference
+    expression contexts (ivf_cells); DataFrame pipelines should prefer
+    :func:`_with_centroid_scores`, which computes all k dots + the
+    vector norm in ONE staged traversal."""
     scores = []
     for c in centroids:
         carr = F.array(*[F.lit(float(x)) for x in c])
         scores.append(cosine(vec_col, carr))
     return F.array(*scores)
+
+
+def _with_centroid_scores(
+    df: DataFrame,
+    vec_colname: str,
+    centroids: list[list[float]],
+    out: str = "sc",
+    out_norm: str | None = None,
+):
+    """Stage the k-cosine score array as column *out* from ONE array
+    traversal: a (k+1)-accumulator fold (k dots + the self-square, the
+    simhash single-fold pattern) staged as its own column, with the k
+    scores derived from cheap slot reads. Replaces 2k interpreted
+    traversals per row (k dot folds + k vector-norm folds) with one.
+    *out_norm* optionally also materializes the vector norm from the
+    same fold. Values are bit-identical to the cosine() form: each
+    accumulator keeps the 0.0-seeded index-ascending summation, the
+    constant centroid norms fold driver-side (lit_norm), and the
+    division keeps the d / (vnorm * cnorm) grouping."""
+    k = len(centroids)
+    df = df.withColumn(
+        "_scraw",
+        multi_dot_lit(F.col(vec_colname), centroids, with_self_sq=True),
+    )
+    vnorm = F.sqrt(F.col("_scraw")[k])
+    scores = F.array(
+        *[
+            F.col("_scraw")[j] / (vnorm * F.lit(lit_norm(centroids[j])))
+            for j in range(k)
+        ]
+    )
+    df = df.withColumn(out, scores)
+    if out_norm is not None:
+        df = df.withColumn(out_norm, vnorm)
+    return df.drop("_scraw")
 
 
 def ivf_cells(
@@ -181,17 +243,28 @@ def ivf_topk(
     nprobe). Identical arithmetic, identical values."""
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     c = (
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
-        .withColumn("sc", _centroid_cos_scores(F.col("cv"), cents))
+        _with_centroid_scores(
+            corpus.select(
+                F.col(id_col), as_double(F.col(vec_col)).alias("cv")
+            ),
+            "cv",
+            cents,
+            out_norm="cn",
+        )
         .withColumn(
             "cell", F.array_position(F.col("sc"), F.array_max(F.col("sc")))
         )
-        .withColumn("cn", norm(F.col("cv")))
         .drop("sc")
     )
-    p = probes.select(
-        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
-    ).withColumn("sc0", _centroid_cos_scores(F.col("pv"), cents))
+    p = _with_centroid_scores(
+        probes.select(
+            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+        ),
+        "pv",
+        cents,
+        out="sc0",
+        out_norm="pn",
+    )
     cell_cols = []
     for lvl in range(nprobe):
         best = F.array_position(
@@ -212,7 +285,6 @@ def ivf_topk(
         cell_cols.append(F.col(f"cell{lvl}"))
     p = (
         p.withColumn("cell", F.explode(F.array(*cell_cols)))
-        .withColumn("pn", norm(F.col("pv")))
         .drop(*[f"sc{i}" for i in range(nprobe)])
         .drop(*[f"cell{i}" for i in range(nprobe)])
     )
