@@ -12,6 +12,16 @@ A warm-up query first absorbs JVM/codegen startup, and each query is
 timed twice with the best run reported: sub-second queries scatter
 ±0.3 s run-to-run on a busy JVM, and best-of-2 reports the plan's
 steady state rather than GC luck.
+
+Noise is reported, not guessed (VERDICT r4 item 2 — the same code
+measured 61.3 s on the driver and 50.8 s locally, ±20%): the output
+carries every individual run time ("runs") plus a per-query relative
+spread and its median ("noise_median_pct"), so a cross-round per-query
+regression check can ask "is this delta outside the measured run-to-run
+spread?" instead of comparing two single samples.
+
+``--all`` benches every registry query instead of the headline set
+(one-off sweep for sleeper-plan detection — VERDICT r4 item 8).
 """
 
 from __future__ import annotations
@@ -108,18 +118,23 @@ def main() -> int:
     import gc
     import traceback
 
+    names = HEADLINE
+    if "--all" in sys.argv:
+        names = list(qs)
+
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
+    spread_pct: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in names:
         if name not in qs:
             continue
-        best = None
+        samples: list[float] = []
         try:
             for _ in range(2):
                 t0 = time.time()
                 materialize(qs[name](spark, sf_dir))
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                samples.append(time.time() - t0)
                 # release localCheckpoint blocks of the finished run: the JVM
                 # frees them only when the Python-side DataFrame is collected
                 gc.collect()
@@ -128,15 +143,23 @@ def main() -> int:
             # evidence: record the error, keep timing the rest.
             errors[name] = traceback.format_exc(limit=3)
             continue
+        best = min(samples)
         times[name] = round(best, 3)
+        runs[name] = [round(s, 3) for s in samples]
+        spread_pct[name] = round(100.0 * (max(samples) - best) / best, 1)
 
     total = round(sum(times.values()), 3)
+    spreads = sorted(spread_pct.values())
+    noise_median = spreads[len(spreads) // 2] if spreads else 0.0
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "runs": runs,
+        "spread_pct": spread_pct,
+        "noise_median_pct": noise_median,
     }
     if errors:
         out["errors"] = errors

@@ -155,3 +155,41 @@ def test_simhash_fast_family(spark):
         }
         assert fps[1] == fps[2]
         assert fps[1] != fps[3]
+
+
+def test_embedding_dedup_planted_pair_recall(spark):
+    """Lattice-independent recall gate for the sign-LSH blocking default
+    (ADVICE r4): the oracle reproduces the same hyperplane lattice as
+    the engine, so a shared misunderstanding of the blocking would pass
+    the hash check silently. This floor is computed against a
+    BLOCKING-FREE ground truth — the fixture's injected near-copies
+    (vec_id, vec_id+1e6) joined directly on id, cosine >= 0.9 — so it
+    fails if the lattice ever starts splitting genuine near-duplicates
+    into different buckets wholesale. Measured recall 0.958 at sf0.001
+    (0.964 at sf0.01); the misses are the documented near-boundary sign
+    flips (SCALE.md recall table)."""
+    from tower_parse_spark.functions.vectors import as_double, dot, norm
+    from tower_parse_spark.queries.llm import _emb_with_near_copies
+
+    emb2 = _emb_with_near_copies(spark, "/root/testdata/sf0.001")
+    base = emb2.filter(F.col("vec_id") < 1_000_000).select(
+        F.col("vec_id").alias("b_id"),
+        as_double(F.col("embedding")).alias("bv"),
+    )
+    copy = emb2.filter(F.col("vec_id") >= 1_000_000).select(
+        (F.col("vec_id") - 1_000_000).alias("b_id"),
+        as_double(F.col("embedding")).alias("cv"),
+    )
+    cos = dot(F.col("bv"), F.col("cv")) / (
+        norm(F.col("bv")) * norm(F.col("cv"))
+    )
+    truth = (
+        base.join(copy, "b_id")
+        .filter(F.round(cos, 4) >= 0.9)
+        .count()
+    )
+    assert truth >= 400  # the fixture really does plant near-copies
+
+    lsh = D.embedding_near_dup_pairs(emb2, threshold=0.9, dim=64)
+    found = lsh.filter(F.col("id2") == F.col("id1") + 1_000_000).count()
+    assert found / truth >= 0.9

@@ -4,7 +4,7 @@ Builds a deterministic clustered corpus (10k vectors, dim 16, 10
 directional clusters with noise), computes exact top-k per probe with
 ``brute_force_topk``, then recall@k for:
 
-- ``hyperplane_lsh_topk`` — planes sweep, multiprobe on/off
+- ``hyperplane_lsh_topk`` — planes sweep, multiprobe Hamming radius 0/1/2
 - ``ivf_topk`` — trained k-means quantizer, nprobe sweep
 
 Run: ``python tools/ann_recall.py`` — prints one JSON line. The pytest
@@ -93,11 +93,11 @@ def measure(
 
     out: dict[str, float] = {}
     for planes in planes_list:
-        for multi in (False, True):
+        for radius in (0, 1, 2):
             rows_a = S.hyperplane_lsh_topk(
-                corpus, probes, dim=DIM, k=K, planes=planes, multiprobe=multi
+                corpus, probes, dim=DIM, k=K, planes=planes, multiprobe=radius
             ).collect()
-            key = f"lsh_p{planes}" + ("_multi" if multi else "")
+            key = f"lsh_p{planes}" + ("", "_multi", "_multi2")[radius]
             out[key] = round(recall_at_k(rows_a, truth), 4)
 
     cents = S.kmeans_centroids(corpus, dim=DIM, k=8, iters=5)

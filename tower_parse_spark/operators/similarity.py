@@ -56,9 +56,18 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
     simhash single-fold pattern), and the fold result is referenced
     exactly once: the sign/weight mapping and the bit-sum are a
     zip_with + fold over the k-wide dot array, so the expensive
-    traversal is never re-inlined. Each dot is bit-identical to the
-    separate-fold form, so bucket ids (and the DuckDB oracle's) are
-    unchanged."""
+    traversal is never re-inlined. For well-formed vectors each dot is
+    bit-identical to the separate-fold form, so bucket ids (and the
+    DuckDB oracle's) agree.
+
+    NULL semantics: a NULL dot (a NULL vector element, or a
+    dim-mismatched vector whose zip_with pads with NULL) contributes
+    bit 0 via the ``otherwise(0)`` branch, so malformed vectors land in
+    a deterministic numeric bucket instead of a NULL bucket that would
+    silently drop the row from the equi-join. This matches the DuckDB
+    oracle's ``CASE ... ELSE 0`` exactly (the earlier separate-fold form
+    produced a NULL bucket for such rows — a deliberate behavior change,
+    aligned with the oracle)."""
     dots = multi_dot_lit(vec_col, [hyperplane(dim, j) for j in range(planes)])
     powers = F.array(
         *[F.lit(1 << j).cast("long") for j in range(planes)]
@@ -71,6 +80,39 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
     return F.aggregate(
         bits, F.lit(0).cast("long"), lambda acc, b: acc + b
     )
+
+
+def _explode_multiprobe(
+    p: DataFrame, planes: int, multiprobe: bool | int
+) -> DataFrame:
+    """Explode each probe row to its multiprobe bucket set.
+
+    *multiprobe* is a Hamming radius (bool kept for back-compat:
+    True == 1). Radius 0 returns the frame unchanged; radius 1 adds the
+    single-bit flips (+planes rows/probe); radius 2 adds the two-bit
+    flips (+planes*(planes-1)/2 rows/probe). Probe rows only — the
+    corpus side never widens. Radii above 2 are refused: the bucket set
+    grows as C(planes, r) and past distance 2 a wider-bucket (smaller
+    planes) index is the better recall lever."""
+    radius = int(multiprobe)
+    if radius == 0:
+        return p
+    if radius > 2:
+        raise ValueError(f"multiprobe radius {radius} not supported (max 2)")
+    flips = [F.col("bucket")]
+    flips += [
+        F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+        for j in range(planes)
+    ]
+    if radius >= 2:
+        flips += [
+            F.col("bucket").bitwiseXOR(
+                F.lit((1 << j) | (1 << l)).cast("long")
+            )
+            for j in range(planes)
+            for l in range(j + 1, planes)
+        ]
+    return p.withColumn("bucket", F.explode(F.array(*flips)))
 
 
 def centroid(dim: int, j: int) -> list[float]:
@@ -138,20 +180,6 @@ def kmeans_centroids(
     return cents
 
 
-def _centroid_cos_scores(vec_col, centroids: list[list[float]]):
-    """Array of cosine similarities to each centroid (plan literals).
-
-    Expression form: k separate cosine folds. Fine for single-reference
-    expression contexts (ivf_cells); DataFrame pipelines should prefer
-    :func:`_with_centroid_scores`, which computes all k dots + the
-    vector norm in ONE staged traversal."""
-    scores = []
-    for c in centroids:
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        scores.append(cosine(vec_col, carr))
-    return F.array(*scores)
-
-
 def _with_centroid_scores(
     df: DataFrame,
     vec_colname: str,
@@ -187,33 +215,30 @@ def _with_centroid_scores(
     return df.drop("_scraw")
 
 
-def ivf_cells(
-    vec_col,
-    dim: int,
-    nprobe: int,
-    k: int = IVF_K,
-    centroids: list[list[float]] | None = None,
-):
-    """The *nprobe* nearest centroid ids (1-based), best first.
+def assign_cells(
+    df: DataFrame,
+    vec_colname: str,
+    centroids: list[list[float]],
+    out: str = "cell",
+    out_norm: str | None = None,
+) -> DataFrame:
+    """Assign each row its nearest-centroid cell id (1-based).
 
-    argmax via array_position(scores, array_max(scores)) — first maximum
-    wins, a deterministic tie-break both engines share. Subsequent probes
-    mask the already-chosen cell and repeat.
-    """
-    scores = _centroid_cos_scores(
-        vec_col, centroids if centroids is not None else lattice_centroids(dim, k)
+    The one cell-assignment implementation in the tree — ivf_topk's
+    corpus side, kmeans assignment checks, and the prebuilt index all go
+    through the same staged single-fold scoring
+    (:func:`_with_centroid_scores`), so there is exactly one code path
+    to keep the bit-parity tests over (VERDICT r4 item 7; the older
+    per-centroid ``_centroid_cos_scores``/``ivf_cells`` expression form
+    is gone). argmax via array_position(scores, array_max(scores)) —
+    first maximum wins, the deterministic tie-break the DuckDB oracle
+    shares."""
+    df = _with_centroid_scores(
+        df, vec_colname, centroids, out="_asc", out_norm=out_norm
     )
-    cells = []
-    masked = scores
-    for _ in range(nprobe):
-        best = F.array_position(masked, F.array_max(masked))
-        cells.append(best)
-        prev = masked
-        masked = F.transform(
-            prev,
-            lambda x, i: F.when(i + 1 == best, F.lit(-9.0)).otherwise(x),
-        )
-    return cells
+    return df.withColumn(
+        out, F.array_position(F.col("_asc"), F.array_max(F.col("_asc")))
+    ).drop("_asc")
 
 
 def ivf_topk(
@@ -240,21 +265,19 @@ def ivf_topk(
     columns (the round-1 lesson: an expression referenced N times is
     inlined N times by Catalyst — the nprobe masked-argmax embeds the
     score array recursively, so unstaged trees grow combinatorially in
-    nprobe). Identical arithmetic, identical values."""
+    nprobe). Identical arithmetic, identical values.
+
+    *nprobe* is clamped to the centroid count: once every slot is
+    masked, each further argmax level would return position 1 and score
+    duplicate (probe, corpus) pairs."""
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
-    c = (
-        _with_centroid_scores(
-            corpus.select(
-                F.col(id_col), as_double(F.col(vec_col)).alias("cv")
-            ),
-            "cv",
-            cents,
-            out_norm="cn",
-        )
-        .withColumn(
-            "cell", F.array_position(F.col("sc"), F.array_max(F.col("sc")))
-        )
-        .drop("sc")
+    nprobe = min(nprobe, len(cents))
+    c = assign_cells(
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv")),
+        "cv",
+        cents,
+        out="cell",
+        out_norm="cn",
     )
     p = _with_centroid_scores(
         probes.select(
@@ -265,6 +288,15 @@ def ivf_topk(
         out="sc0",
         out_norm="pn",
     )
+    p = _explode_probe_cells(p, nprobe)
+    return _cosine_rank(c, p, k, id_col, probe_id_col, on="cell")
+
+
+def _explode_probe_cells(p: DataFrame, nprobe: int) -> DataFrame:
+    """Explode a probe frame carrying the staged score array ``sc0`` to
+    one row per probed cell: each masking level stages the previous
+    level's array with the chosen slot masked out, then re-argmaxes —
+    named columns per level, so the plan grows linearly in nprobe."""
     cell_cols = []
     for lvl in range(nprobe):
         best = F.array_position(
@@ -283,12 +315,32 @@ def ivf_topk(
                 F.transform(F.col(f"sc{lvl}"), _mask(F.col(f"cell{lvl}"))),
             )
         cell_cols.append(F.col(f"cell{lvl}"))
-    p = (
+    return (
         p.withColumn("cell", F.explode(F.array(*cell_cols)))
         .drop(*[f"sc{i}" for i in range(nprobe)])
         .drop(*[f"cell{i}" for i in range(nprobe)])
     )
-    scored = c.join(F.broadcast(p), "cell").select(
+
+
+def _cosine_rank(
+    c: DataFrame,
+    p: DataFrame,
+    k: int,
+    id_col: str,
+    probe_id_col: str,
+    on: str | None = None,
+) -> DataFrame:
+    """Shared scoring tail of every top-k path: broadcast the (small)
+    probe frame against the corpus frame — equi-joined on *on* (LSH
+    bucket / IVF cell) or a full nested loop for the exact baseline —
+    score each pair with one dot fold + two staged norm reads, and rank
+    with a per-probe window (WindowGroupLimit pushes the k cut below
+    the sort). One implementation keeps the four public paths (brute,
+    LSH, IVF, and their prebuilt-index twins) bit-identical."""
+    joined = (
+        c.join(F.broadcast(p), on) if on is not None else c.join(F.broadcast(p))
+    )
+    scored = joined.select(
         probe_id_col,
         id_col,
         F.round(
@@ -325,20 +377,7 @@ def brute_force_topk(
     p = probes.select(
         F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
     ).withColumn("pn", norm(F.col("pv")))
-    scored = c.join(F.broadcast(p)).select(
-        probe_id_col,
-        id_col,
-        F.round(
-            dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn")), 4
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _cosine_rank(c, p, k, id_col, probe_id_col)
 
 
 def hyperplane_lsh_topk(
@@ -350,16 +389,21 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
-    multiprobe: bool = False,
+    multiprobe: bool | int = False,
 ) -> DataFrame:
     """Approximate cosine top-k: score only the probe's LSH bucket.
     Norms projected per row pre-join (see brute_force_topk).
 
-    *multiprobe*: additionally search every bucket at Hamming distance 1
-    from the probe's (flip each sign bit) — the standard recall knob for
-    near-boundary neighbors. The probe side (tiny, broadcast) explodes
-    1+planes ways; the corpus side is untouched, so the join stays a
-    bucket equi-join with (planes+1)x the probe rows, NOT a wider scan.
+    *multiprobe*: Hamming multiprobe radius — additionally search every
+    bucket within that Hamming distance of the probe's (flip sign-bit
+    subsets) — the standard recall knob for near-boundary neighbors.
+    ``False``/0 = exact bucket only, ``True``/1 = the 1+planes buckets
+    at distance <=1, ``2`` = the 1+p+p(p-1)/2 buckets at distance <=2
+    (recall headroom when planes is large enough that single-bit probing
+    tops out — at planes=8 Hamming-1 plateaus near 0.63, SCALE.md). The
+    probe side (tiny, broadcast) explodes; the corpus side is untouched,
+    so the join stays a bucket equi-join with more probe rows, NOT a
+    wider scan.
     """
     c = (
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
@@ -373,26 +417,149 @@ def hyperplane_lsh_topk(
         .withColumn("bucket", bucket_expr(F.col("pv"), dim, planes))
         .withColumn("pn", norm(F.col("pv")))
     )
-    if multiprobe:
-        neighbors = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long"))
-                for j in range(planes)
-            ],
+    p = _explode_multiprobe(p, planes, multiprobe)
+    return _cosine_rank(c, p, k, id_col, probe_id_col, on="bucket")
+
+
+# ---- build-once / probe-many indexes --------------------------------------
+#
+# The inline ivf_topk / hyperplane_lsh_topk re-derive the corpus-side
+# cell/bucket + norm on every invocation — correct, but at 10^9 vectors
+# the index is built ONCE and probed many times (VERDICT r4 item 3; the
+# deployment the ivf_topk docstring promises). build_* materializes the
+# corpus side as parquet PARTITIONED BY the cell/bucket id;
+# *_topk_prebuilt computes only the probe side and reads just the probed
+# partitions — the partition-pruning path a 1000-executor cluster needs,
+# exercised for real on local[32] (the scan's PartitionFilters carries
+# cell IN (...)).
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+) -> None:
+    """Materialize the IVF inverted lists: (id, vector, norm) parquet,
+    partitioned by 1-based cell id. One distributed pass (the same
+    staged single-fold scoring as the inline path — bit-identical cell
+    assignments and norms), written with the file-sink commit protocol,
+    so a probe never sees a half-built index."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    c = assign_cells(
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv")),
+        "cv",
+        cents,
+        out="cell",
+        out_norm="cn",
+    )
+    # one shuffle on the cell key so each cell is one file, not
+    # input-partitions x cells fragments; at 10^9+ vectors raise
+    # files_per_cell so a cell spans several parallel-readable files
+    if files_per_cell > 1:
+        c = c.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
         )
-        p = p.withColumn("bucket", F.explode(neighbors))
-    scored = c.join(F.broadcast(p), "bucket").select(
-        probe_id_col,
-        id_col,
-        F.round(
-            dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn")), 4
-        ).alias("cos_sim"),
+    else:
+        c = c.repartition(F.col("cell"))
+    c.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_prebuilt(
+    spark,
+    path: str,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """ivf_topk against a :func:`build_ivf_index` index: only the probe
+    side is computed; the corpus scan reads just the probed cells.
+
+    *centroids* must be the set the index was built with. The probed
+    cell ids are collected driver-side to form the pruning predicate —
+    bounded driver state (|probes| x nprobe ints, same posture as pack
+    offsets), and the price of turning the cell filter into parquet
+    PartitionFilters instead of a full-index scan. Results are
+    bit-identical to the inline ivf_topk (same staged scoring, same
+    rank tail — tests/test_similarity.py locks the parity)."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    nprobe = min(nprobe, len(cents))
+    p = _with_centroid_scores(
+        probes.select(
+            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+        ),
+        "pv",
+        cents,
+        out="sc0",
+        out_norm="pn",
     )
-    w = W.partitionBy(probe_id_col).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col)
+    p = _explode_probe_cells(p, nprobe).localCheckpoint(eager=True)
+    cells = [r["cell"] for r in p.select("cell").distinct().collect()]
+    idx = spark.read.parquet(path).filter(
+        F.col("cell").isin([int(x) for x in cells])
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return _cosine_rank(idx, p, k, id_col, probe_id_col, on="cell")
+
+
+def build_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH-bucketed corpus: (id, vector, norm) parquet,
+    partitioned by bucket id (2^planes partitions — keep planes <= ~12
+    for a file-per-bucket layout; beyond that, bucket the table
+    instead)."""
+    c = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+        .withColumn("bucket", bucket_expr(F.col("cv"), dim, planes))
+        .withColumn("cn", norm(F.col("cv")))
     )
+    c = c.repartition(F.col("bucket"))
+    c.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_topk_prebuilt(
+    spark,
+    path: str,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = LSH_PLANES,
+    multiprobe: bool | int = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """hyperplane_lsh_topk against a :func:`build_lsh_index` index:
+    probe buckets (plus the multiprobe Hamming ball) become a
+    partition-pruning IN predicate; only those buckets are read.
+    Bit-identical to the inline path (same bucket expr, same rank
+    tail)."""
+    p = (
+        probes.select(
+            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+        )
+        .withColumn("bucket", bucket_expr(F.col("pv"), dim, planes))
+        .withColumn("pn", norm(F.col("pv")))
+    )
+    p = _explode_multiprobe(p, planes, multiprobe).localCheckpoint(
+        eager=True
+    )
+    buckets = [r["bucket"] for r in p.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(path).filter(
+        F.col("bucket").isin([int(b) for b in buckets])
+    )
+    return _cosine_rank(idx, p, k, id_col, probe_id_col, on="bucket")

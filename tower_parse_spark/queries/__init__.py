@@ -25,43 +25,49 @@ class Query:
 
 
 # The driver checks exactly the first 50 registry entries (observed cap:
-# CORRECTNESS_r01/r02/r03.json each have 50 rows cut in registry order).
-# Queries listed here rotate to the registry tail. Round-4 rotation goal
-# (VERDICT r3 #1): exactly 25 registry entries have a latest driver-green
-# row that predates round 3 — the 16 whose only green is r1
-# (pre-fixture-regeneration) plus 9 whose latest green is r2. All 25 move
-# INTO the window this round. Their places in the tail go to the 13
-# triple-green (r1+r2+r3) queries and 12 double-green queries whose
-# freshest row is r3. Each deferred query's category keeps a green
-# sibling in the window (see COVERAGE.md rotation table).
+# CORRECTNESS_r01..r04.json each have 50 rows cut in registry order).
+# Queries listed here rotate to the registry tail. Round-5 rotation goal
+# (VERDICT r4 #1): after round 4, the 25 tail queries' latest
+# driver-green row is r3 while the 50 in-window queries are r4-green.
+# Swap: all 25 r3-latest tail queries move INTO the window; 25 of the 50
+# r4-green queries move to the tail. After the r5 driver run every
+# registry entry's latest driver-green row is r4 or r5. Each deferred
+# query's category keeps a sibling in the window (see COVERAGE.md
+# rotation table). Kept in-window despite being r4-green: queries whose
+# behavior this round changes (ann_ivf_topk — scoring-path dedup;
+# streaming_late_data — bench-weight trim; dedup_embedding_cosine — one
+# driver row on the new sign-LSH blocking), sole-representative queries
+# (decontaminate_ngram, text_pii_redact, doc_chunking, events_asof_order,
+# events_order_range_join), and the flagship training_data_pipeline.
 _DEFER_TO_TAIL = [
-    # --- 3x driver-green (r1+r2+r3): freshest possible evidence ---
-    "q1_pricing_summary",  # aggregations — q6/q9/q16/q17 in window
-    "q3_shipping_priority",  # joins+topk — q5/q21/big_basket in window
-    "top_customers_per_nation",  # window funcs — order_gaps/running_rev in
-    "revenue_rollup",  # rollup — revenue_cube/events_time_rollup in
-    "events_tumbling_window",  # event-time windows — sliding/session in
-    "streaming_generator",  # streaming — late_data/pack_carry in window
-    "multimodal_decode",  # multimodal — multimodal_pipeline in window
-    "text_quality",  # text family — langid/fingerprint in window
-    "dedup_exact",  # dedup family — simhash/embedding/jaccard in window
-    "dedup_minhash_lsh",  # dedup family — same
-    "dedup_cluster_resolution",  # dedup family — same
-    "ann_cosine_topk",  # similarity — ann_ivf_topk in window
-    "ann_lsh_topk",  # similarity — same
-    # --- 2x driver-green with an r3 row: evidence already fresh ---
-    "ingest_echo",  # ingest — extract_probe/pack_scalable in window
-    "ingest_sentinel_stats",  # ingest — same
-    "ingest_multiformat",  # ingest — same
-    "ingest_malformed_routing",  # ingest — same
-    "ingest_pack_assign",  # packs — ingest_pack_scalable in window
-    "customer_order_arrays",  # arrays — events_json_props in window
-    "lineitem_math_functions",  # math — priority stats siblings in window
-    "events_map_functions",  # maps — events_json_props in window
-    "domain_mix_sample",  # sampling — train/val covered by pipeline
-    "train_val_split",  # sampling — same
-    "text_token_stats",  # text family — langid/fingerprint in window
-    "priority_ship_stats",  # agg shape — q6/q16 cover in window
+    # --- relational, all r4-green (CORRECTNESS_r04) ---
+    "q5_local_supplier",  # joins — q3 (re-entering), q9, q21 in window
+    "running_revenue_by_nation",  # window fns — order_gaps_quartiles + top_customers_per_nation in
+    "customers_without_urgent_orders",  # anti join — wealthy_inactive + q21 in window
+    "part_supplier_overlap",  # set ops — segment_set_ops in window
+    "orders_with_returns",  # semi join — q21/big-join family in window
+    "customer_order_distribution",  # agg+having — q16 + q1 (re-entering) in window
+    "min_cost_parts",  # correlated subq — wealthy_inactive_customers in window
+    "top_return_customers",  # top-k — q3 (re-entering) + top_revenue_supplier in window
+    "promo_revenue_pct",  # conditional-ratio agg — q6/q17 in window
+    "disjunctive_filter_revenue",  # filter/agg — q6 in window
+    "revenue_cube",  # grouping sets — revenue_rollup (re-entering) in window
+    "part_measures_unpivot",  # pivot/unpivot — order_priority_pivot in window
+    "nation_volume_shipping",  # Q7 shape — q9/market-share family siblings in window
+    "market_share_by_year",  # Q8 shape — q9 + nation-volume siblings in window
+    "big_basket_orders",  # join+having — q21 + q3 (re-entering) in window
+    # --- llm families, all r4-green ---
+    "dedup_simhash",  # dedup — dedup_embedding_cosine in window + 3 re-entering
+    "dedup_ngram_jaccard",  # dedup — same
+    "text_langid",  # text — text_quality/text_token_stats re-entering
+    "text_fingerprint",  # text — same
+    "multimodal_pipeline",  # multimodal — multimodal_decode re-entering
+    # --- streaming / temporal, all r4-green ---
+    "streaming_pack_carry",  # streaming stateful — streaming_late_data stays in window
+    "events_sessionize",  # sessionization — events_session_window in window
+    "events_sliding_window",  # event-time windows — session_window + tumbling (re-entering) in
+    "events_time_rollup",  # multi-resolution rollup — revenue_rollup (re-entering) in window
+    "events_value_distribution",  # percentiles — order_gaps_quartiles (ntile) in window
 ]
 
 

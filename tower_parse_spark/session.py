@@ -104,7 +104,14 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     Spark bin-packs into far fewer partitions. Returns None for
     non-file relations (literal rows, streams, post-shuffle plans) and
     for very wide file lists (caller falls back to the exact planner
-    count)."""
+    count).
+
+    Caveats (current callers only feed parquet scans, where neither
+    bites): the chunking assumes SPLITTABLE files — Spark never splits
+    gzipped text/json, so for a large non-splittable file this
+    OVERcounts partitions and the caller may skip a repartition that is
+    actually needed; and zero-length files are skipped to mirror
+    Spark's splitFiles, which emits no chunk for an empty file."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -131,6 +138,8 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     max_split = max(min(max_pb, max(open_cost, bytes_per_core)), 1)
     chunks: list[int] = []
     for sz in sizes:
+        if sz == 0:
+            continue
         while sz > max_split:
             chunks.append(max_split)
             sz -= max_split
