@@ -84,6 +84,9 @@ HEADLINE = [
     "training_data_pipeline",
     "doc_chunking",
     "streaming_late_data",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "quality_filter_funnel",
 ]
 
 

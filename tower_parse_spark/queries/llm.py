@@ -637,6 +637,312 @@ ORDER BY doc_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1):
+    unique-token ratio, duplicate-trigram fraction, and the fraction of
+    bigram slots taken by the single most frequent bigram.
+
+    Scale shape: unique/duplicate fractions are pure array expressions in
+    the scan projection (no shuffle); the top-bigram needs per-doc
+    grouping, so bigrams explode to (doc_id, bigram) rows — the shuffle
+    carries two short strings per bigram, keys are (doc_id, bigram)
+    uniform. Doc-level arrays are reduced to scalars BEFORE the join back
+    so no token array ever crosses a shuffle boundary."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", T.tokens(F.col("text"))
+    )
+    base = docs.select(
+        "doc_id",
+        F.col("_toks"),
+        T.shingles(F.col("_toks"), 2).alias("_bigrams"),
+        T.shingles(F.col("_toks"), 3).alias("_trigrams"),
+    )
+    n_tokens = F.size("_toks")
+    n_tri = F.size("_trigrams")
+    uniq = F.when(
+        n_tokens > 0, F.size(F.array_distinct("_toks")) / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_tri = F.when(
+        n_tri > 0,
+        F.lit(1.0) - F.size(F.array_distinct("_trigrams")) / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stats = base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        pround(uniq, 4).alias("unique_token_ratio"),
+        pround(dup_tri, 4).alias("dup_trigram_frac"),
+        F.size("_bigrams").alias("_n_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "bigram")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "bigram", "cnt")
+    )
+    top_frac = F.when(
+        F.col("_n_bigrams") > 0,
+        F.coalesce(F.col("cnt"), F.lit(0)) / F.col("_n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "unique_token_ratio",
+            "dup_trigram_frac",
+            F.coalesce(F.col("bigram"), F.lit("")).alias("top_bigram"),
+            pround(top_frac, 4).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), base AS (
+  SELECT doc_id, toks,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, greatest(len(toks), 1)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS bigrams,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+              ELSE [] END AS trigrams
+  FROM tok
+), bgc AS (
+  SELECT doc_id, bigram, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM base)
+  GROUP BY doc_id, bigram
+), top AS (
+  SELECT doc_id, bigram, cnt FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY cnt DESC, bigram) AS rn
+    FROM bgc
+  ) WHERE rn = 1
+)
+SELECT b.doc_id,
+       b.n_tokens,
+       {sql_pround(
+           "CASE WHEN b.n_tokens > 0 THEN len(list_distinct(b.toks))"
+           " / CAST(b.n_tokens AS DOUBLE) ELSE 0.0 END", 4)}
+         AS unique_token_ratio,
+       {sql_pround(
+           "CASE WHEN len(b.trigrams) > 0 THEN 1.0 - len(list_distinct(b.trigrams))"
+           " / CAST(len(b.trigrams) AS DOUBLE) ELSE 0.0 END", 4)}
+         AS dup_trigram_frac,
+       coalesce(t.bigram, '') AS top_bigram,
+       {sql_pround(
+           "CASE WHEN len(b.bigrams) > 0 THEN coalesce(t.cnt, 0)"
+           " / CAST(len(b.bigrams) AS DOUBLE) ELSE 0.0 END", 4)}
+         AS top_bigram_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+#: top-k terms kept per document by the TF-IDF ranking
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-k terms by TF-IDF (tf × ln(N/df)) — the keyword /
+    topic-signal extraction pass of a corpus-analysis pipeline.
+
+    Scale shape: tf is ONE (doc_id, token) agg, materialized once
+    (localCheckpoint — the standard "persist the term-frequency table"
+    step; without it Catalyst's distinct-pushdown rewrites the df branch
+    into a second full scan+explode of the corpus). df is a map-side
+    combinable agg over the materialized tf, vocabulary-sized, and is
+    **broadcast** back — the corpus-sized tf relation is never reshuffled
+    for the join (a token-partitioned window for df would skew on
+    stopword-grade tokens); the final top-k is a WindowGroupLimit per
+    doc_id. N is a driver scalar (parquet metadata count — bounded state,
+    same pattern as pack.py's quantile bounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfrel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfrel), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        pround(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rank")
+    )
+
+
+TEXT_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         {sql_pround(
+             "tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+             " / df.df)", 4)} AS tfidf
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf, rank FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
+#: quality-funnel thresholds (cumulative: each stage ANDs onto the last)
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_UNIQUE = 0.35
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-filter funnel: how many docs survive each
+    successive pipeline rule (min length -> repetition bound -> langid
+    agreement), plus the mean quality score of the survivors — the
+    per-stage attrition report every corpus-curation run needs.
+
+    All stage predicates are row-local expressions over one staged
+    tokenization; the whole query is one scan + one agg shuffle on
+    `source`. Threshold comparisons use the 4-dp pround'd ratio and the
+    survivor mean uses 1e4-quantized integer sums, so every decision and
+    every sum is bit-identical on both engines (the
+    training_data_pipeline pattern)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", T.tokens(F.col("text"))
+    )
+    feats = T.quality_features(F.col("text"), toks=F.col("_toks"))
+    n_tokens = feats["n_tokens"]
+    uniq = pround(
+        F.when(
+            n_tokens > 0,
+            F.size(F.array_distinct("_toks")) / n_tokens.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    p1 = n_tokens >= FUNNEL_MIN_TOKENS
+    p2 = p1 & (uniq >= FUNNEL_MIN_UNIQUE)
+    p3 = p2 & (T.predicted_lang(F.col("_toks")) == F.col("lang"))
+    staged = docs.select(
+        "source",
+        p1.cast("int").alias("_p1"),
+        p2.cast("int").alias("_p2"),
+        p3.cast("int").alias("_p3"),
+        F.round(pround(feats["quality_score"], 4) * 10000)
+        .cast("long")
+        .alias("_q4"),
+    )
+    n_surv = F.sum("_p3")
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_p1").alias("n_pass_length"),
+            F.sum("_p2").alias("n_pass_repetition"),
+            F.sum("_p3").alias("n_pass_langid"),
+            pround(
+                F.when(
+                    n_surv > 0,
+                    F.sum(F.when(F.col("_p3") == 1, F.col("_q4")).otherwise(0))
+                    / 10000.0
+                    / n_surv,
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("avg_survivor_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _funnel_langid_hits() -> tuple[str, str]:
+    langs = sorted(T.STOPWORDS)
+    hits = ", ".join(
+        f"{T.sql_stopword_hits('toks', lang)} AS h_{lang}" for lang in langs
+    )
+    expr = f"'{langs[0]}'"
+    best = f"h_{langs[0]}"
+    for lang in langs[1:]:
+        expr = f"CASE WHEN h_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest({best}, h_{lang})"
+    return hits, expr
+
+
+_FUNNEL_HITS, _FUNNEL_PRED = _funnel_langid_hits()
+
+QUALITY_FUNNEL_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, text, {SQL_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT source, lang,
+         len(toks) AS n_tokens,
+         {sql_pround(
+             "CASE WHEN len(toks) > 0 THEN len(list_distinct(toks))"
+             " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END", 4)} AS uniq,
+         {_FUNNEL_PRED} AS pred_lang,
+         CAST(round(({sql_pround(
+             "0.4 * least(len(toks) / 100.0, 1.0)"
+             " + 0.3 * (CASE WHEN len(toks) > 0 THEN "
+             + T.sql_stopword_hits('toks', 'en')
+             + " / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)"
+             " + 0.2 * least((CASE WHEN len(toks) > 0 THEN"
+             " length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE)"
+             " ELSE 0.0 END) / 8.0, 1.0)"
+             " + 0.1 * (1.0 - (CASE WHEN length(text) > 0 THEN"
+             " (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))"
+             " / CAST(length(text) AS DOUBLE) ELSE 0.0 END))", 4)}) * 10000)
+            AS BIGINT) AS q4
+  FROM (SELECT *, {_FUNNEL_HITS} FROM tok)
+), stages AS (
+  SELECT source,
+         CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS p1,
+         CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS}
+                   AND uniq >= {FUNNEL_MIN_UNIQUE} THEN 1 ELSE 0 END AS p2,
+         CASE WHEN n_tokens >= {FUNNEL_MIN_TOKENS}
+                   AND uniq >= {FUNNEL_MIN_UNIQUE}
+                   AND pred_lang = lang THEN 1 ELSE 0 END AS p3,
+         q4
+  FROM feat
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(p1) AS BIGINT) AS n_pass_length,
+       CAST(sum(p2) AS BIGINT) AS n_pass_repetition,
+       CAST(sum(p3) AS BIGINT) AS n_pass_langid,
+       {sql_pround(
+           "CASE WHEN sum(p3) > 0 THEN"
+           " sum(CASE WHEN p3 = 1 THEN q4 ELSE 0 END) / 10000.0 / sum(p3)"
+           " ELSE 0.0 END", 4)} AS avg_survivor_quality
+FROM stages
+GROUP BY source
+ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal
 # ---------------------------------------------------------------------------
@@ -1115,5 +1421,18 @@ QUERIES = {
     ),
     "doc_chunking": Query(
         doc_chunking, DOC_CHUNKING_ORACLE, "overlapping token-window chunking"
+    ),
+    "text_repetition": Query(
+        text_repetition,
+        TEXT_REPETITION_ORACLE,
+        "Gopher-style repetition signals (unique-token / dup-trigram / top-bigram)",
+    ),
+    "text_tfidf_topterms": Query(
+        text_tfidf_topterms, TEXT_TFIDF_ORACLE, "per-doc top-k terms by TF-IDF"
+    ),
+    "quality_filter_funnel": Query(
+        quality_filter_funnel,
+        QUALITY_FUNNEL_ORACLE,
+        "per-source survivor counts through cumulative quality rules",
     ),
 }
