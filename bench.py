@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivfpq_topk",
     "decontaminate_ngram",
     "train_val_split",
     "market_share_by_year",

@@ -1,0 +1,132 @@
+"""Product quantization: encode/ADC arithmetic, training, recall floors.
+
+The oracle (queries/llm.py::ANN_IVFPQ_ORACLE) pins the ADC values
+bit-for-bit; these tests pin the *semantics*: codes shape/range, exact
+zero-distance round-trip, rerank == brute-force equivalence, trained
+codebooks beating the lattice, and measured recall floors (numbers from
+SCALE.md's r5 measurement — deterministic: lattice init, no RNG).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions.vectors import as_double
+from tower_parse_spark.operators import pq as PQ
+from tower_parse_spark.operators import similarity as S
+from tower_parse_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+def _probes(emb):
+    return emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+
+
+def test_codes_shape_and_range(spark):
+    emb = load_table(spark, SF, "embeddings")
+    enc = PQ.with_pq_codes(
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v")), "v", DIM
+    )
+    rows = enc.select("codes").limit(50).collect()
+    for r in rows:
+        assert len(r["codes"]) == PQ.PQ_M
+        assert all(0 <= c < PQ.PQ_K for c in r["codes"])
+
+
+def test_codebook_vector_roundtrips_to_zero_distance(spark):
+    """A vector that IS a concatenation of sub-centroids must encode to
+    exactly those codes and ADC-score 0.0 against itself."""
+    books = PQ.lattice_codebooks(DIM)
+    chosen = [3, 0, 15, 7, 11, 1, 9, 4]
+    vec = [x for m, c in enumerate(chosen) for x in books[m][c]]
+    df = spark.createDataFrame([(1, vec)], "id long, v array<double>")
+    enc = PQ.with_pq_codes(df, "v", DIM)
+    probe = PQ.with_adc_table(df, "v", DIM)
+    row = (
+        enc.join(probe.select(F.col("id").alias("pid"), "pt", "qsq"), enc.id == F.col("pid"))
+        .select(
+            "codes",
+            PQ.adc_distance(F.col("codes"), F.col("pt"), F.col("qsq")).alias("d"),
+        )
+        .first()
+    )
+    assert list(row["codes"]) == chosen
+    assert abs(row["d"]) < 1e-9
+
+
+def test_rerank_over_everything_equals_brute_force(spark):
+    """rerank=|corpus| with all cells probed must reproduce the exact
+    brute-force cosine top-k bit-for-bit (same _cosine_rank tail)."""
+    emb = load_table(spark, SF, "embeddings")
+    probes = _probes(emb)
+    brute = sorted(
+        map(tuple, S.brute_force_topk(emb, probes, k=5)
+            .select("probe_id", "vec_id", "cos_sim", "rank").collect())
+    )
+    full = sorted(
+        map(tuple, PQ.ivfpq_topk(
+            emb, probes, dim=DIM, k=5, nprobe=S.IVF_K, rerank=emb.count()
+        ).select("probe_id", "vec_id", "cos_sim", "rank").collect())
+    )
+    assert brute == full
+
+
+def test_trained_codebooks_reduce_quantization_error(spark):
+    """Per-subspace Lloyd training must cut the mean self-ADC distance
+    (= quantization error) at least 2x vs the lattice init (measured
+    ~7x at iters=3, SCALE.md)."""
+    emb = load_table(spark, SF, "embeddings")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+    def self_err(books):
+        c = PQ.with_pq_codes(vecs, "v", DIM, codebooks=books)
+        p = PQ.with_adc_table(
+            vecs.select(F.col("vec_id").alias("pid"), "v"), "v", DIM,
+            codebooks=books,
+        )
+        return (
+            c.join(p, c.vec_id == p.pid)
+            .select(
+                PQ.adc_distance(F.col("codes"), F.col("pt"), F.col("qsq")).alias("d")
+            )
+            .agg(F.avg("d"))
+            .first()[0]
+        )
+
+    lattice_err = self_err(None)
+    trained_err = self_err(PQ.pq_train_codebooks(emb, DIM, iters=2))
+    assert trained_err >= 0.0
+    assert trained_err < lattice_err / 2
+
+
+@pytest.mark.slow
+def test_ivfpq_recall_floors(spark):
+    """Measured r5 floors (SCALE.md): pure-ADC lattice nprobe=2 recall
+    0.264 -> floor 0.2; trained books + nprobe=4 + rerank=50 recall
+    0.664 -> floor 0.55. Ground truth = exact cosine top-5 with the
+    engine's own rounding/tie-break."""
+    emb = load_table(spark, SF, "embeddings")
+    probes = _probes(emb)
+    truth: dict[int, set] = {}
+    for r in S.brute_force_topk(emb, probes, k=5).select("probe_id", "vec_id").collect():
+        truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
+
+    def recall(df):
+        got = df.select("probe_id", "vec_id").collect()
+        return sum(1 for r in got if r["vec_id"] in truth[r["probe_id"]]) / len(got)
+
+    assert recall(PQ.ivfpq_topk(emb, probes, dim=DIM, k=5)) >= 0.2
+    books = PQ.pq_train_codebooks(emb, DIM, iters=2)
+    assert (
+        recall(
+            PQ.ivfpq_topk(
+                emb, probes, dim=DIM, k=5, nprobe=4, codebooks=books, rerank=50
+            )
+        )
+        >= 0.55
+    )

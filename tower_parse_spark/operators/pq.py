@@ -1,0 +1,338 @@
+"""Product quantization (PQ) for embedding columns.
+
+PQ (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) compresses a d-dim vector to M small codes: split
+the vector into M subspaces of d/M dims, quantize each sub-vector to its
+nearest of K sub-centroids, keep only the M code ids. At 10^9+ vectors
+this is the difference between scanning 4*d bytes and M bytes per row
+(32x for d=64, M=8, K=16) — the scan-side compression that makes wide
+candidate sets affordable after coarse (IVF) pruning; `ivfpq_topk`
+composes both, the FAISS-style IVFADC layout.
+
+Scoring is ADC (asymmetric distance computation): the probe stays
+uncompressed; per probe an (M*K)-entry table of per-subspace partial
+squared-L2 distances is staged ONCE, and scoring a corpus row is M table
+reads + M adds over its codes — no vector arithmetic per pair.
+
+Codebooks default to a deterministic integer lattice scaled into the
+data range (seedless, ANSI-SQL-reproducible — the oracle-checked path);
+:func:`pq_train_codebooks` runs per-subspace Lloyd iterations for
+deployments that train on the corpus (same driver-state posture as
+similarity.kmeans_centroids: the driver only ever holds M*K*(d/M)
+floats).
+
+Parity notes (the repo-wide contract): every per-subspace dot rides the
+single-fold multi-accumulator traversal (vectors.multi_dot_lit) whose
+accumulators keep the 0.0-seeded index-ascending summation, so each dot
+is bit-identical to DuckDB's independent ``list_sum(list_transform(...))``;
+codebook self-squares are folded driver-side and embedded as literals in
+BOTH engines; argmin tie-break is first-minimum on both
+(array_position/list_position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions.vectors import as_double, multi_dot_lit, norm
+from tower_parse_spark.operators.similarity import (
+    IVF_K,
+    IVF_NPROBE,
+    _cosine_rank,
+    _explode_probe_cells,
+    _with_centroid_scores,
+    assign_cells,
+    lattice_centroids,
+)
+
+#: subspaces (codes per vector) and sub-centroids per subspace
+PQ_M = 8
+PQ_K = 16
+
+#: lattice scale — the raw ((..) % 17 - 8) lattice spans [-8, 8]; the
+#: embedding fixtures (and typical normalized embeddings) live in ~[-1, 1],
+#: so sub-centroids are scaled into the data range.
+PQ_SCALE = 0.1
+
+
+def pq_subcentroid(sub_dim: int, m: int, c: int) -> list[float]:
+    """Deterministic sub-centroid c of subspace m: an integer lattice
+    decorrelated from the IVF/LSH lattices ((i*41 + c*23 + m*13) mod 17
+    - 8), scaled by PQ_SCALE. Seedless and reproducible in ANSI SQL.
+
+    The modulus must exceed PQ_K: 23 is invertible mod 17, so the K=16
+    codes of a subspace are pairwise-distinct sub-centroids (a modulus
+    below K silently aliases codes — c*23 mod 11 collapsed 16 codes to
+    11 in the first cut, caught by the round-trip test)."""
+    return [
+        float((i * 41 + c * 23 + m * 13) % 17 - 8) * PQ_SCALE
+        for i in range(sub_dim)
+    ]
+
+
+def lattice_codebooks(
+    dim: int, m_sub: int = PQ_M, k_codes: int = PQ_K
+) -> list[list[list[float]]]:
+    """codebooks[m][c] = sub-centroid vector (dim/m_sub long)."""
+    sd = dim // m_sub
+    return [
+        [pq_subcentroid(sd, m, c) for c in range(k_codes)]
+        for m in range(m_sub)
+    ]
+
+
+def _padded(codebooks: list[list[list[float]]], dim: int) -> list[list[float]]:
+    """Each (m, c) sub-centroid as a full-dim vector, zero outside its
+    subspace slice — so ALL M*K sub-dots ride ONE full-array traversal
+    (multi_dot_lit). The zero products cost a JVM double-multiply each;
+    the alternative (M per-slice folds) costs M array slices plus M fold
+    setups — the single traversal wins interpreted-HOF overhead."""
+    sd = dim // len(codebooks)
+    out = []
+    for m, book in enumerate(codebooks):
+        for cent in book:
+            row = [0.0] * dim
+            row[m * sd : (m + 1) * sd] = cent
+            out.append(row)
+    return out
+
+
+def _csq(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """Driver-side sub-centroid squared norms, 0.0-seeded left fold —
+    embedded as literals in both engines so parity is by construction."""
+    out = []
+    for book in codebooks:
+        row = []
+        for cent in book:
+            acc = 0.0
+            for x in cent:
+                acc = acc + float(x) * float(x)
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def with_pq_codes(
+    df: DataFrame,
+    vec_colname: str,
+    dim: int,
+    codebooks: list[list[list[float]]] | None = None,
+    out: str = "codes",
+) -> DataFrame:
+    """Encode: codes[m] = argmin_c L2^2(sub_v_m, codebook[m][c]), 0-based.
+
+    The per-subspace self-square ||sub_v||^2 is constant across the K
+    candidates, so the argmin only needs ||c||^2 - 2<sub_v, c> — no
+    self-square fold at all. All M*K dots are ONE staged traversal; the
+    per-subspace distance arrays are staged as named columns so the
+    argmin's double reference (array_position + array_min) re-reads
+    cheap slots, never re-runs the fold."""
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    m_sub, k_codes = len(books), len(books[0])
+    csq = _csq(books)
+    df = df.withColumn(
+        "_pqd", multi_dot_lit(F.col(vec_colname), _padded(books, dim))
+    )
+    for m in range(m_sub):
+        df = df.withColumn(
+            f"_pqdist{m}",
+            F.array(
+                *[
+                    F.lit(csq[m][c]) - 2.0 * F.col("_pqd")[m * k_codes + c]
+                    for c in range(k_codes)
+                ]
+            ),
+        )
+    codes = F.array(
+        *[
+            (
+                F.array_position(
+                    F.col(f"_pqdist{m}"), F.array_min(F.col(f"_pqdist{m}"))
+                )
+                - 1
+            ).cast("int")
+            for m in range(m_sub)
+        ]
+    )
+    return df.withColumn(out, codes).drop(
+        "_pqd", *[f"_pqdist{m}" for m in range(m_sub)]
+    )
+
+
+def with_adc_table(
+    df: DataFrame,
+    vec_colname: str,
+    dim: int,
+    codebooks: list[list[list[float]]] | None = None,
+    out: str = "pt",
+    out_qsq: str = "qsq",
+) -> DataFrame:
+    """Stage the probe's ADC lookup table: pt[m*K + c] = ||c||^2 -
+    2<sub_q_m, c> (the code-dependent part of the squared L2), plus
+    qsq = ||q||^2 from the same single traversal (with_self_sq slot).
+    True distance to a row with codes[] is then qsq + sum_m pt[...]."""
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    m_sub, k_codes = len(books), len(books[0])
+    csq = _csq(books)
+    df = df.withColumn(
+        "_pqd",
+        multi_dot_lit(
+            F.col(vec_colname), _padded(books, dim), with_self_sq=True
+        ),
+    )
+    pt = F.array(
+        *[
+            F.lit(csq[m][c]) - 2.0 * F.col("_pqd")[m * k_codes + c]
+            for m in range(m_sub)
+            for c in range(k_codes)
+        ]
+    )
+    return (
+        df.withColumn(out, pt)
+        .withColumn(out_qsq, F.col("_pqd")[m_sub * k_codes])
+        .drop("_pqd")
+    )
+
+
+def adc_distance(codes_col, pt_col, qsq_col, m_sub: int = PQ_M, k_codes: int = PQ_K):
+    """Approximate squared L2 from codes + staged table: M element reads
+    + M adds (0.0-seeded ascending fold, the oracle's list_sum order)."""
+    offs = F.array(*[F.lit(m * k_codes) for m in range(m_sub)])
+    return qsq_col + F.aggregate(
+        F.zip_with(
+            codes_col, offs, lambda cd, o: F.element_at(pt_col, o + cd + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC layout): coarse cells prune the candidate
+    set, PQ codes compress what's scanned, ADC scores without touching
+    raw vectors. The corpus side carries (id, cell, M codes) ONLY — the
+    raw vector is dropped after encoding, so the join/shuffle payload is
+    the compressed representation (at 10^9 vectors: the inverted lists
+    store M bytes + id per entry; cell id is the partition key exactly
+    as in similarity.build_ivf_index).
+
+    Returns (probe_id, id, adc_dist, rank) — rank ascending by the
+    approximate squared L2 (deterministic id tie-break).
+
+    *rerank*: the standard PQ deployment — ADC only shortlists; pass
+    rerank=k' (k' > k) to exact-cosine re-rank the top-k' ADC survivors
+    against their RAW vectors and return (probe_id, id, cos_sim, rank).
+    The raw-vector fetch is a broadcast semi-join of the (|probes| x k')
+    candidate ids against the corpus — the full corpus is still never
+    scanned uncompressed, only the shortlist rows are. The oracle-checked
+    registry query stays pure-ADC (rerank=None) so the oracle pins the
+    ADC arithmetic itself; the recall gain of re-ranking is measured in
+    tests/test_pq.py and SCALE.md."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    nprobe = min(nprobe, len(cents))
+    c = assign_cells(
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv")),
+        "cv",
+        cents,
+        out="cell",
+    )
+    c = with_pq_codes(c, "cv", dim, codebooks=codebooks).select(
+        id_col, "cell", "codes"
+    )
+    p = _with_centroid_scores(
+        probes.select(
+            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+        ),
+        "pv",
+        cents,
+        out="sc0",
+    )
+    p = with_adc_table(p, "pv", dim, codebooks=codebooks).drop("pv")
+    p = _explode_probe_cells(p, nprobe)
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    scored = c.join(F.broadcast(p), "cell").select(
+        probe_id_col,
+        id_col,
+        F.round(
+            adc_distance(
+                F.col("codes"), F.col("pt"), F.col("qsq"),
+                len(books), len(books[0]),
+            ),
+            4,
+        ).alias("adc_dist"),
+    )
+    w = W.partitionBy(probe_id_col).orderBy(F.col("adc_dist").asc(), F.col(id_col))
+    shortlist_k = rerank if rerank is not None else k
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= shortlist_k
+    )
+    if rerank is None:
+        return ranked
+    cand = ranked.select(probe_id_col, id_col)
+    cv = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+        .join(F.broadcast(cand.select(id_col).distinct()), id_col, "semi")
+        .withColumn("cn", norm(F.col("cv")))
+        .join(F.broadcast(cand), id_col)
+    )
+    pv = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+    ).withColumn("pn", norm(F.col("pv")))
+    # the pair set is already fixed by the shortlist: equi-joining the
+    # candidate rows (carrying probe_id) with the probe vectors on
+    # probe_id attaches pv/pn per pair, then the shared rank tail scores
+    # exactly and cuts to k
+    return _cosine_rank(cv, pv, k, id_col, probe_id_col, on=probe_id_col)
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    dim: int,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: per-subspace Lloyd's k-means, ALL subspaces
+    in one distributed pass per iteration — encode with the current
+    books, posexplode to (m, code, sub_vector), aggregate per-(m, code)
+    component means. Driver holds M*K*(dim/M) floats; vectors never
+    leave the executors. Deterministic: lattice init, no RNG; a code
+    with no assignments keeps its previous centroid."""
+    sd = dim // m_sub
+    books = lattice_codebooks(dim, m_sub, k_codes)
+    vecs = df.select(as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        enc = with_pq_codes(vecs, "v", dim, codebooks=books)
+        sub = enc.select(
+            F.posexplode("codes").alias("m", "code"),
+            F.col("v"),
+        ).select(
+            "m",
+            "code",
+            F.slice(F.col("v"), F.col("m") * sd + 1, sd).alias("s"),
+        )
+        means = (
+            sub.groupBy("m", "code")
+            .agg(*[F.avg(F.col("s")[i]).alias(f"a{i}") for i in range(sd)])
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in means:
+            new[r["m"]][r["code"]] = [float(r[f"a{i}"]) for i in range(sd)]
+        books = new
+    return books

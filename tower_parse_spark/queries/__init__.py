@@ -62,6 +62,7 @@ _DEFER_TO_TAIL = [
     "q17_small_quantity_revenue",  # agg — q1/q6/q9/q16/q21 in window
     "top_revenue_supplier",  # top-k — q3 + top_customers_per_nation in window
     "events_json_props",  # map/JSON — events_map_functions (re-entering) in window
+    "orders_date_functions",  # date/time — events_tumbling_window (re-entering) in window; makes room for new ann_ivfpq_topk
     # --- llm families, all r4-green ---
     "dedup_simhash",  # dedup — dedup_embedding_cosine in window + 3 re-entering
     "dedup_ngram_jaccard",  # dedup — same

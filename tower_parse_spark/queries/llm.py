@@ -25,6 +25,7 @@ from tower_parse_spark.operators import components as C
 from tower_parse_spark.operators import decontam as DC
 from tower_parse_spark.operators import dedup as D
 from tower_parse_spark.operators import multimodal as M
+from tower_parse_spark.operators import pq as PQ
 from tower_parse_spark.operators import sampling as SP
 from tower_parse_spark.operators import similarity as S
 from tower_parse_spark.queries import Query
@@ -462,6 +463,112 @@ WITH emb AS (
   FROM scored
 )
 SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+ORDER BY probe_id, rank
+"""
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC layout): coarse-cell pruning + product-
+    quantized ADC scoring — the corpus side carries only (id, cell,
+    M codes); raw vectors never reach the join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_topk(emb, _probes(spark, sf_dir), dim=64, k=5).orderBy(
+        "probe_id", "rank"
+    )
+
+
+def _pq_dot_sql(v: str, m: int, c: int, sd: int) -> str:
+    """Sub-dot of v's subspace m against lattice sub-centroid (m, c) —
+    the SQL twin of operators/pq.py::pq_subcentroid's lattice."""
+    lat = f"((((i - 1) * 41 + {c * 23 + m * 13}) % 17 - 8) * {PQ.PQ_SCALE})"
+    return (
+        f"list_sum(list_transform(range(1, {sd + 1}), "
+        f"i -> {v}[{m * sd} + i] * {lat}))"
+    )
+
+
+def _pq_sql_parts(v: str, dim: int = 64) -> tuple[str, str, str]:
+    """(per-subspace distance-list columns, codes list, ADC table list)
+    for the IVF-PQ oracle, generated from the same codebook constants as
+    the Spark side."""
+    books = PQ.lattice_codebooks(dim)
+    csq = PQ._csq(books)
+    m_sub, k_codes = len(books), len(books[0])
+    sd = dim // m_sub
+    dlists = ",\n         ".join(
+        "["
+        + ", ".join(
+            f"{csq[m][c]!r} - 2.0 * ({_pq_dot_sql(v, m, c, sd)})"
+            for c in range(k_codes)
+        )
+        + f"] AS d{m}"
+        for m in range(m_sub)
+    )
+    codes = (
+        "["
+        + ", ".join(
+            f"CAST(list_position(d{m}, list_min(d{m})) - 1 AS INTEGER)"
+            for m in range(m_sub)
+        )
+        + "]"
+    )
+    pt = (
+        "["
+        + ", ".join(
+            f"{csq[m][c]!r} - 2.0 * ({_pq_dot_sql(v, m, c, sd)})"
+            for m in range(m_sub)
+            for c in range(k_codes)
+        )
+        + "]"
+    )
+    return dlists, codes, pt
+
+
+_PQ_DLISTS, _PQ_CODES, _PQ_PT = _pq_sql_parts("embedding")
+
+ANN_IVFPQ_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), scored_cells AS ({_sql_ivf_cells()}
+), cells AS (
+  SELECT vec_id, embedding, s,
+         list_position(s, list_max(s)) AS cell1
+  FROM scored_cells
+), cells2 AS (
+  SELECT vec_id, embedding, cell1,
+         list_position(
+           list_transform(range(1, {S.IVF_K + 1}),
+                          i -> CASE WHEN i = cell1 THEN -9.0 ELSE s[i] END),
+           list_max(
+             list_transform(range(1, {S.IVF_K + 1}),
+                            i -> CASE WHEN i = cell1 THEN -9.0 ELSE s[i] END))
+         ) AS cell2
+  FROM cells
+), encd AS (
+  SELECT vec_id, cell1,
+         {_PQ_DLISTS}
+  FROM cells2
+), enc AS (
+  SELECT vec_id, cell1 AS cell, {_PQ_CODES} AS codes FROM encd
+), pq_probes AS (
+  SELECT vec_id AS probe_id,
+         unnest([cell1, cell2]) AS cell,
+         {_PQ_PT} AS pt,
+         list_sum(list_transform(embedding, x -> x * x)) AS qsq
+  FROM cells2 WHERE vec_id % 100 = 0
+), scored AS (
+  SELECT p.probe_id, e.vec_id AS vec_id,
+         round(p.qsq + list_sum(list_transform(range(1, {PQ.PQ_M + 1}),
+               m -> p.pt[(m - 1) * {PQ.PQ_K} + e.codes[m] + 1])), 4)
+           AS adc_dist
+  FROM enc e JOIN pq_probes p USING (cell)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY probe_id
+                               ORDER BY adc_dist ASC, vec_id) AS rank
+  FROM scored
+)
+SELECT probe_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= 5
 ORDER BY probe_id, rank
 """
 
@@ -1384,6 +1491,9 @@ QUERIES = {
     "ann_cosine_topk": Query(ann_cosine_topk, ANN_TOPK_ORACLE, "brute-force ANN"),
     "ann_lsh_topk": Query(ann_lsh_topk, ANN_LSH_ORACLE, "hyperplane-LSH ANN"),
     "ann_ivf_topk": Query(ann_ivf_topk, ANN_IVF_ORACLE, "IVF inverted-list ANN"),
+    "ann_ivfpq_topk": Query(
+        ann_ivfpq_topk, ANN_IVFPQ_ORACLE, "IVF-PQ compressed-code ADC ANN"
+    ),
     "text_quality": Query(text_quality, TEXT_QUALITY_ORACLE, "quality scoring"),
     "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
     "text_token_stats": Query(
