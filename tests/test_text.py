@@ -197,3 +197,24 @@ def test_quality_filter_funnel_crafted_and_monotone(spark, tmp_path):
             >= r["n_pass_repetition"]
             >= r["n_pass_langid"]
         )
+
+
+def test_repetition_tokenization_stays_staged(spark):
+    """Regression for the InferFiltersFromGenerate blowup (the decontam
+    round-3 lesson, re-hit by text_repetition in round 5): with a plain
+    explode the optimizer pushes a synthesized ``size(_bigrams) > 0``
+    filter below the staged projections, inlining the tokenization into
+    the per-element shingle lambdas — measured 29 s -> 2 s at sf0.1.
+    With explode_outer + null filter the regexp tokenization must appear
+    a small constant number of times (one per scan branch, two textual
+    occurrences each), not O(tokens per doc)."""
+    from tower_parse_spark.queries.llm import text_repetition
+
+    plan = (
+        text_repetition(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n = plan.count("regexp_replace")
+    assert n <= 4, f"tokenization inlined {n}x"

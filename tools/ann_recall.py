@@ -6,6 +6,7 @@ directional clusters with noise), computes exact top-k per probe with
 
 - ``hyperplane_lsh_topk`` — planes sweep, multiprobe Hamming radius 0/1/2
 - ``ivf_topk`` — trained k-means quantizer, nprobe sweep
+- ``ivfpq_topk`` — trained PQ codebooks, pure-ADC and exact-rerank rows
 
 Run: ``python tools/ann_recall.py`` — prints one JSON line. The pytest
 floor assertions live in ``tests/test_similarity.py`` (recall section);
@@ -109,6 +110,25 @@ def measure(
     # lattice (untrained, oracle-default) quantizer for comparison
     rows_a = S.ivf_topk(corpus, probes, dim=DIM, k=K, nprobe=2).collect()
     out["ivf_np2_lattice"] = round(recall_at_k(rows_a, truth), 4)
+
+    # IVF-PQ: compressed-code ADC, then the standard shortlist+rerank
+    # deployment (trained coarse quantizer + trained codebooks)
+    from tower_parse_spark.operators import pq as PQ
+
+    books = PQ.pq_train_codebooks(corpus, DIM, iters=3)
+    for nprobe in (2, 4):
+        rows_a = PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=nprobe,
+            centroids=cents, codebooks=books,
+        ).collect()
+        out[f"ivfpq_np{nprobe}_adc"] = round(recall_at_k(rows_a, truth), 4)
+        rows_a = PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=nprobe,
+            centroids=cents, codebooks=books, rerank=10 * K,
+        ).collect()
+        out[f"ivfpq_np{nprobe}_rerank{10 * K}"] = round(
+            recall_at_k(rows_a, truth), 4
+        )
     return out
 
 
