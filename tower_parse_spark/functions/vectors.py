@@ -54,6 +54,9 @@ def cosine(a: Column, b: Column) -> Column:
 # DuckDB oracle's list_sum) produce.
 
 
+_LIT_MATRIX_CACHE: dict[tuple, Column] = {}
+
+
 def lit_matrix(rows: list[list[float]]) -> Column:
     """Constant ``array<array<double>>`` literal via ONE SQL parse.
 
@@ -63,12 +66,25 @@ def lit_matrix(rows: list[list[float]]) -> Column:
     the rendered text is ~8x cheaper and bit-identical: each element is
     ``CAST('<repr(x)>' AS DOUBLE)`` and Python float repr round-trips
     exactly through the parser's decimal->double conversion (verified
-    value-for-value against the per-lit form)."""
+    value-for-value against the per-lit form).
+
+    The parsed Column is memoized per value matrix: a Column is an
+    immutable expression wrapper, reusable across DataFrames/plans, and
+    the PQ padded-codebook matrix alone is a ~300 KB SQL text whose
+    parse would otherwise be re-paid on every plan construction (bench
+    constructs each query plan twice). Bounded: one entry per distinct
+    constant matrix (hyperplanes / centroids / codebooks)."""
+    key = tuple(tuple(float(x) for x in row) for row in rows)
+    hit = _LIT_MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
     body = ",".join(
         "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
         for row in rows
     )
-    return F.expr(f"array({body})")
+    col = F.expr(f"array({body})")
+    _LIT_MATRIX_CACHE[key] = col
+    return col
 
 
 def multi_dot_lit(

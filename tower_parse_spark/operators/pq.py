@@ -83,20 +83,31 @@ def lattice_codebooks(
     ]
 
 
-def _padded(codebooks: list[list[list[float]]], dim: int) -> list[list[float]]:
-    """Each (m, c) sub-centroid as a full-dim vector, zero outside its
-    subspace slice — so ALL M*K sub-dots ride ONE full-array traversal
-    (multi_dot_lit). The zero products cost a JVM double-multiply each;
-    the alternative (M per-slice folds) costs M array slices plus M fold
-    setups — the single traversal wins interpreted-HOF overhead."""
-    sd = dim // len(codebooks)
-    out = []
-    for m, book in enumerate(codebooks):
-        for cent in book:
-            row = [0.0] * dim
-            row[m * sd : (m + 1) * sd] = cent
-            out.append(row)
-    return out
+def _subspace_dots(
+    df: DataFrame,
+    vec_colname: str,
+    codebooks: list[list[list[float]]],
+    with_self_sq: bool = False,
+) -> DataFrame:
+    """Stage per-subspace dot arrays ``_pqd0.._pqd{M-1}`` (each K wide;
+    K+1 with the subspace self-square when *with_self_sq*): one
+    K-accumulator fold per sliced sub-vector. A sliced fold's sums are
+    bit-identical to a zero-padded full-dim fold (adding 0.0 is exact),
+    but the plan literals shrink M-fold (1,024 vs 8,192 doubles at
+    d=64/M=8/K=16) — eager per-withColumn analysis of the giant literal
+    tree was ~70% of the query's driver time. All M staged columns land
+    in ONE withColumns call (one analysis pass, not M)."""
+    sd = len(codebooks[0][0])
+    return df.withColumns(
+        {
+            f"_pqd{m}": multi_dot_lit(
+                F.slice(F.col(vec_colname), m * sd + 1, sd),
+                book,
+                with_self_sq=with_self_sq,
+            )
+            for m, book in enumerate(codebooks)
+        }
+    )
 
 
 def _csq(codebooks: list[list[list[float]]]) -> list[list[float]]:
@@ -132,32 +143,36 @@ def with_pq_codes(
     books = codebooks if codebooks is not None else lattice_codebooks(dim)
     m_sub, k_codes = len(books), len(books[0])
     csq = _csq(books)
-    df = df.withColumn(
-        "_pqd", multi_dot_lit(F.col(vec_colname), _padded(books, dim))
-    )
-    for m in range(m_sub):
-        df = df.withColumn(
-            f"_pqdist{m}",
-            F.array(
-                *[
-                    F.lit(csq[m][c]) - 2.0 * F.col("_pqd")[m * k_codes + c]
+    df = _subspace_dots(df, vec_colname, books)
+    # the wide constant-minus-slot arrays enter the plan via ONE SQL
+    # parse each (the lit_matrix lesson): building them element-wise
+    # costs ~4 py4j round-trips per entry — ~1.5 s of driver time per
+    # plan at M*K=128 — for bit-identical expressions
+    df = df.withColumns(
+        {
+            f"_pqdist{m}": F.expr(
+                "array("
+                + ",".join(
+                    f"CAST({csq[m][c]!r} AS DOUBLE) - 2.0D * _pqd{m}[{c}]"
                     for c in range(k_codes)
-                ]
-            ),
-        )
-    codes = F.array(
-        *[
-            (
-                F.array_position(
-                    F.col(f"_pqdist{m}"), F.array_min(F.col(f"_pqdist{m}"))
                 )
-                - 1
-            ).cast("int")
+                + ")"
+            )
             for m in range(m_sub)
-        ]
+        }
+    )
+    codes = F.expr(
+        "array("
+        + ",".join(
+            f"CAST(array_position(_pqdist{m}, array_min(_pqdist{m})) - 1"
+            " AS INT)"
+            for m in range(m_sub)
+        )
+        + ")"
     )
     return df.withColumn(out, codes).drop(
-        "_pqd", *[f"_pqdist{m}" for m in range(m_sub)]
+        *[f"_pqd{m}" for m in range(m_sub)],
+        *[f"_pqdist{m}" for m in range(m_sub)],
     )
 
 
@@ -171,28 +186,31 @@ def with_adc_table(
 ) -> DataFrame:
     """Stage the probe's ADC lookup table: pt[m*K + c] = ||c||^2 -
     2<sub_q_m, c> (the code-dependent part of the squared L2), plus
-    qsq = ||q||^2 from the same single traversal (with_self_sq slot).
-    True distance to a row with codes[] is then qsq + sum_m pt[...]."""
+    qsq = ||q||^2 as its own FULL-vector fold — not a sum of the
+    per-subspace partials, which would group the additions differently
+    from the oracle's single list_sum and break bit parity. True
+    distance to a row with codes[] is then qsq + sum_m pt[...]."""
     books = codebooks if codebooks is not None else lattice_codebooks(dim)
     m_sub, k_codes = len(books), len(books[0])
     csq = _csq(books)
-    df = df.withColumn(
-        "_pqd",
-        multi_dot_lit(
-            F.col(vec_colname), _padded(books, dim), with_self_sq=True
-        ),
-    )
-    pt = F.array(
-        *[
-            F.lit(csq[m][c]) - 2.0 * F.col("_pqd")[m * k_codes + c]
+    df = _subspace_dots(df, vec_colname, books)
+    # one SQL parse for the M*K-entry table (see with_pq_codes)
+    pt = F.expr(
+        "array("
+        + ",".join(
+            f"CAST({csq[m][c]!r} AS DOUBLE) - 2.0D * _pqd{m}[{c}]"
             for m in range(m_sub)
             for c in range(k_codes)
-        ]
+        )
+        + ")"
     )
-    return (
-        df.withColumn(out, pt)
-        .withColumn(out_qsq, F.col("_pqd")[m_sub * k_codes])
-        .drop("_pqd")
+    qsq = F.aggregate(
+        F.transform(F.col(vec_colname), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumns({out: pt, out_qsq: qsq}).drop(
+        *[f"_pqd{m}" for m in range(m_sub)]
     )
 
 
