@@ -74,6 +74,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivfpq_topk",
+    "embedding_cluster_stats",
     "decontaminate_ngram",
     "train_val_split",
     "market_share_by_year",

@@ -120,6 +120,27 @@ def main() -> int:
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+    # IVF-PQ: the compressed-scan family — the corpus side of the join
+    # carries M bytes of codes instead of 4*DIM bytes of floats. At this
+    # SF the win is the smaller shuffle/scan payload; at 10^9 vectors it
+    # is the difference between the inverted lists fitting on the
+    # cluster or not. Same probe workload, ADC scoring + exact rerank.
+    from tower_parse_spark.operators import pq as PQ  # noqa: E402
+
+    timed(
+        "ivfpq32_np2_adc",
+        lambda: PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=2, centroids=cents32
+        ),
+    )
+    timed(
+        "ivfpq32_np2_rerank",
+        lambda: PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=2, centroids=cents32,
+            rerank=10 * K,
+        ),
+    )
     print(
         json.dumps(
             {

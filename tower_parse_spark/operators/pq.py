@@ -216,15 +216,23 @@ def with_adc_table(
 
 def adc_distance(codes_col, pt_col, qsq_col, m_sub: int = PQ_M, k_codes: int = PQ_K):
     """Approximate squared L2 from codes + staged table: M element reads
-    + M adds (0.0-seeded ascending fold, the oracle's list_sum order)."""
-    offs = F.array(*[F.lit(m * k_codes) for m in range(m_sub)])
-    return qsq_col + F.aggregate(
-        F.zip_with(
-            codes_col, offs, lambda cd, o: F.element_at(pt_col, o + cd + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    + M adds.
+
+    Deliberately UNROLLED over the M (small, fixed) subspaces instead of
+    a zip_with/aggregate fold: the interpreted HOF fold cost ~16 us per
+    pair at the O(pairs) scoring stage — 40x the codegen'd flat sum
+    (measured: the 1.6M-pair smoke dropped 43 s -> ~4 s). This is the
+    inverse of the round-4 no-unrolling lesson, which applies to
+    dim-wide (64+) folds whose unrolled trees blow up planning; M=8
+    element reads stay tiny. The add order keeps the oracle's grouping:
+    qsq + ((((0 + t_0) + t_1) + ...) — qsq OUTSIDE the 0.0-seeded
+    ascending partial sum, exactly DuckDB's qsq + list_sum([...])."""
+    s = F.lit(0.0)
+    for m in range(m_sub):
+        s = s + F.element_at(
+            pt_col, F.lit(m * k_codes + 1) + codes_col[m]
+        )
+    return qsq_col + s
 
 
 def ivfpq_topk(
@@ -268,8 +276,17 @@ def ivfpq_topk(
         cents,
         out="cell",
     )
-    c = with_pq_codes(c, "cv", dim, codebooks=codebooks).select(
-        id_col, "cell", "codes"
+    # materialize the encoded corpus (id, cell, M codes — the compressed
+    # index, a few bytes/row) BEFORE the join: broadcast-hash-join
+    # codegen defers streamed-side column evaluation into the per-match
+    # loop, so without the barrier the whole encode expression ran once
+    # per PAIR instead of per row (measured 8-16x: 31 s -> 4 s on the
+    # 256-probe 100k smoke). The prebuilt-index deployment gets the same
+    # barrier from parquet.
+    c = (
+        with_pq_codes(c, "cv", dim, codebooks=codebooks)
+        .select(id_col, "cell", "codes")
+        .localCheckpoint(eager=False)
     )
     p = _with_centroid_scores(
         probes.select(
@@ -300,7 +317,11 @@ def ivfpq_topk(
     )
     if rerank is None:
         return ranked
-    cand = ranked.select(probe_id_col, id_col)
+    # materialize the tiny shortlist (|probes| x k' id pairs) ONCE: it is
+    # referenced by both the raw-vector semi-join and the pair attach, and
+    # without the checkpoint each branch would re-run the whole
+    # encode+ADC pipeline over the corpus
+    cand = ranked.select(probe_id_col, id_col).localCheckpoint(eager=False)
     cv = (
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
         .join(F.broadcast(cand.select(id_col).distinct()), id_col, "semi")

@@ -62,12 +62,18 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
 
     NULL semantics: a NULL dot (a NULL vector element, or a
     dim-mismatched vector whose zip_with pads with NULL) contributes
-    bit 0 via the ``otherwise(0)`` branch, so malformed vectors land in
-    a deterministic numeric bucket instead of a NULL bucket that would
-    silently drop the row from the equi-join. This matches the DuckDB
-    oracle's ``CASE ... ELSE 0`` exactly (the earlier separate-fold form
-    produced a NULL bucket for such rows — a deliberate behavior change,
-    aligned with the oracle)."""
+    bit 0 via the ``otherwise(0)`` branch, and a whole-NULL vector
+    coalesces to bucket 0 — so every malformed row lands in a
+    deterministic numeric bucket instead of a NULL bucket that would
+    silently drop it from the equi-join. Both cases match the DuckDB
+    oracle's ``CASE ... ELSE 0`` (whose per-bit ELSE yields 0 even when
+    the whole vector is NULL).
+
+    The coalesce also makes the bucket NON-NULLABLE, which is
+    load-bearing for the plan: the bucket equi-join's inferred
+    IsNotNull would otherwise be pushed below the staged projection and
+    re-inline the multi-plane fold a second time per row (see
+    assign_cells)."""
     dots = multi_dot_lit(vec_col, [hyperplane(dim, j) for j in range(planes)])
     powers = F.array(
         *[F.lit(1 << j).cast("long") for j in range(planes)]
@@ -77,8 +83,9 @@ def bucket_expr(vec_col, dim: int, planes: int = LSH_PLANES):
         powers,
         lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(
-        bits, F.lit(0).cast("long"), lambda acc, b: acc + b
+    return F.coalesce(
+        F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b),
+        F.lit(0).cast("long"),
     )
 
 
@@ -236,8 +243,21 @@ def assign_cells(
     df = _with_centroid_scores(
         df, vec_colname, centroids, out="_asc", out_norm=out_norm
     )
+    # coalesce makes the cell column NON-NULLABLE (a NULL/malformed
+    # vector lands in deterministic cell 0, the bucket_expr philosophy).
+    # This is also a load-bearing plan property: the cell equi-join
+    # infers IsNotNull(cell), and on a nullable cell the predicate
+    # pushdown rebuilds that filter BELOW the staged projections,
+    # re-inlining the whole k-accumulator scoring fold a second time
+    # per corpus row (the text_repetition/decontam pushdown disease, via
+    # the join key). Non-nullable folds the inferred filter to true —
+    # measured 37 s -> 8 s on the 256-probe 100k-vector smoke.
     return df.withColumn(
-        out, F.array_position(F.col("_asc"), F.array_max(F.col("_asc")))
+        out,
+        F.coalesce(
+            F.array_position(F.col("_asc"), F.array_max(F.col("_asc"))),
+            F.lit(0).cast("long"),
+        ),
     ).drop("_asc")
 
 

@@ -63,6 +63,7 @@ _DEFER_TO_TAIL = [
     "top_revenue_supplier",  # top-k — q3 + top_customers_per_nation in window
     "events_json_props",  # map/JSON — events_map_functions (re-entering) in window
     "orders_date_functions",  # date/time — events_tumbling_window (re-entering) in window; makes room for new ann_ivfpq_topk
+    "q9_product_profit",  # agg — q1/q6/q16/q21 in window; makes room for new embedding_cluster_stats
     # --- llm families, all r4-green ---
     "dedup_simhash",  # dedup — dedup_embedding_cosine in window + 3 re-entering
     "dedup_ngram_jaccard",  # dedup — same

@@ -573,6 +573,94 @@ ORDER BY probe_id, rank
 """
 
 
+def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus statistics over the embedding column: assign
+    every vector to its coarse cell (the IVF quantizer — the engine's
+    clustering primitive), then report per-cell size, mean vector norm
+    and the dominant ground-truth label with its share — the
+    topic-balance / cluster-quality report a corpus-curation pipeline
+    runs before sampling.
+
+    Scale shape: one scan + cell assignment in the projection; one
+    (cell, label) agg, one window for the dominant label, one cell-level
+    agg — all keyed on the tiny cell/label space after the first
+    map-side-combined shuffle. Norms are 1e-4-quantized before summing
+    (integer sums, exact on both engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = S.assign_cells(
+        emb.select(
+            "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("cv")
+        ),
+        "cv",
+        S.lattice_centroids(64),
+        out="cell",
+        out_norm="cn",
+    ).select(
+        "cell",
+        "label",
+        F.round(pround(F.col("cn"), 4) * 10000).cast("long").alias("_cn4"),
+    )
+    per_label = c.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).alias("n_label"),
+        F.sum("_cn4").alias("_cn4_sum"),
+    )
+    w = W.partitionBy("cell").orderBy(F.col("n_label").desc(), "label")
+    return (
+        per_label.withColumn("_rn", F.row_number().over(w))
+        .groupBy("cell")
+        .agg(
+            F.sum("n_label").alias("n_vecs"),
+            pround(
+                F.sum("_cn4_sum") / 10000.0 / F.sum("n_label"), 4
+            ).alias("avg_norm"),
+            F.max(F.when(F.col("_rn") == 1, F.col("label"))).alias("top_label"),
+            pround(
+                F.max(F.when(F.col("_rn") == 1, F.col("n_label")))
+                / F.sum("n_label").cast("double"),
+                4,
+            ).alias("top_label_frac"),
+        )
+        .orderBy("cell")
+    )
+
+
+EMB_CLUSTER_STATS_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), scored_cells AS ({{ivf_cells}}
+), assigned AS (
+  SELECT e2.label,
+         list_position(sc.s, list_max(sc.s)) AS cell,
+         CAST(round(({{pr_norm}}) * 10000) AS BIGINT) AS cn4
+  FROM scored_cells sc JOIN emb e2 USING (vec_id)
+), per_label AS (
+  SELECT cell, label, count(*) AS n_label, sum(cn4) AS cn4_sum
+  FROM assigned GROUP BY cell, label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY n_label DESC, label) AS rn
+  FROM per_label
+)
+SELECT cell,
+       CAST(sum(n_label) AS BIGINT) AS n_vecs,
+       {sql_pround("sum(cn4_sum) / 10000.0 / sum(n_label)", 4)} AS avg_norm,
+       max(CASE WHEN rn = 1 THEN label END) AS top_label,
+       {sql_pround(
+           "max(CASE WHEN rn = 1 THEN n_label END)"
+           " / CAST(sum(n_label) AS DOUBLE)", 4)} AS top_label_frac
+FROM ranked
+GROUP BY cell
+ORDER BY cell
+""".format(
+    ivf_cells=_sql_ivf_cells(),
+    pr_norm=sql_pround(
+        "sqrt(list_sum(list_transform(sc.embedding, x -> x * x)))", 4
+    ),
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1500,6 +1588,11 @@ QUERIES = {
     "ann_ivf_topk": Query(ann_ivf_topk, ANN_IVF_ORACLE, "IVF inverted-list ANN"),
     "ann_ivfpq_topk": Query(
         ann_ivfpq_topk, ANN_IVFPQ_ORACLE, "IVF-PQ compressed-code ADC ANN"
+    ),
+    "embedding_cluster_stats": Query(
+        embedding_cluster_stats,
+        EMB_CLUSTER_STATS_ORACLE,
+        "per-cluster size / mean norm / label purity",
     ),
     "text_quality": Query(text_quality, TEXT_QUALITY_ORACLE, "quality scoring"),
     "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
