@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "source_overlap_minhash",
     "dedup_embedding_cosine",
     "dedup_cluster_resolution",
     "ann_cosine_topk",

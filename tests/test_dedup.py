@@ -193,3 +193,27 @@ def test_embedding_dedup_planted_pair_recall(spark):
     lsh = D.embedding_near_dup_pairs(emb2, threshold=0.9, dim=64)
     found = lsh.filter(F.col("id2") == F.col("id1") + 1_000_000).count()
     assert found / truth >= 0.9
+
+
+def test_source_overlap_minhash_sketch_union(spark):
+    """Merged-sketch semantics: identical sources estimate Jaccard 1.0;
+    a token-disjoint source produces NO pair row (matches-only output,
+    like minhash_lsh_pairs)."""
+    from tower_parse_spark.operators.dedup import source_minhash_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared, "en", "srcA", len(shared)),
+        (2, shared, "en", "srcB", len(shared)),
+        (3, "one two three four five six seven eight", "en", "srcC", 39),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r["group1"], r["group2"]): r
+        for r in source_minhash_overlap(df).collect()
+    }
+    assert out[("srcA", "srcB")]["est_jaccard"] == 1.0
+    assert out[("srcA", "srcB")]["n_match"] == 16
+    assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out

@@ -187,6 +187,56 @@ def minhash_lsh_pairs(
     )
 
 
+def source_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Pairwise corpus-overlap estimate between document groups via
+    MERGED MinHash sketches — the sketch-union property: min over a
+    group's per-doc signatures is exactly the signature of the group's
+    shingle-set UNION, so a whole source collapses to k longs before any
+    pair is compared (Broder 1997's set-resemblance sketches).
+
+    Plan shape for 100 TB: one signature projection over the corpus, one
+    map-side-combinable (group x k) min-agg — after which the data is
+    |groups| x k longs — then matching components pair up via an
+    EQUI-join on (component index, value), never an all-pairs product.
+    Like minhash_lsh_pairs, only pairs sharing >= 1 component surface
+    (est_jaccard > 0); disjoint pairs are absent rather than zero rows.
+
+    Returns (group1, group2, n_match, est_jaccard), group1 < group2.
+    """
+    sigs = with_minhash(df, text_col, k, hash_fn).select(group_col, "mh")
+    per_group = (
+        sigs.groupBy(group_col)
+        .agg(*[F.min(F.col("mh")[i]).alias(f"_m{i}") for i in range(k)])
+        .select(
+            group_col,
+            F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig"),
+        )
+    )
+    comp = per_group.select(
+        group_col, F.posexplode("sig").alias("i", "val")
+    ).filter(F.col("val").isNotNull())
+    left = comp.select(
+        F.col(group_col).alias("group1"), "i", "val"
+    )
+    right = comp.select(
+        F.col(group_col).alias("group2"), "i", "val"
+    )
+    est = F.col("n_match") / F.lit(float(k))
+    return (
+        left.join(right, ["i", "val"])
+        .filter(F.col("group1") < F.col("group2"))
+        .groupBy("group1", "group2")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .select("group1", "group2", "n_match", F.round(est, 4).alias("est_jaccard"))
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -158,6 +158,47 @@ ORDER BY id1, id2
 """
 
 
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimates from merged MinHash sketches
+    (sketch-union mergeability: per-source signature = element-wise min
+    of doc signatures = the signature of the source's shingle union)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.source_minhash_overlap(docs).orderBy("group1", "group2")
+
+
+_SRC_SIG_MINS = ", ".join(f"min(mh[{i + 1}])" for i in range(D.MINHASH_K))
+
+SOURCE_OVERLAP_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {SQL_TOKS} AS toks FROM documents
+), th AS (
+  SELECT source, {SQL_TOKEN_HASHES_MODP} AS th FROM tok
+), hs AS (
+  SELECT source, {SQL_SHINGLE_HASHES_COMBINED} AS hs FROM th
+), sig AS (
+  SELECT source, {_minhash_sql_components()} AS mh FROM hs
+), per_group AS (
+  SELECT source, [{_SRC_SIG_MINS}] AS gsig
+  FROM sig GROUP BY source
+), comp AS (
+  SELECT source, idx.i, per_group.gsig[idx.i] AS val
+  FROM per_group CROSS JOIN
+       (SELECT unnest(range(1, {D.MINHASH_K + 1})) AS i) idx
+  WHERE per_group.gsig[idx.i] IS NOT NULL
+), matches AS (
+  SELECT l.source AS group1, r.source AS group2, count(*) AS n_match
+  FROM comp l JOIN comp r ON l.i = r.i AND l.val = r.val
+  WHERE l.source < r.source
+  GROUP BY l.source, r.source
+)
+SELECT group1, group2,
+       CAST(n_match AS BIGINT) AS n_match,
+       round(n_match / {float(D.MINHASH_K)}, 4) AS est_jaccard
+FROM matches
+ORDER BY group1, group2
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash fingerprint."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1572,6 +1613,11 @@ QUERIES = {
         dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash+LSH near-dup"
     ),
     "dedup_simhash": Query(dedup_simhash, DEDUP_SIMHASH_ORACLE, "SimHash fingerprint"),
+    "source_overlap_minhash": Query(
+        source_overlap_minhash,
+        SOURCE_OVERLAP_ORACLE,
+        "pairwise source overlap via merged MinHash sketches",
+    ),
     "dedup_ngram_jaccard": Query(
         dedup_ngram_jaccard, DEDUP_NGRAM_ORACLE, "n-gram Jaccard near-dup"
     ),
