@@ -383,12 +383,22 @@ def embedding_near_dup_pairs(
             dim = d if d is not None and d > 0 else 1  # empty df: any dim
         blk = bucket_expr(as_double(F.col(vec_col)), dim)
     # norm projected per row pre-join: scoring a pair is one dot fold,
-    # not three traversals (bit-identical — same fold per row)
-    base = df.select(
-        blk.alias("blk"),
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("v"),
-    ).withColumn("nv", norm(F.col("v")))
+    # not three traversals (bit-identical — same fold per row).
+    # localCheckpoint, for the same reason minhash_lsh_pairs materializes
+    # its signature relation: broadcast-hash-join codegen defers
+    # streamed-side column evaluation into the per-MATCH loop, so without
+    # the barrier the cast and the norm fold re-run once per pair
+    # instead of once per row (the ivfpq_topk lesson; measured 4.5 ->
+    # 3.0 s at sf0.1).
+    base = (
+        df.select(
+            blk.alias("blk"),
+            F.col(id_col),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nv", norm(F.col("v")))
+        .localCheckpoint(eager=False)
+    )
     left = base.select(
         "blk",
         F.col(id_col).alias("id1"),
