@@ -217,3 +217,34 @@ def test_source_overlap_minhash_sketch_union(spark):
     assert out[("srcA", "srcB")]["est_jaccard"] == 1.0
     assert out[("srcA", "srcB")]["n_match"] == 16
     assert ("srcA", "srcC") not in out and ("srcB", "srcC") not in out
+
+
+def test_incremental_exact_dedup(spark):
+    """Daily-batch shape: in-batch min-id survivors, then anti-join
+    against the historical hash index; state advances by appending the
+    survivors' hashes."""
+    from tower_parse_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    index1 = exact_dedup(day1).select("text_hash")
+    day2 = spark.createDataFrame(
+        [
+            (10, "beta"),   # dup of history
+            (11, "gamma"),  # new
+            (12, "gamma"),  # in-batch dup, loses to 11
+            (13, "alpha"),  # dup of history
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(day2, index1).collect()
+    assert [(r["doc_id"], r["text"]) for r in out] == [(11, "gamma")]
+    # advancing the index with the survivors makes a re-run a no-op
+    index2 = index1.union(
+        spark.createDataFrame(out).select("text_hash")
+    )
+    assert incremental_exact_dedup(day2, index2).count() == 0

@@ -25,6 +25,7 @@ murmur seeds differ). Mod-P arithmetic keeps every intermediate in int64.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tower_parse_spark.functions.text import (
@@ -248,6 +249,39 @@ def exact_dedup(
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    history_hash_col: str = "text_hash",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-deduped corpus —
+    the daily-ingest shape: the historical index is a (text_hash) table,
+    not the historical documents, so yesterday's 100 TB never re-scans.
+
+    Two stages, both linear:
+    1. in-batch: min-id survivor per md5(text) (same rule as
+       exact_dedup — deterministic under retries);
+    2. vs history: LEFT ANTI join of batch survivors against the hash
+       index — one shuffle on the 128-bit key; AQE broadcasts the
+       smaller side when the batch (or index partition) is small.
+
+    Returns the surviving NEW rows with their ``text_hash`` — append
+    them to the corpus AND their hashes to the index to advance the
+    state. The index roundtrip (parquet/Delta) is the caller's, which
+    keeps this operator pure DataFrame-in/DataFrame-out."""
+    hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
+    w_rank = F.row_number().over(
+        W.partitionBy("text_hash").orderBy(id_col)
+    )
+    in_batch = (
+        hashed.withColumn("_rn", w_rank).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    hist = history.select(F.col(history_hash_col).alias("text_hash")).distinct()
+    return in_batch.join(hist, "text_hash", "left_anti")
 
 
 def with_simhash(
