@@ -48,6 +48,7 @@ HEADLINE = [
     "q16_supplier_counts",
     "q17_small_quantity_revenue",
     "q21_blame_suppliers",
+    "q11_important_parts",
     "top_customers_per_nation",
     "running_revenue_by_nation",
     "revenue_rollup",

@@ -35,7 +35,11 @@ from tower_parse_spark.session import get_spark  # noqa: E402
 #: broadcast cross join IS the exact brute-force scan for the ANN
 #: baseline; the Q22 shape compares against a broadcast ONE-ROW scalar
 #: aggregate (O(n*1), the canonical scalar-subquery plan)
-NESTED_LOOP_OK = {"ann_cosine_topk", "wealthy_inactive_customers"}
+NESTED_LOOP_OK = {
+    "ann_cosine_topk",  # the exact brute-force baseline IS a cross join
+    "wealthy_inactive_customers",  # Q22 one-row scalar-threshold join
+    "q11_important_parts",  # Q11 one-row global-share-threshold join
+}
 
 #: Arrow-batched Python is the designed path for binary decode only
 ARROW_OK_PREFIX = ("multimodal_",)

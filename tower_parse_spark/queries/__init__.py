@@ -65,6 +65,7 @@ _DEFER_TO_TAIL = [
     "orders_date_functions",  # date/time — events_tumbling_window (re-entering) in window; makes room for new ann_ivfpq_topk
     "q9_product_profit",  # agg — q1/q6/q16/q21 in window; makes room for new embedding_cluster_stats
     "q6_forecast_revenue",  # agg — q1/q16/q21 in window; makes room for new source_overlap_minhash
+    "ingest_pack_scalable",  # packs — ingest_pack_assign (re-entering) in window; makes room for new q11_important_parts
     # --- llm families, all r4-green ---
     "dedup_simhash",  # dedup — dedup_embedding_cosine in window + 3 re-entering
     "dedup_ngram_jaccard",  # dedup — same

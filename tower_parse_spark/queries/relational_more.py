@@ -2,12 +2,12 @@
 star schema.
 
 Completes the TPC-H shape sweep started in relational.py /
-relational_ext.py: with these, every TPC-H query pattern expressible on
-the available tables (no partsupp, no commit/receipt dates) has an
-engine query — Q2/Q11/Q20 are partsupp-centric and their core patterns
-(correlated min, global-share threshold, nested semi-join) are already
-covered by min_cost_parts, wealthy_inactive_customers and
-decontaminate_ngram respectively.
+relational_ext.py: with these (and the Q11-shape
+``q11_important_parts`` added in round 5), every TPC-H query pattern
+expressible on the available tables (no partsupp, no commit/receipt
+dates) has an engine query — Q2/Q20 are partsupp-centric and their core
+patterns (correlated min, nested semi-join) are covered by
+min_cost_parts and decontaminate_ngram respectively.
 
 Float parity uses the house rules (functions/rounding.py + quantized
 integer sums): per-row doubles are IEEE-identical on both engines, so
@@ -265,9 +265,84 @@ ORDER BY numwait DESC, s_name
 """
 
 
+#: Q11 adaptation knobs: the "national stock" nations and the
+#: importance fraction (TPC-H uses 0.0001/SF over partsupp; on this
+#: schema 0.001 of the two-nation lineitem value keeps ~9% of parts at
+#: sf0.01 — a non-degenerate HAVING cut).
+Q11_NATIONS = ["NATION_3", "NATION_7"]
+Q11_FRACTION = 0.001
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group aggregate filtered against a GLOBAL
+    aggregate of the same measure (HAVING sum(...) > fraction *
+    sum-over-everything) — the group-share-threshold pattern, distinct
+    from Q22's per-row scalar threshold.
+
+    Plan: lineitem joins broadcast supplier/nation dims, one partkey
+    agg, a 1-row total agg re-aggregated FROM the grouped relation (no
+    second scan), then a broadcast one-row threshold join (same
+    allowlisted shape as wealthy_inactive_customers). Value arithmetic
+    is exact scaled-integer (price and discount are 2-dp), so the
+    threshold comparison can never flip on partial-agg order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q11_NATIONS)
+    )
+    vu = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    base = li.join(
+        F.broadcast(sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)),
+        li.l_suppkey == F.col("s_suppkey"),
+    )
+    grouped = base.groupBy("l_partkey").agg(F.sum(vu).alias("_vu"))
+    total = grouped.agg(F.sum("_vu").alias("_tu"))
+    return (
+        grouped.join(
+            F.broadcast(total), F.col("_vu") > F.lit(Q11_FRACTION) * F.col("_tu")
+        )
+        .select(
+            "l_partkey",
+            pround(F.col("_vu") / 10000.0, 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+_Q11_NATION_LIST = ", ".join(f"'{n}'" for n in Q11_NATIONS)
+
+Q11_ORACLE = f"""
+WITH base AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vu
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name IN ({_Q11_NATION_LIST})
+), grouped AS (
+  SELECT l_partkey, sum(vu) AS vu FROM base GROUP BY l_partkey
+), tot AS (
+  SELECT sum(vu) AS tu FROM grouped
+)
+SELECT l_partkey,
+       {sql_pround("vu / 10000.0", 2)} AS part_value
+FROM grouped, tot
+WHERE vu > {Q11_FRACTION} * tu
+ORDER BY part_value DESC, l_partkey
+"""
+
+
 QUERIES = {
     "q6_forecast_revenue": Query(
         q6_forecast_revenue, Q6_ORACLE, "Q6: pure pushdown filter agg"
+    ),
+    "q11_important_parts": Query(
+        q11_important_parts,
+        Q11_ORACLE,
+        "Q11: group share vs global-aggregate threshold",
     ),
     "q9_product_profit": Query(
         q9_product_profit, Q9_ORACLE, "Q9: profit rollup by nation/year"
