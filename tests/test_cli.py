@@ -30,3 +30,40 @@ def test_endpoint_parsing():
     ]:
         with pytest.raises(SystemExit):
             parse_endpoint(bad)
+
+
+def test_query_mode_runs_and_lists(spark, capsys):
+    """--query list prints every registry name; --query NAME shows rows
+    on the provided session's JVM (main() fetches the active session)."""
+    from tower_parse_spark.__main__ import main
+
+    assert main(["--query", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "ann_ivfpq_topk" in out
+    assert (
+        main(
+            ["--query", "q6_forecast_revenue",
+             "--sf-dir", "/root/testdata/sf0.001", "--limit", "5"]
+        )
+        == 0
+    )
+    assert "revenue" in capsys.readouterr().out
+
+
+def test_explain_mode_prints_plan(spark, capsys):
+    from tower_parse_spark.__main__ import main
+
+    assert main(
+        ["--explain", "q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "Scan parquet" in out
+
+
+def test_query_mode_unknown_name_exits():
+    import pytest
+
+    from tower_parse_spark.__main__ import main
+
+    with pytest.raises(SystemExit, match="unknown query"):
+        main(["--query", "nope_not_a_query"])

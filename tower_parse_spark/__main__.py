@@ -9,6 +9,14 @@ Two mutually exclusive modes, same contract as readport.py:497-533:
     python -m tower_parse_spark --echo HOST:PORT
         dump the raw line stream to stdout for format discovery (A4)
 
+Beyond reference parity, the analytic registry is runnable from the
+same entry point:
+
+    python -m tower_parse_spark --query NAME [--sf-dir DIR] [--limit N]
+        run one registry query (see --query list) and print the result
+    python -m tower_parse_spark --explain NAME [--sf-dir DIR]
+        print the query's optimized + physical plan (the plan-audit view)
+
 The reference's --debug maps to --log-level.
 """
 
@@ -23,7 +31,26 @@ def build_parser() -> argparse.ArgumentParser:
     mode = p.add_mutually_exclusive_group(required=True)
     mode.add_argument("--config", help="device profile .conf (INI) path")
     mode.add_argument("--echo", metavar="HOST:PORT", help="dump raw lines")
+    mode.add_argument(
+        "--query",
+        metavar="NAME",
+        help="run one registry query ('list' prints all names)",
+    )
+    mode.add_argument(
+        "--explain",
+        metavar="NAME",
+        help="print a registry query's optimized + physical plan",
+    )
     p.add_argument("--out", default="./data", help="output base directory")
+    p.add_argument(
+        "--sf-dir",
+        default=None,
+        help="test-table directory for --query/--explain "
+        "(default $SPARK_GRAFT_SF_DIR or /root/testdata/sf0.1)",
+    )
+    p.add_argument(
+        "--limit", type=int, default=20, help="rows to show for --query"
+    )
     p.add_argument("--log-level", default="WARN")
     p.add_argument(
         "--metrics",
@@ -60,6 +87,27 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("tower_parse_spark_cli")
     spark.sparkContext.setLogLevel(args.log_level)
+    if args.query or args.explain:
+        from tower_parse_spark.queries import registry
+        from tower_parse_spark.session import DEFAULT_SF_DIR
+
+        reg = registry()
+        name = args.query or args.explain
+        if name == "list":
+            for n, q in reg.items():
+                print(f"{n}\t{q.doc}")
+            return 0
+        if name not in reg:
+            raise SystemExit(
+                f"unknown query {name!r} — run --query list for names"
+            )
+        sf_dir = args.sf_dir or DEFAULT_SF_DIR
+        df = reg[name].fn(spark, sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
     if args.echo:
         host, port = parse_endpoint(args.echo)
         q = P.echo(SRC.socket_lines(spark, host, port))
