@@ -39,6 +39,7 @@ NESTED_LOOP_OK = {
     "ann_cosine_topk",  # the exact brute-force baseline IS a cross join
     "wealthy_inactive_customers",  # Q22 one-row scalar-threshold join
     "q11_important_parts",  # Q11 one-row global-share-threshold join
+    "text_tfidf_topterms",  # one-row broadcast N (corpus doc count) for the idf
 }
 
 #: Arrow-batched Python is the designed path for binary decode only

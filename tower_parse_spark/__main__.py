@@ -87,7 +87,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("tower_parse_spark_cli")
     spark.sparkContext.setLogLevel(args.log_level)
-    if args.query or args.explain:
+    # `is not None`, not truthiness: argparse accepts --query '' (it
+    # satisfies the required group), and the empty string must resolve
+    # to "unknown query" below, not fall through to the config branch
+    if args.query is not None or args.explain is not None:
         from tower_parse_spark.queries import registry
         from tower_parse_spark.session import DEFAULT_SF_DIR
 

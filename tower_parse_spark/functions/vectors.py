@@ -55,6 +55,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 _LIT_MATRIX_CACHE: dict[tuple, Column] = {}
+_LIT_MATRIX_CACHE_MAX = 64
 
 
 def lit_matrix(rows: list[list[float]]) -> Column:
@@ -72,8 +73,12 @@ def lit_matrix(rows: list[list[float]]) -> Column:
     immutable expression wrapper, reusable across DataFrames/plans, and
     the PQ padded-codebook matrix alone is a ~300 KB SQL text whose
     parse would otherwise be re-paid on every plan construction (bench
-    constructs each query plan twice). Bounded: one entry per distinct
-    constant matrix (hyperplanes / centroids / codebooks)."""
+    constructs each query plan twice). The cache is FIFO-bounded: the
+    deterministic lattice matrices repeat forever, but TRAINED matrices
+    (kmeans_centroids / pq_train_codebooks update their values every
+    Lloyd iteration) are one-shot keys — without the bound a long-lived
+    driver that retrains would accumulate key tuples and parsed JVM
+    Column trees indefinitely."""
     key = tuple(tuple(float(x) for x in row) for row in rows)
     hit = _LIT_MATRIX_CACHE.get(key)
     if hit is not None:
@@ -83,6 +88,8 @@ def lit_matrix(rows: list[list[float]]) -> Column:
         for row in rows
     )
     col = F.expr(f"array({body})")
+    if len(_LIT_MATRIX_CACHE) >= _LIT_MATRIX_CACHE_MAX:
+        _LIT_MATRIX_CACHE.pop(next(iter(_LIT_MATRIX_CACHE)))
     _LIT_MATRIX_CACHE[key] = col
     return col
 

@@ -268,6 +268,11 @@ def ivfpq_topk(
     registry query stays pure-ADC (rerank=None) so the oracle pins the
     ADC arithmetic itself; the recall gain of re-ranking is measured in
     tests/test_pq.py and SCALE.md."""
+    if rerank is not None and rerank < k:
+        raise ValueError(
+            f"rerank={rerank} < k={k}: the ADC shortlist must be at least "
+            "as large as the requested top-k or the result silently truncates"
+        )
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     nprobe = min(nprobe, len(cents))
     c = assign_cells(

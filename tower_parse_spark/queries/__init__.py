@@ -56,9 +56,11 @@ _DEFER_TO_TAIL = [
     "nation_volume_shipping",  # Q7 shape — q9/market-share family siblings in window
     "market_share_by_year",  # Q8 shape — q9 + nation-volume siblings in window
     "big_basket_orders",  # join+having — q21 + q3 (re-entering) in window
-    # --- r5 additions: 3 more r4-green deferrals make window room for the
-    # --- 3 NEW queries (text_repetition / text_tfidf_topterms /
-    # --- quality_filter_funnel), which need first driver evidence in r5 ---
+    # --- r5 additions: 7 more r4-green deferrals (each entry below, with
+    # --- its sibling noted) make window room for the 7 NEW r5 queries
+    # --- (text_repetition, text_tfidf_topterms, quality_filter_funnel,
+    # --- ann_ivfpq_topk, embedding_cluster_stats, source_overlap_minhash,
+    # --- q11_important_parts), which need first driver evidence in r5 ---
     "q17_small_quantity_revenue",  # agg — q1/q6/q9/q16/q21 in window
     "top_revenue_supplier",  # top-k — q3 + top_customers_per_nation in window
     "events_json_props",  # map/JSON — events_map_functions (re-entering) in window

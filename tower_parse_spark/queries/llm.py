@@ -1009,10 +1009,12 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     **broadcast** back — the corpus-sized tf relation is never reshuffled
     for the join (a token-partitioned window for df would skew on
     stopword-grade tokens); the final top-k is a WindowGroupLimit per
-    doc_id. N is a driver scalar (parquet metadata count — bounded state,
-    same pattern as pack.py's quantile bounds)."""
+    doc_id. N rides in as a broadcast ONE-ROW aggregate cross join (the
+    allowlisted Q22/Q11 scalar-threshold shape — Catalyst folds any
+    constant-key equi-join into this anyway) — fully lazy, so plan-only
+    paths (--explain, the plan audit, bench's double plan construction)
+    never execute a count job."""
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
     tf = (
         docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("doc_id", "token")
@@ -1020,13 +1022,20 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     dfrel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfrel), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        pround(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
-        ).alias("tfidf"),
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfrel), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            pround(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
     return (

@@ -266,11 +266,16 @@ ORDER BY numwait DESC, s_name
 
 
 #: Q11 adaptation knobs: the "national stock" nations and the
-#: importance fraction (TPC-H uses 0.0001/SF over partsupp; on this
-#: schema 0.001 of the two-nation lineitem value keeps ~9% of parts at
-#: sf0.01 — a non-degenerate HAVING cut).
+#: importance fraction as an exact RATIONAL (TPC-H uses 0.0001/SF over
+#: partsupp; 1/1000 of the two-nation lineitem value keeps ~9% of parts
+#: at sf0.01 — a non-degenerate HAVING cut). Kept as num/den integers
+#: so the threshold compare is pure int64 arithmetic on BOTH engines:
+#: `vu * den > tu * num` — a double comparison would go lossy once the
+#: global total approaches 2^53 (sf>=1 territory) while DuckDB's
+#: DECIMAL stays exact, flipping boundary parts between engines.
 Q11_NATIONS = ["NATION_3", "NATION_7"]
-Q11_FRACTION = 0.001
+Q11_FRAC_NUM = 1
+Q11_FRAC_DEN = 1000
 
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,8 +288,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, a 1-row total agg re-aggregated FROM the grouped relation (no
     second scan), then a broadcast one-row threshold join (same
     allowlisted shape as wealthy_inactive_customers). Value arithmetic
-    is exact scaled-integer (price and discount are 2-dp), so the
-    threshold comparison can never flip on partial-agg order."""
+    is exact scaled-integer (price and discount are 2-dp) and the
+    threshold compare is int64-vs-int64 (vu * den > tu * num — no
+    doubles anywhere), so the cut can never flip on partial-agg order
+    or on long->double precision at large scale factors."""
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(
@@ -301,7 +308,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = grouped.agg(F.sum("_vu").alias("_tu"))
     return (
         grouped.join(
-            F.broadcast(total), F.col("_vu") > F.lit(Q11_FRACTION) * F.col("_tu")
+            F.broadcast(total),
+            F.col("_vu") * F.lit(Q11_FRAC_DEN)
+            > F.col("_tu") * F.lit(Q11_FRAC_NUM),
         )
         .select(
             "l_partkey",
@@ -330,7 +339,7 @@ WITH base AS (
 SELECT l_partkey,
        {sql_pround("vu / 10000.0", 2)} AS part_value
 FROM grouped, tot
-WHERE vu > {Q11_FRACTION} * tu
+WHERE vu * {Q11_FRAC_DEN} > tu * {Q11_FRAC_NUM}
 ORDER BY part_value DESC, l_partkey
 """
 
