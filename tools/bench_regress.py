@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Noise-aware cross-round bench comparison.
+
+Compares two bench.py JSON outputs (e.g. BENCH_r04.json vs
+BENCH_r05.json) with the regression rule the round-4 verdict asked for:
+a per-query delta only counts as a regression when it exceeds BOTH the
+1.3x structural bar AND the query's own measured run-to-run spread (the
+"is this delta outside the noise?" test — single-sample deltas under the
+~30% median spread at sf0.1 are not evidence, SCALE.md bench-noise
+section).
+
+Usage: python tools/bench_regress.py OLD.json NEW.json
+Prints one JSON line: {"regressions": [...], "improvements": [...],
+"common": N, "total_ratio": r}. Exit 1 if any regression survives.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+#: structural bar: below this ratio a delta is never flagged
+RATIO_BAR = 1.3
+#: queries faster than this are warmup-noise-dominated; never flagged
+MIN_BASE_SEC = 0.2
+
+
+def main() -> int:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        return 2
+    def load(path: str) -> dict:
+        d = json.load(open(path))
+        # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
+        return d.get("parsed", d)
+
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    oq, nq = old["queries"], new["queries"]
+    spread = new.get("spread_pct", {})
+    common = sorted(set(oq) & set(nq))
+    regressions, improvements = [], []
+    for name in common:
+        base, cur = oq[name], nq[name]
+        if base < MIN_BASE_SEC:
+            continue
+        ratio = cur / base
+        # the query's own measured spread, as a ratio floor: a delta
+        # inside its run-to-run scatter is variance, not regression
+        noise_ratio = 1.0 + spread.get(name, 0.0) / 100.0
+        if ratio > max(RATIO_BAR, noise_ratio):
+            regressions.append(
+                {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2),
+                 "spread_pct": spread.get(name)}
+            )
+        elif ratio < 1 / RATIO_BAR:
+            improvements.append(
+                {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2)}
+            )
+    total_old = sum(oq[n] for n in common)
+    total_new = sum(nq[n] for n in common)
+    print(
+        json.dumps(
+            {
+                "regressions": sorted(regressions, key=lambda r: -r["ratio"]),
+                "improvements": sorted(improvements, key=lambda r: r["ratio"]),
+                "common": len(common),
+                "total_ratio": round(total_new / total_old, 3) if total_old else None,
+            }
+        )
+    )
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
