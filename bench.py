@@ -111,11 +111,16 @@ def main() -> int:
 
     # Warm-up: JVM + codegen + parquet footer caches, plus the Python
     # worker pool (Arrow path) at the tiny SF so mapInPandas queries
-    # measure steady state rather than worker cold-start. Warm-up failures
-    # are non-fatal — they only cost the first timed query its cache.
+    # measure steady state rather than worker cold-start, plus one
+    # throwaway streaming query (Structured Streaming class-loading +
+    # state-store init dominated streaming_late_data's first timed run:
+    # driver r5 spread [6.8, 2.8] s = 145% — VERDICT r5 item 6). Warm-up
+    # failures are non-fatal — they only cost the first timed query its
+    # cache.
     for warm in (
         lambda: qs["q1_pricing_summary"](spark, sf_dir),
         lambda: qs["multimodal_decode"](spark, "/root/testdata/sf0.001"),
+        lambda: qs["streaming_late_data"](spark, "/root/testdata/sf0.001"),
     ):
         try:
             materialize(warm())
@@ -158,19 +163,39 @@ def main() -> int:
     total = round(sum(times.values()), 3)
     spreads = sorted(spread_pct.values())
     noise_median = spreads[len(spreads) // 2] if spreads else 0.0
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
+    # TWO output lines (VERDICT r5 item 1): the driver's BENCH_r{N}.json
+    # keeps only the last ~2 kB of stdout and parses the FINAL line —
+    # r5's single enriched line (runs + spread for 50+ queries) overflowed
+    # that capture and the round lost its external perf record. The
+    # enriched payload (runs, per-query spread, errors) goes FIRST for
+    # local tooling (tools/bench_regress.py reads either line's file);
+    # the compact driver contract {"metric","value","unit","queries","sf"}
+    # is the LAST line and stays under the tail capture.
+    enriched = {
+        "detail": "runs_and_spread",
         "runs": runs,
         "spread_pct": spread_pct,
         "noise_median_pct": noise_median,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        enriched["errors"] = errors
+    print(json.dumps(enriched))
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # never overflow the driver tail again: degrade to the slowest
+        # queries only, keeping the headline total exact
+        worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries"] = worst
+        compact["queries_truncated"] = len(times) - len(worst)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     return 0
 
 

@@ -30,13 +30,28 @@ def main() -> int:
         print(__doc__)
         return 2
     def load(path: str) -> dict:
-        d = json.load(open(path))
+        text = open(path).read()
+        try:
+            d = json.loads(text)
+        except ValueError:
+            # bench.py r6+ prints TWO JSON lines (enriched detail, then the
+            # compact driver line) — merge them into one dict
+            d = {}
+            for ln in text.splitlines():
+                ln = ln.strip()
+                if ln.startswith("{"):
+                    d.update(json.loads(ln))
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
-        return d.get("parsed", d)
+        return d.get("parsed", d) or d
 
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
-    spread = new.get("spread_pct", {})
+    # per-query spread: prefer the NEW run's measurement, fall back to the
+    # OLD run's (driver artifacts may lack the enriched fields — a missing
+    # spread must not silently degrade the noise gate to the 1.3x bar
+    # alone, ADVICE r5)
+    new_spread = new.get("spread_pct", {}) or {}
+    old_spread = old.get("spread_pct", {}) or {}
     common = sorted(set(oq) & set(nq))
     regressions, improvements = [], []
     for name in common:
@@ -45,14 +60,17 @@ def main() -> int:
             continue
         ratio = cur / base
         # the query's own measured spread, as a ratio floor: a delta
-        # inside its run-to-run scatter is variance, not regression
-        noise_ratio = 1.0 + spread.get(name, 0.0) / 100.0
+        # inside its run-to-run scatter is variance, not regression.
+        # Improvements use the SAME symmetric gate (1/max(bar, noise)) so
+        # a noisy query is not counted as a win either.
+        spread_val = new_spread.get(name, old_spread.get(name, 0.0))
+        noise_ratio = 1.0 + (spread_val or 0.0) / 100.0
         if ratio > max(RATIO_BAR, noise_ratio):
             regressions.append(
                 {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2),
-                 "spread_pct": spread.get(name)}
+                 "spread_pct": spread_val}
             )
-        elif ratio < 1 / RATIO_BAR:
+        elif ratio < 1 / max(RATIO_BAR, noise_ratio):
             improvements.append(
                 {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2)}
             )

@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         from tower_parse_spark.session import DEFAULT_SF_DIR
 
         reg = registry()
-        name = args.query or args.explain
+        name = args.query if args.query is not None else args.explain
         if name == "list":
             for n, q in reg.items():
                 print(f"{n}\t{q.doc}")

@@ -76,6 +76,12 @@ def lattice_codebooks(
     dim: int, m_sub: int = PQ_M, k_codes: int = PQ_K
 ) -> list[list[list[float]]]:
     """codebooks[m][c] = sub-centroid vector (dim/m_sub long)."""
+    if dim % m_sub != 0:
+        # a truncating dim//m_sub would leave the trailing dims out of the
+        # codes while qsq folds the full vector — silently biased ADC
+        raise ValueError(
+            f"PQ requires dim divisible by m_sub: dim={dim}, m_sub={m_sub}"
+        )
     sd = dim // m_sub
     return [
         [pq_subcentroid(sd, m, c) for c in range(k_codes)]

@@ -639,7 +639,12 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "cell",
         "label",
-        F.round(pround(F.col("cn"), 4) * 10000).cast("long").alias("_cn4"),
+        # NULL vectors land in cell 0 with a ZERO norm contribution (not a
+        # skipped-NULL sum): coalesce keeps avg_norm 0.0 rather than NULL
+        # for a cell of only malformed vectors — mirrored in the oracle
+        F.coalesce(
+            F.round(pround(F.col("cn"), 4) * 10000).cast("long"), F.lit(0)
+        ).alias("_cn4"),
     )
     per_label = c.groupBy("cell", "label").agg(
         F.count(F.lit(1)).alias("n_label"),
@@ -672,9 +677,13 @@ WITH emb AS (
   FROM embeddings
 ), scored_cells AS ({{ivf_cells}}
 ), assigned AS (
+  -- mirror Spark's assign_cells coalesce: a NULL/malformed embedding
+  -- yields NULL scores, and the engine lands it in deterministic cell 0
+  -- with a zero norm contribution (similarity.py:255) — the oracle must
+  -- group it identically, not under a NULL cell (ADVICE r5, medium)
   SELECT e2.label,
-         list_position(sc.s, list_max(sc.s)) AS cell,
-         CAST(round(({{pr_norm}}) * 10000) AS BIGINT) AS cn4
+         coalesce(list_position(sc.s, list_max(sc.s)), 0) AS cell,
+         coalesce(CAST(round(({{pr_norm}}) * 10000) AS BIGINT), 0) AS cn4
   FROM scored_cells sc JOIN emb e2 USING (vec_id)
 ), per_label AS (
   SELECT cell, label, count(*) AS n_label, sum(cn4) AS cn4_sum
