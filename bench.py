@@ -66,6 +66,8 @@ HEADLINE = [
     "events_time_rollup",
     "orders_with_returns",
     "dedup_exact",
+    "dedup_passages",
+    "incremental_exact_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

@@ -248,3 +248,52 @@ def test_incremental_exact_dedup(spark):
         spark.createDataFrame(out).select("text_hash")
     )
     assert incremental_exact_dedup(day2, index2).count() == 0
+
+
+def test_passage_dedup(spark):
+    """Passage-level dedup: the repeated 4-token passage survives only at
+    its first global occurrence; per-doc stats and the rebuilt text
+    reflect exactly the removed occurrences."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),       # passages: "a b c d", "e f g h"
+            (2, "a b c d x y z w"),       # first passage dups doc 1's
+            (3, "e f g h a b c d"),       # both passages dup doc 1's
+            (4, ""),                      # no tokens -> no passages
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.passage_dedup(docs, passage_tokens=4).collect()
+    }
+    assert set(out) == {1, 2, 3}  # empty doc drops out
+    assert (out[1]["n_dup_passages"], out[1]["dedup_text"]) == (
+        0,
+        "a b c d e f g h",
+    )
+    assert (out[2]["n_dup_passages"], out[2]["dedup_text"]) == (
+        1,
+        "x y z w",
+    )
+    assert (out[3]["n_dup_passages"], out[3]["dedup_text"]) == (2, "")
+    assert out[3]["dup_frac"] == 1.0
+    assert out[2]["dup_frac"] == 0.5
+
+
+def test_passage_dedup_short_tail_passage(spark):
+    """A trailing passage shorter than the stride is still a passage —
+    and two identical short tails dedup against each other."""
+    docs = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "x y z w t")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.passage_dedup(docs, passage_tokens=4).collect()
+    }
+    # both docs have 2 passages; the 1-token tail "t" is shared and doc 2
+    # loses it to doc 1
+    assert out[1]["n_passages"] == 2 and out[1]["n_dup_passages"] == 0
+    assert out[2]["n_dup_passages"] == 1
+    assert out[2]["dedup_text"] == "x y z w"

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from tower_parse_spark.functions.text import (
     HASH_P,
+    chunk_starts,
     combine_shingle_hashes,
     shingles,
     token_hash,
@@ -282,6 +283,88 @@ def incremental_exact_dedup(
     )
     hist = history.select(F.col(history_hash_col).alias("text_hash")).distinct()
     return in_batch.join(hist, "text_hash", "left_anti")
+
+
+#: non-overlapping passage width (tokens) for sub-document dedup
+PASSAGE_TOKENS = 10
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = PASSAGE_TOKENS,
+) -> DataFrame:
+    """Sub-document (passage-level) dedup: remove repeated passages from
+    otherwise-unique documents (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" methodology, on
+    fixed-width token windows instead of suffix-array spans — public
+    algorithm).
+
+    Per document: split into non-overlapping *passage_tokens*-token
+    passages, hash each, keep only the globally FIRST occurrence of each
+    passage (min (doc_id, start) — deterministic), and report
+    ``n_passages``, ``n_dup_passages``, ``dup_frac`` plus the
+    deduplicated text rebuilt from the kept passages in order.
+
+    Everything is linear — explode fan-out is n_tokens/stride per doc,
+    then ONE aggregation keyed on the passage hash and one join back:
+
+    - the canonical occurrence per hash is ``min(struct(doc_id, s))``,
+      which partial-aggregates map-side. A window ``row_number() OVER
+      (PARTITION BY phash)`` would be one shuffle cheaper but CANNOT
+      partial-aggregate: a boilerplate passage repeated 10^8 times across
+      a web corpus would land every copy in one task. The agg form
+      reduces that hash to one row before the shuffle; the join back is
+      an equi-join AQE skew-splits if an occurrence list is still hot.
+    - docs with no tokens produce no passages and drop out (same rule as
+      the chunking operator).
+    """
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_starts", chunk_starts(F.col("_toks"), passage_tokens)
+    )
+    # one row per (doc, passage start); passage text staged once so the
+    # hash and the rebuild read the same slot
+    p = (
+        staged.select(
+            F.col(id_col), F.explode("_starts").alias("s"), F.col("_toks")
+        )
+        .select(
+            F.col(id_col),
+            "s",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("s"), passage_tokens)
+            ).alias("ptext"),
+        )
+        .withColumn("phash", F.md5(F.col("ptext")))
+    )
+    canon = p.groupBy("phash").agg(
+        F.min(F.struct(F.col(id_col).alias("cid"), F.col("s").alias("cs"))).alias("_c")
+    )
+    marked = p.join(canon, "phash").withColumn(
+        "kept",
+        (F.col(id_col) == F.col("_c.cid")) & (F.col("s") == F.col("_c.cs")),
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dup_passages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("kept"), F.struct("s", "ptext"))
+                    )
+                ),
+                lambda x: x["ptext"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return out.withColumn(
+        "dup_frac",
+        F.col("n_dup_passages") / F.col("n_passages").cast("double"),
+    )
 
 
 def with_simhash(

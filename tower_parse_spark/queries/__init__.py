@@ -25,61 +25,62 @@ class Query:
 
 
 # The driver checks exactly the first 50 registry entries (observed cap:
-# CORRECTNESS_r01..r04.json each have 50 rows cut in registry order).
-# Queries listed here rotate to the registry tail. Round-5 rotation goal
-# (VERDICT r4 #1): after round 4, the 25 tail queries' latest
-# driver-green row is r3 while the 50 in-window queries are r4-green.
-# Swap: all 25 r3-latest tail queries move INTO the window; 25 of the 50
-# r4-green queries move to the tail. After the r5 driver run every
-# registry entry's latest driver-green row is r4 or r5. Each deferred
-# query's category keeps a sibling in the window (see COVERAGE.md
-# rotation table). Kept in-window despite being r4-green: queries whose
-# behavior this round changes (ann_ivf_topk — scoring-path dedup;
-# streaming_late_data — bench-weight trim; dedup_embedding_cosine — one
-# driver row on the new sign-LSH blocking), sole-representative queries
-# (decontaminate_ngram, text_pii_redact, doc_chunking, events_asof_order,
-# events_order_range_join), and the flagship training_data_pipeline.
+# CORRECTNESS_r01..r05.json each have 50 rows cut in registry order).
+# Queries listed here rotate to the registry tail. Round-6 rotation goal
+# (VERDICT r5 #2): all 32 queries whose latest driver-green row is r4
+# (the r5 tail) re-enter the window; 34 r5-green queries defer. After
+# the r6 driver run every registry entry's latest driver-green row is
+# r5 or r6. Each deferred query's category keeps a sibling in the
+# window (noted per entry; see COVERAGE.md rotation table). Kept
+# in-window despite being r5-green: queries whose behavior changes this
+# round (ann_ivfpq_topk — residual ADC encoding; embedding_cluster_stats
+# — NULL-vector oracle mirror; streaming_late_data — bench warm-start),
+# sole-representative queries (decontaminate_ngram, text_pii_redact,
+# doc_chunking, train_val_split, events_asof_order,
+# events_order_range_join, ingest_extract_probe, ingest_echo,
+# part_string_functions, lineitem_math_functions, customer_order_arrays,
+# dedup_exact — the incremental query's base), and the flagship
+# training_data_pipeline. The 2 NEW r6 queries (dedup_passages,
+# incremental_exact_dedup) need first driver evidence and stay in.
 _DEFER_TO_TAIL = [
-    # --- relational, all r4-green (CORRECTNESS_r04) ---
-    "q5_local_supplier",  # joins — q3 (re-entering), q9, q21 in window
-    "running_revenue_by_nation",  # window fns — order_gaps_quartiles + top_customers_per_nation in
-    "customers_without_urgent_orders",  # anti join — wealthy_inactive + q21 in window
-    "part_supplier_overlap",  # set ops — segment_set_ops in window
-    "orders_with_returns",  # semi join — q21/big-join family in window
-    "customer_order_distribution",  # agg+having — q16 + q1 (re-entering) in window
-    "min_cost_parts",  # correlated subq — wealthy_inactive_customers in window
-    "top_return_customers",  # top-k — q3 (re-entering) + top_revenue_supplier in window
-    "promo_revenue_pct",  # conditional-ratio agg — q6/q17 in window
-    "disjunctive_filter_revenue",  # filter/agg — q6 in window
-    "revenue_cube",  # grouping sets — revenue_rollup (re-entering) in window
-    "part_measures_unpivot",  # pivot/unpivot — order_priority_pivot in window
-    "nation_volume_shipping",  # Q7 shape — q9/market-share family siblings in window
-    "market_share_by_year",  # Q8 shape — q9 + nation-volume siblings in window
-    "big_basket_orders",  # join+having — q21 + q3 (re-entering) in window
-    # --- r5 additions: 7 more r4-green deferrals (each entry below, with
-    # --- its sibling noted) make window room for the 7 NEW r5 queries
-    # --- (text_repetition, text_tfidf_topterms, quality_filter_funnel,
-    # --- ann_ivfpq_topk, embedding_cluster_stats, source_overlap_minhash,
-    # --- q11_important_parts), which need first driver evidence in r5 ---
-    "q17_small_quantity_revenue",  # agg — q1/q6/q9/q16/q21 in window
-    "top_revenue_supplier",  # top-k — q3 + top_customers_per_nation in window
-    "events_json_props",  # map/JSON — events_map_functions (re-entering) in window
-    "orders_date_functions",  # date/time — events_tumbling_window (re-entering) in window; makes room for new ann_ivfpq_topk
-    "q9_product_profit",  # agg — q1/q6/q16/q21 in window; makes room for new embedding_cluster_stats
-    "q6_forecast_revenue",  # agg — q1/q16/q21 in window; makes room for new source_overlap_minhash
-    "ingest_pack_scalable",  # packs — ingest_pack_assign (re-entering) in window; makes room for new q11_important_parts
-    # --- llm families, all r4-green ---
-    "dedup_simhash",  # dedup — dedup_embedding_cosine in window + 3 re-entering
-    "dedup_ngram_jaccard",  # dedup — same
-    "text_langid",  # text — text_quality/text_token_stats re-entering
-    "text_fingerprint",  # text — same
-    "multimodal_pipeline",  # multimodal — multimodal_decode re-entering
-    # --- streaming / temporal, all r4-green ---
-    "streaming_pack_carry",  # streaming stateful — streaming_late_data stays in window
-    "events_sessionize",  # sessionization — events_session_window in window
-    "events_sliding_window",  # event-time windows — session_window + tumbling (re-entering) in
-    "events_time_rollup",  # multi-resolution rollup — revenue_rollup (re-entering) in window
-    "events_value_distribution",  # percentiles — order_gaps_quartiles (ntile) in window
+    # --- relational, all r5-green (CORRECTNESS_r05) ---
+    "q1_pricing_summary",  # agg — q6/q9/q17 + customer_order_distribution re-enter
+    "q3_shipping_priority",  # join+top-k — q5/big_basket + top_return_customers re-enter
+    "top_customers_per_nation",  # window fns — running_revenue_by_nation re-enters
+    "revenue_rollup",  # grouping sets — revenue_cube + events_time_rollup re-enter
+    "order_priority_pivot",  # pivot — part_measures_unpivot re-enters
+    "wealthy_inactive_customers",  # correlated subq — min_cost_parts re-enters
+    "segment_set_ops",  # set ops — part_supplier_overlap re-enters
+    "priority_ship_stats",  # conditional-ratio agg — promo_revenue_pct re-enters
+    "order_gaps_quartiles",  # percentiles/ntile — events_value_distribution re-enters
+    "q11_important_parts",  # agg+threshold join — q6/q9/q17 re-enter
+    "q16_supplier_counts",  # distinct agg — customer_order_distribution re-enters
+    "q21_blame_suppliers",  # multi-join exists/anti — q5 + customers_without_urgent_orders re-enter
+    # --- ingest, r5-green ---
+    "ingest_sentinel_stats",  # sentinel->NULL — ingest_extract_probe stays in window
+    "ingest_pack_assign",  # count packs — ingest_pack_scalable re-enters
+    "ingest_multiformat",  # alternation unify — ingest_extract_probe stays
+    "ingest_malformed_routing",  # malformed routing — ingest_extract_probe + echo stay
+    # --- llm families, r5-green ---
+    "dedup_minhash_lsh",  # dedup — dedup_simhash/ngram_jaccard re-enter + 2 NEW in window
+    "source_overlap_minhash",  # sketch overlap — dedup_simhash (signature family) re-enters
+    "dedup_embedding_cosine",  # near-dup — dedup_ngram_jaccard re-enters
+    "dedup_cluster_resolution",  # components — dedup family well covered in window
+    "ann_cosine_topk",  # ANN — ann_ivfpq_topk stays (residual-ADC change this round)
+    "ann_lsh_topk",  # ANN — same
+    "ann_ivf_topk",  # ANN — same
+    "text_quality",  # text — text_langid/text_fingerprint re-enter
+    "text_token_stats",  # text — same
+    "multimodal_decode",  # multimodal — multimodal_pipeline re-enters
+    "domain_mix_sample",  # sampling — train_val_split stays in window
+    "text_repetition",  # text signals — text_langid/text_fingerprint re-enter
+    "text_tfidf_topterms",  # text — same
+    "quality_filter_funnel",  # quality rules — training_data_pipeline stays in window
+    # --- streaming / temporal, r5-green ---
+    "streaming_generator",  # synthetic source — streaming_late_data stays + pack_carry re-enters
+    "events_tumbling_window",  # event-time windows — events_sliding_window/sessionize re-enter
+    "events_session_window",  # sessionization — events_sessionize re-enters
+    "events_map_functions",  # map/JSON — events_json_props re-enters
 ]
 
 

@@ -1625,8 +1625,131 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document passage dedup (VERDICT r5 item 3): per-doc duplicate-
+    passage fraction + the deduplicated text rebuilt from globally-first
+    passage occurrences. See operators/dedup.py::passage_dedup for the
+    scale shape (min-struct canonical agg — map-side combinable — instead
+    of a window that would funnel a hot boilerplate hash into one task)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.passage_dedup(docs)
+    return out.select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        pround(F.col("dup_frac"), 4).alias("dup_frac"),
+        "dedup_text",
+    ).orderBy("doc_id")
+
+
+_PT = D.PASSAGE_TOKENS
+
+DEDUP_PASSAGES_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), pass AS (
+  SELECT doc_id, s,
+         array_to_string(toks[s : s + {_PT - 1}], ' ') AS ptext
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, {_PT})) AS s
+        FROM tok)
+), marked AS (
+  SELECT doc_id, s, ptext,
+         row_number() OVER (PARTITION BY md5(ptext)
+                            ORDER BY doc_id, s) AS rn
+  FROM pass
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dup_passages,
+       {sql_pround(
+           "CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS DOUBLE)"
+           " / count(*)", 4)} AS dup_frac,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
+                           ORDER BY s), '') AS dedup_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (the daily-ingest shape, VERDICT r5): a
+    NEW batch is deduped in-batch then anti-joined against the historical
+    hash INDEX — yesterday's corpus never re-scans
+    (operators/dedup.py::incremental_exact_dedup).
+
+    The synthetic batch makes every failure mode visible on the
+    duplicate-free fixture: history = docs with ``doc_id % 4 != 0``;
+    the batch = the remaining docs, plus id-shifted replays of history
+    docs (must be removed by the history anti-join; two shift levels so
+    the in-batch stage sees them too), plus id-shifted copies of batch
+    docs (must be removed by IN-BATCH dedup — their texts are absent
+    from history)."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 4 == 0)
+        .unionAll(
+            history.filter(F.col("doc_id") % 8 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000)
+            )
+        )
+        .unionAll(
+            history.filter(F.col("doc_id") % 16 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(2_000_000)
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 8 == 4).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(3_000_000)
+            )
+        )
+    )
+    index = history.select(F.md5(F.col("text")).alias("text_hash")).distinct()
+    out = D.incremental_exact_dedup(batch, index)
+    return out.select("doc_id", "source", "text_hash").orderBy("doc_id")
+
+
+INCREMENTAL_DEDUP_ORACLE = """
+WITH batch AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, text FROM documents
+  WHERE doc_id % 4 != 0 AND doc_id % 8 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, source, text FROM documents
+  WHERE doc_id % 4 != 0 AND doc_id % 16 = 1
+  UNION ALL
+  SELECT doc_id + 3000000, source, text FROM documents WHERE doc_id % 8 = 4
+), hashed AS (
+  SELECT doc_id, source, md5(text) AS text_hash,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM batch
+), hist AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id % 4 != 0
+)
+SELECT doc_id, source, text_hash
+FROM hashed h
+WHERE rn = 1
+  AND NOT EXISTS (SELECT 1 FROM hist WHERE hist.text_hash = h.text_hash)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_ORACLE, "exact hash dedup"),
+    "dedup_passages": Query(
+        dedup_passages,
+        DEDUP_PASSAGES_ORACLE,
+        "sub-document passage dedup (dup fraction + rebuilt text)",
+    ),
+    "incremental_exact_dedup": Query(
+        incremental_dedup_batch,
+        INCREMENTAL_DEDUP_ORACLE,
+        "new-batch dedup against the historical hash index",
+    ),
     "dedup_minhash_lsh": Query(
         dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash+LSH near-dup"
     ),
