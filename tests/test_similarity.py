@@ -270,7 +270,7 @@ def test_ann_recall_floors(spark):
     """
     from tools.ann_recall import measure
 
-    r = measure(spark, planes_list=(6, 8), nprobes=(1, 2, 4))
+    r = measure(spark, planes_list=(6, 8), nprobes=(1, 2, 4), ivfpq=False)
     # Hamming radius widens a candidate superset -> recall is monotone
     assert r["lsh_p6"] < r["lsh_p6_multi"] < r["lsh_p6_multi2"]
     assert r["lsh_p6_multi"] >= 0.70

@@ -70,6 +70,7 @@ def measure(
     spark,
     planes_list: tuple[int, ...] = (4, 6, 8),
     nprobes: tuple[int, ...] = (1, 2, 4),
+    ivfpq: bool = True,
 ) -> dict[str, float]:
     from tower_parse_spark.operators import similarity as S
 
@@ -111,20 +112,74 @@ def measure(
     rows_a = S.ivf_topk(corpus, probes, dim=DIM, k=K, nprobe=2).collect()
     out["ivf_np2_lattice"] = round(recall_at_k(rows_a, truth), 4)
 
+    if not ivfpq:
+        return out
     # IVF-PQ: compressed-code ADC, then the standard shortlist+rerank
-    # deployment (trained coarse quantizer + trained codebooks)
-    from tower_parse_spark.operators import pq as PQ
+    # deployment (trained coarse quantizer + trained codebooks). r6:
+    # residual (IVFADC) rows — codes quantize v - mean(cell); the
+    # codebooks are trained on the residuals themselves (the matching
+    # distribution), raw-vector rows kept for comparison.
+    from pyspark.sql import functions as F
 
-    books = PQ.pq_train_codebooks(corpus, DIM, iters=3)
+    from tower_parse_spark.operators import pq as PQ
+    from tower_parse_spark.operators.similarity import assign_cells
+
+    books_raw = PQ.pq_train_codebooks(corpus, DIM, iters=3)
+    # residual codebooks are trained on the residuals themselves (the
+    # matching distribution): normalize -> assign -> per-cell mean ->
+    # v - mean, mirroring the operator's internal pipeline
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    ncorpus = corpus.withColumn("_n", nrm).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / F.col("_n")).alias("cv"),
+    )
+    assigned = assign_cells(ncorpus, "cv", cents, out="cell")
+    means = PQ.with_cell_means(assigned, "cv", DIM).localCheckpoint(
+        eager=False
+    )
+    residuals = PQ.with_residual(assigned, "cv", means).select(
+        F.col("rv").alias("embedding")
+    )
+    books_r = PQ.pq_train_codebooks(residuals, DIM, iters=3)
+    # the production scalar-code config: M=dim sub-dim-1 codes, 4 bits
+    # per dim — same 8-byte/vector footprint as M=8/K=256, far easier to
+    # train (1-dim Lloyd converges on ~5 samples/code where 2-dim does
+    # not)
+    books_r16 = PQ.pq_train_codebooks(
+        residuals, DIM, m_sub=DIM, k_codes=16, iters=3
+    )
     for nprobe in (2, 4):
         rows_a = PQ.ivfpq_topk(
             corpus, probes, dim=DIM, k=K, nprobe=nprobe,
-            centroids=cents, codebooks=books,
+            centroids=cents, codebooks=books_raw,
+            residual=False, normalize=False,
         ).collect()
-        out[f"ivfpq_np{nprobe}_adc"] = round(recall_at_k(rows_a, truth), 4)
+        out[f"ivfpq_np{nprobe}_adc_raw"] = round(
+            recall_at_k(rows_a, truth), 4
+        )
         rows_a = PQ.ivfpq_topk(
             corpus, probes, dim=DIM, k=K, nprobe=nprobe,
-            centroids=cents, codebooks=books, rerank=10 * K,
+            centroids=cents, codebooks=books_r,
+        ).collect()
+        out[f"ivfpq_np{nprobe}_residual_adc"] = round(
+            recall_at_k(rows_a, truth), 4
+        )
+        rows_a = PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=nprobe,
+            centroids=cents, codebooks=books_r16,
+        ).collect()
+        out[f"ivfpq_np{nprobe}_residual_adc_m{DIM}"] = round(
+            recall_at_k(rows_a, truth), 4
+        )
+        rows_a = PQ.ivfpq_topk(
+            corpus, probes, dim=DIM, k=K, nprobe=nprobe,
+            centroids=cents, codebooks=books_r, rerank=10 * K,
         ).collect()
         out[f"ivfpq_np{nprobe}_rerank{10 * K}"] = round(
             recall_at_k(rows_a, truth), 4

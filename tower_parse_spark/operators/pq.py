@@ -241,6 +241,58 @@ def adc_distance(codes_col, pt_col, qsq_col, m_sub: int = PQ_M, k_codes: int = P
     return qsq_col + s
 
 
+def with_cell_means(
+    assigned: DataFrame,
+    vec_colname: str,
+    dim: int,
+    cell_col: str = "cell",
+    out: str = "mean_v",
+) -> DataFrame:
+    """Per-cell element-wise mean vectors, computed with 1e-4-quantized
+    INTEGER sums: ``mean[i] = sum(round(v[i]*10^4)::long) / 10^4 / n``.
+    Integer addition is associative, so the result is bit-identical
+    across partitionings AND engines (the repo's quantize-then-sum
+    parity rule) — unlike a double ``avg()``, whose partial-sum order
+    would perturb the residuals and flip near-tie PQ argmins.
+
+    One map-side-combined aggregation onto ~IVF_K rows; the output is
+    broadcast-sized regardless of corpus size."""
+    sums = [
+        F.sum(F.round(F.col(vec_colname)[i] * 10000).cast("long")).alias(
+            f"_s{i}"
+        )
+        for i in range(dim)
+    ]
+    g = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"), *sums)
+    mean = F.array(
+        *[F.col(f"_s{i}") / 10000.0 / F.col("_n") for i in range(dim)]
+    )
+    return g.select(cell_col, mean.alias(out))
+
+
+def with_residual(
+    df: DataFrame,
+    vec_colname: str,
+    means: DataFrame,
+    cell_col: str = "cell",
+    out: str = "rv",
+) -> DataFrame:
+    """Attach the cell-relative residual ``out[i] = v[i] - mean_v[i]``
+    via a broadcast join on the (tiny) per-cell mean table. LEFT join:
+    a probe row probing a cell absent from the corpus keeps its row
+    (NULL residual — it scores no candidates anyway)."""
+    return (
+        df.join(F.broadcast(means), cell_col, "left")
+        .withColumn(
+            out,
+            F.zip_with(
+                F.col(vec_colname), F.col("mean_v"), lambda a, b: a - b
+            ),
+        )
+        .drop("mean_v")
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -253,6 +305,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
     rerank: int | None = None,
+    residual: bool = True,
+    normalize: bool = True,
 ) -> DataFrame:
     """IVF-PQ (FAISS IVFADC layout): coarse cells prune the candidate
     set, PQ codes compress what's scanned, ADC scores without touching
@@ -273,7 +327,31 @@ def ivfpq_topk(
     scanned uncompressed, only the shortlist rows are. The oracle-checked
     registry query stays pure-ADC (rerank=None) so the oracle pins the
     ADC arithmetic itself; the recall gain of re-ranking is measured in
-    tests/test_pq.py and SCALE.md."""
+    tests/test_pq.py and SCALE.md.
+
+    *residual* (default True — classic IVFADC, Jégou et al. 2011 §IV):
+    codes quantize the RESIDUAL v - mean(cell) instead of the raw
+    vector, and each probe's ADC table is built from q - mean(probed
+    cell), per probed cell. Residuals are centered near zero, so the
+    codebook's span covers them far more densely than raw vectors
+    (pure-ADC recall measured in SCALE.md). The reproduction value is
+    the per-cell DATA MEAN (:func:`with_cell_means` — the Lloyd update,
+    optimal for L2), not the assignment centroid: the engine's cosine
+    quantizer centroids are directions, not locations, and a trained
+    kmeans centroid is the cell mean anyway. Cost: one extra map-side
+    aggregation over the corpus onto IVF_K broadcast rows, and probe ADC
+    tables are built per (probe, probed cell) instead of per probe —
+    nprobe× more fold work on the tiny probe side only.
+    ``residual=False`` keeps the r5 raw-vector behavior bit-identical.
+
+    *normalize* (default True): L2-normalize corpus and probe vectors
+    before encoding, making the ADC's squared-L2 ranking MONOTONE in
+    cosine — the metric every other ANN operator in the engine ranks by.
+    On unnormalized vectors the L2 order diverges from the cosine order
+    wherever norms vary, which capped pure-ADC recall at ~0.48
+    regardless of codebook size (measured, SCALE.md r6); a zero/NULL
+    vector normalizes to NULL and follows the malformed-vector cell-0
+    path. Cell assignment is cosine and thus unaffected."""
     if rerank is not None and rerank < k:
         raise ValueError(
             f"rerank={rerank} < k={k}: the ADC shortlist must be at least "
@@ -281,12 +359,34 @@ def ivfpq_topk(
         )
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     nprobe = min(nprobe, len(cents))
-    c = assign_cells(
-        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv")),
-        "cv",
-        cents,
-        out="cell",
+
+    def _normed(df: DataFrame, col: str) -> DataFrame:
+        # the norm fold is STAGED once: referencing it from inside the
+        # per-element transform lambda re-reads a slot, never re-folds
+        df = df.withColumn("_nrm", norm(F.col(col)))
+        return df.withColumn(
+            col,
+            F.when(
+                F.col("_nrm") > 0,
+                F.transform(F.col(col), lambda x: x / F.col("_nrm")),
+            ),
+        ).drop("_nrm")
+
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+    if normalize:
+        c = _normed(c, "cv")
+    c = assign_cells(c, "cv", cents, out="cell")
+    # the means relation is referenced by BOTH sides (corpus residual,
+    # probe residual): checkpoint its ~IVF_K rows so the corpus-wide
+    # mean aggregation runs once, not once per reference
+    means = (
+        with_cell_means(c, "cv", dim).localCheckpoint(eager=False)
+        if residual
+        else None
     )
+    if residual:
+        c = with_residual(c, "cv", means)
+    enc_col = "rv" if residual else "cv"
     # materialize the encoded corpus (id, cell, M codes — the compressed
     # index, a few bytes/row) BEFORE the join: broadcast-hash-join
     # codegen defers streamed-side column evaluation into the per-match
@@ -295,20 +395,25 @@ def ivfpq_topk(
     # 256-probe 100k smoke). The prebuilt-index deployment gets the same
     # barrier from parquet.
     c = (
-        with_pq_codes(c, "cv", dim, codebooks=codebooks)
+        with_pq_codes(c, enc_col, dim, codebooks=codebooks)
         .select(id_col, "cell", "codes")
         .localCheckpoint(eager=False)
     )
-    p = _with_centroid_scores(
-        probes.select(
-            F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
-        ),
-        "pv",
-        cents,
-        out="sc0",
+    p = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
     )
-    p = with_adc_table(p, "pv", dim, codebooks=codebooks).drop("pv")
-    p = _explode_probe_cells(p, nprobe)
+    if normalize:
+        p = _normed(p, "pv")
+    p = _with_centroid_scores(p, "pv", cents, out="sc0")
+    if residual:
+        # the ADC table depends on the probed cell's mean, so it is
+        # staged AFTER the cell explode — one table per (probe, cell) row
+        p = _explode_probe_cells(p, nprobe)
+        p = with_residual(p, "pv", means)
+        p = with_adc_table(p, "rv", dim, codebooks=codebooks).drop("pv", "rv")
+    else:
+        p = with_adc_table(p, "pv", dim, codebooks=codebooks).drop("pv")
+        p = _explode_probe_cells(p, nprobe)
     books = codebooks if codebooks is not None else lattice_codebooks(dim)
     scored = c.join(F.broadcast(p), "cell").select(
         probe_id_col,

@@ -511,7 +511,10 @@ ORDER BY probe_id, rank
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (FAISS IVFADC layout): coarse-cell pruning + product-
     quantized ADC scoring — the corpus side carries only (id, cell,
-    M codes); raw vectors never reach the join."""
+    M codes); raw vectors never reach the join. r6: codes quantize the
+    RESIDUAL v - mean(cell) (classic IVFADC; operators/pq.py::ivfpq_topk
+    residual=True), with the per-cell means computed as exact
+    quantized-integer sums so the oracle reproduces them bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(emb, _probes(spark, sf_dir), dim=64, k=5).orderBy(
         "probe_id", "rank"
@@ -565,12 +568,26 @@ def _pq_sql_parts(v: str, dim: int = 64) -> tuple[str, str, str]:
     return dlists, codes, pt
 
 
-_PQ_DLISTS, _PQ_CODES, _PQ_PT = _pq_sql_parts("embedding")
+_PQR_DLISTS, _PQR_CODES, _ = _pq_sql_parts("rv")
+_, _, _PQR_PT = _pq_sql_parts("rq")
 
+# r6 residual IVFADC twin: vectors are L2-normalized first (ADC's L2
+# rank is then monotone in cosine — pq.py normalize=True); per-cell
+# means are exact 1e-4-quantized INTEGER sums (order-independent —
+# bit-identical to Spark's with_cell_means regardless of partitioning);
+# residuals are computed against the probed/assigned cell's mean on
+# both sides.
 ANN_IVFPQ_ORACLE = f"""
-WITH emb AS (
+WITH emb0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
   FROM embeddings
+), emb AS (
+  SELECT vec_id,
+         CASE WHEN nrm > 0
+              THEN list_transform(embedding, x -> x / nrm) END AS embedding
+  FROM (SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+        FROM emb0)
 ), scored_cells AS ({_sql_ivf_cells()}
 ), cells AS (
   SELECT vec_id, embedding, s,
@@ -586,18 +603,38 @@ WITH emb AS (
                             i -> CASE WHEN i = cell1 THEN -9.0 ELSE s[i] END))
          ) AS cell2
   FROM cells
+), cellmeans AS (
+  SELECT cell, list(m ORDER BY i) AS mean_v FROM (
+    SELECT cell1 AS cell, i,
+           sum(CAST(round(embedding[i] * 10000) AS BIGINT)) / 10000.0
+             / count(*) AS m
+    FROM cells2, unnest(range(1, 65)) AS u(i)
+    GROUP BY cell1, i
+  ) GROUP BY cell
 ), encd AS (
   SELECT vec_id, cell1,
-         {_PQ_DLISTS}
-  FROM cells2
+         {_PQR_DLISTS}
+  FROM (
+    SELECT c2.vec_id, c2.cell1,
+           list_transform(range(1, 65),
+                          i -> c2.embedding[i] - cm.mean_v[i]) AS rv
+    FROM cells2 c2 JOIN cellmeans cm ON cm.cell = c2.cell1
+  )
 ), enc AS (
-  SELECT vec_id, cell1 AS cell, {_PQ_CODES} AS codes FROM encd
+  SELECT vec_id, cell1 AS cell, {_PQR_CODES} AS codes FROM encd
 ), pq_probes AS (
-  SELECT vec_id AS probe_id,
-         unnest([cell1, cell2]) AS cell,
-         {_PQ_PT} AS pt,
-         list_sum(list_transform(embedding, x -> x * x)) AS qsq
-  FROM cells2 WHERE vec_id % 100 = 0
+  SELECT probe_id, cell,
+         {_PQR_PT} AS pt,
+         list_sum(list_transform(rq, x -> x * x)) AS qsq
+  FROM (
+    SELECT pb.probe_id, pb.cell,
+           list_transform(range(1, 65),
+                          i -> pb.embedding[i] - cm.mean_v[i]) AS rq
+    FROM (SELECT vec_id AS probe_id, embedding,
+                 unnest([cell1, cell2]) AS cell
+          FROM cells2 WHERE vec_id % 100 = 0) pb
+    JOIN cellmeans cm ON cm.cell = pb.cell
+  )
 ), scored AS (
   SELECT p.probe_id, e.vec_id AS vec_id,
          round(p.qsq + list_sum(list_transform(range(1, {PQ.PQ_M + 1}),
