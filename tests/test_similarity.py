@@ -284,3 +284,46 @@ def test_ann_recall_floors(spark):
     assert r["ivf_np4"] >= 0.9
     # the trained quantizer beats the seedless lattice at equal nprobe
     assert r["ivf_np2"] >= r["ivf_np2_lattice"]
+
+
+def test_append_ivf_index_matches_rebuild(blob_corpus, blob_probes, spark, tmp_path):
+    """Incremental index maintenance (VERDICT r5 item 4): build on half
+    the corpus, append the other half with the FROZEN quantizer —
+    probing the appended index returns exactly the rows a full rebuild
+    returns, and the drift report is quiet for in-distribution data."""
+    cents = S.kmeans_centroids(blob_corpus, dim=4, k=3, iters=3)
+    half_a = blob_corpus.filter(F.col("vec_id") % 2 == 0)
+    half_b = blob_corpus.filter(F.col("vec_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    S.build_ivf_index(half_a, inc_path, dim=4, centroids=cents)
+    report = S.append_ivf_index(half_b, inc_path, dim=4, centroids=cents)
+    assert report["n_appended"] == half_b.count()
+    assert report["drift_frac"] == 0.0 and not report["advise_retrain"]
+
+    full_path = str(tmp_path / "ivf_full")
+    S.build_ivf_index(blob_corpus, full_path, dim=4, centroids=cents)
+    pre_inc = S.ivf_topk_prebuilt(
+        spark, inc_path, blob_probes, dim=4, k=5, nprobe=1, centroids=cents
+    )
+    pre_full = S.ivf_topk_prebuilt(
+        spark, full_path, blob_probes, dim=4, k=5, nprobe=1, centroids=cents
+    )
+    assert _topk_rows(pre_inc) == _topk_rows(pre_full)
+
+
+def test_append_ivf_index_drift_advises_retrain(blob_corpus, spark, tmp_path):
+    """A batch from a direction no centroid covers (negative orthant —
+    cosine to every blob centroid is ~-1) must push drift_frac past the
+    threshold and advise a retrain."""
+    cents = S.kmeans_centroids(blob_corpus, dim=4, k=3, iters=3)
+    path = str(tmp_path / "ivf_drift")
+    S.build_ivf_index(blob_corpus, path, dim=4, centroids=cents)
+    drifted = spark.createDataFrame(
+        [(1000 + i, [-5.0, -5.0, -5.0, -0.1 * i]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    report = S.append_ivf_index(drifted, path, dim=4, centroids=cents)
+    assert report["n_appended"] == 10
+    assert report["drift_frac"] == 1.0
+    assert report["advise_retrain"]

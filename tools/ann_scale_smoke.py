@@ -118,6 +118,26 @@ def main() -> int:
                 centroids=cents32,
             ),
         )
+        # incremental append (r6): the daily-batch cost — assign a 10%
+        # batch with the frozen quantizer and append into the partition
+        # layout without touching existing lists. drift_floor is
+        # calibrated to THIS quantizer (lattice cells align weakly with
+        # the synthetic clusters — typical best-cell cosine ~0.1-0.3, so
+        # the in-distribution floor sits below that; see the
+        # append_ivf_index docstring for the calibration rule)
+        batch = (
+            corpus_df(spark, n // 10)
+            .select(
+                (F.col("vec_id") + 50_000_000).alias("vec_id"), "embedding"
+            )
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        report = S.append_ivf_index(
+            batch, idx_dir, dim=DIM, centroids=cents32, drift_floor=0.05
+        )
+        out["ivf32_append_10pct"] = round(time.time() - t0, 2)
+        out["ivf32_append_drift_frac"] = report["drift_frac"]
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

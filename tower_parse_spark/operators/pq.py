@@ -376,15 +376,15 @@ def ivfpq_topk(
     if normalize:
         c = _normed(c, "cv")
     c = assign_cells(c, "cv", cents, out="cell")
-    # the means relation is referenced by BOTH sides (corpus residual,
-    # probe residual): checkpoint its ~IVF_K rows so the corpus-wide
-    # mean aggregation runs once, not once per reference
-    means = (
-        with_cell_means(c, "cv", dim).localCheckpoint(eager=False)
-        if residual
-        else None
-    )
     if residual:
+        # barrier BEFORE the means agg: the assigned corpus feeds two
+        # consumers (the per-cell mean aggregation and the residual
+        # encode), and without it the normalize + (k+1)-accumulator
+        # assignment fold re-runs per consumer — measured 10.5 s -> 6.9 s
+        # on the 256-probe 100k smoke. The means relation itself is also
+        # checkpointed (~IVF_K rows) since both join sides reference it.
+        c = c.localCheckpoint(eager=False)
+        means = with_cell_means(c, "cv", dim).localCheckpoint(eager=False)
         c = with_residual(c, "cv", means)
     enc_col = "rv" if residual else "cv"
     # materialize the encoded corpus (id, cell, M codes — the compressed
