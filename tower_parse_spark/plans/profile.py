@@ -131,6 +131,13 @@ class DeviceProfile:
     timeout: float | None = None
     station: str = "station"
     sentinel: str = "///"
+    #: line-source kind (r6, VERDICT r5 item 7): socket (reference
+    #: parity/dev), kafka (production — replayable offsets compose with
+    #: the exactly-once pack sink), file (spooled logs), rate (synthetic)
+    source: str = "socket"
+    kafka_servers: str = ""
+    kafka_topic: str = ""
+    spool_dir: str = ""
 
     def __post_init__(self) -> None:
         variables = validate_regex_branches(self.regex)
@@ -138,6 +145,18 @@ class DeviceProfile:
             self.group.validate(set(variables))
         if self.pack_length <= 0:
             raise ConfigurationError("pack_length must be positive")
+        if self.source not in {"socket", "kafka", "file", "rate"}:
+            raise ConfigurationError(
+                f"source must be socket|kafka|file|rate, got {self.source!r}"
+            )
+        if self.source == "kafka" and not (
+            self.kafka_servers and self.kafka_topic
+        ):
+            raise ConfigurationError(
+                "source=kafka requires kafka_servers and kafka_topic"
+            )
+        if self.source == "file" and not self.spool_dir:
+            raise ConfigurationError("source=file requires spool_dir")
         object.__setattr__(self, "_variables", tuple(variables))
 
     @property
@@ -178,6 +197,12 @@ class DeviceProfile:
                 port=device.getint("port", fallback=0),
                 timeout=device.getfloat("timeout", fallback=None),
                 station=device.get("station", "station"),
+                # source selection is an ADDITIVE option: reference
+                # configs carry no 'source' key and keep socket behavior
+                source=device.get("source", "socket"),
+                kafka_servers=device.get("kafka_servers", ""),
+                kafka_topic=device.get("kafka_topic", ""),
+                spool_dir=device.get("spool_dir", ""),
             )
         except (KeyError, ValueError, SyntaxError) as exc:
             raise ConfigurationError(f"bad config {path!r}: {exc}") from exc

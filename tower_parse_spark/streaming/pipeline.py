@@ -155,7 +155,7 @@ def write_dead_letters(
 def run_ingest(
     spark,
     profile: DeviceProfile,
-    lines: DataFrame,
+    lines: DataFrame | None,
     base_dir: str,
     trigger: dict | None = None,
     metrics: bool = False,
@@ -163,8 +163,16 @@ def run_ingest(
     """Wire source -> parse -> pack -> sink for one device profile
     (the `./readport.py --config X.conf` entry point, readport.py:739-778).
 
+    *lines=None* derives the source from the profile's ``source`` option
+    (socket | kafka | file | rate — sources.build_source, r6); passing a
+    DataFrame keeps the explicit-source form for tests and composition.
+
     *metrics=True* attaches the A24 heartbeat listener
     (streaming/metrics.py) to the session bus before starting."""
+    if lines is None:
+        from tower_parse_spark.streaming.sources import build_source
+
+        lines = build_source(spark, profile)
     if metrics:
         import sys
 

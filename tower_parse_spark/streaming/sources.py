@@ -97,3 +97,83 @@ def file_lines(
         F.col("value").alias("line"),
         F.current_timestamp().cast("double").alias("ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kafka (SURVEY.md §1.4 — the production line-source; VERDICT r5 item 7)
+# ---------------------------------------------------------------------------
+
+#: engine defaults for the Kafka reader; callers override via extra opts
+KAFKA_DEFAULTS = {"failOnDataLoss": "false"}
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    extra: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option dict the Kafka reader is built with — factored
+    out so the config surface is unit-testable WITHOUT a broker or the
+    spark-sql-kafka connector jar (neither ships in the sandbox; on a
+    real cluster add ``--packages org.apache.spark:spark-sql-kafka-0-10``,
+    the standard public connector)."""
+    if not bootstrap_servers:
+        raise ValueError("kafka source requires bootstrap servers")
+    if not topic:
+        raise ValueError("kafka source requires a topic")
+    opts = dict(KAFKA_DEFAULTS)
+    opts.update(
+        {
+            "kafka.bootstrap.servers": bootstrap_servers,
+            "subscribe": topic,
+            "startingOffsets": starting_offsets,
+        }
+    )
+    opts.update(extra or {})
+    return opts
+
+
+def kafka_project(raw: DataFrame) -> DataFrame:
+    """Kafka record -> the engine's ``line string, ts double`` contract:
+    value bytes decode as UTF-8 (same as the socket framing), the broker
+    append timestamp plays the processing-time stamp (A6). Pure
+    projection — testable on a batch frame with the Kafka schema."""
+    return raw.select(
+        F.col("value").cast("string").alias("line"),
+        F.col("timestamp").cast("double").alias("ts"),
+    )
+
+
+def kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    extra: dict[str, str] | None = None,
+) -> DataFrame:
+    """Kafka topic as a line stream. One partition maps to one Spark
+    input partition; offsets ride the checkpoint, so the exactly-once
+    pack sink's replay guarantees hold end-to-end (unlike the socket
+    source, which is non-replayable — SURVEY.md §1.4)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets, extra
+    ).items():
+        reader = reader.option(k, v)
+    return kafka_project(reader.load())
+
+
+def build_source(spark: SparkSession, profile) -> DataFrame:
+    """Dispatch a DeviceProfile's ``source`` kind to its line stream —
+    the one place run_ingest derives a source from config (A25)."""
+    kind = getattr(profile, "source", "socket")
+    if kind == "socket":
+        return socket_lines(spark, profile.host, profile.port)
+    if kind == "kafka":
+        return kafka_lines(spark, profile.kafka_servers, profile.kafka_topic)
+    if kind == "rate":
+        return rate_lines(spark)
+    if kind == "file":
+        return file_lines(spark, profile.spool_dir)
+    raise ValueError(f"unknown source kind {kind!r}")
