@@ -256,16 +256,23 @@ def with_cell_means(
     would perturb the residuals and flip near-tie PQ argmins.
 
     One map-side-combined aggregation onto ~IVF_K rows; the output is
-    broadcast-sized regardless of corpus size."""
+    broadcast-sized regardless of corpus size.
+
+    The dim aggregate expressions and the dim-wide mean array each enter
+    the plan via ONE F.expr SQL parse (the lit_matrix lesson): building
+    them element-wise from Column objects cost ~4 py4j round-trips per
+    entry — measured as the dominant share of the residual path's +1.6 s
+    plan-build overhead at dim=64."""
+    v = vec_colname
     sums = [
-        F.sum(F.round(F.col(vec_colname)[i] * 10000).cast("long")).alias(
+        F.expr(f"sum(CAST(round({v}[{i}] * 10000) AS BIGINT))").alias(
             f"_s{i}"
         )
         for i in range(dim)
     ]
-    g = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_n"), *sums)
-    mean = F.array(
-        *[F.col(f"_s{i}") / 10000.0 / F.col("_n") for i in range(dim)]
+    g = assigned.groupBy(cell_col).agg(F.expr("count(1)").alias("_n"), *sums)
+    mean = F.expr(
+        "array(" + ",".join(f"_s{i} / 10000.0D / _n" for i in range(dim)) + ")"
     )
     return g.select(cell_col, mean.alias(out))
 

@@ -9,6 +9,7 @@ same code viable on a real multi-executor cluster at 100 TB.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +60,12 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # keep session droppings out of the repo root (gitignored too —
+        # VERDICT r5 housekeeping): no query uses managed tables
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "tps_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
