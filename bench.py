@@ -175,6 +175,7 @@ def main() -> int:
     # is the LAST line and stays under the tail capture.
     enriched = {
         "detail": "runs_and_spread",
+        "queries": times,  # full dict even when the compact line truncates
         "runs": runs,
         "spread_pct": spread_pct,
         "noise_median_pct": noise_median,

@@ -35,12 +35,16 @@ def main() -> int:
             d = json.loads(text)
         except ValueError:
             # bench.py r6+ prints TWO JSON lines (enriched detail, then the
-            # compact driver line) — merge them into one dict
+            # compact driver line) — merge them into one dict, keeping the
+            # LARGER queries dict (the compact line truncates on --all runs)
             d = {}
             for ln in text.splitlines():
                 ln = ln.strip()
                 if ln.startswith("{"):
-                    d.update(json.loads(ln))
+                    part = json.loads(ln)
+                    if len(part.get("queries", {})) < len(d.get("queries", {})):
+                        part.pop("queries", None)
+                    d.update(part)
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
         return d.get("parsed", d) or d
 
