@@ -1,0 +1,90 @@
+"""Embedding-family oracle parity on a NULL-injected fixture.
+
+The driver regenerates fixtures between rounds (ADVICE r5, medium): if a
+regeneration ships NULL / empty / all-zero embedding vectors, every
+embedding query must still MATCH its DuckDB oracle — not crash and not
+silently diverge. This fixture caught three real defects when first run
+(r6): ANSI DIVIDE_BY_ZERO on zero-norm vectors in the centroid-score /
+cosine-rank / pair-cosine divisions (fixed with try_divide — DuckDB's
+x/0 semantics), and a dominant-label tie-break where Spark's NULLS FIRST
+beat DuckDB's NULLS LAST (fixed with asc_nulls_last).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import value_hash  # noqa: E402
+
+from tower_parse_spark.queries import registry  # noqa: E402
+from tower_parse_spark.session import TABLES, table_path  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+EMBEDDING_QUERIES = [
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "dedup_embedding_cosine",
+    "embedding_cluster_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    """sf0.001 with degenerate embedding rows appended: NULL vector,
+    empty vector, all-zero vector, a NULL vector at a PROBE id
+    (vec_id % 100 = 0), and a NULL label."""
+    dst = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copy(table_path(SRC, t), table_path(str(dst), t))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id, embedding, label
+          FROM read_parquet('{table_path(SRC, "embeddings")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (600, NULL, 3),
+            (601, [], 4),
+            (602, list_transform(range(64), i -> 0.0), 6),
+            (700, NULL, 5),
+            (603, NULL, NULL)
+          ) AS t(vec_id, embedding, label)
+        ) TO '{table_path(str(dst), "embeddings")}' (FORMAT parquet)
+        """
+    )
+    return str(dst)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_embedding_query_parity_with_degenerate_vectors(
+    spark, null_sf_dir, name
+):
+    reg = registry()
+    sdf = reg[name].fn(spark, null_sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(null_sf_dir, t)}')"
+        )
+    res = con.execute(reg[name].oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)

@@ -39,7 +39,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: zero-norm input yields NULL (DuckDB x/0 parity), not
+    # an ANSI DIVIDE_BY_ZERO
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 # ---- single-fold multi-accumulator variants -------------------------------

@@ -528,7 +528,12 @@ def embedding_near_dup_pairs(
         F.col("v").alias("v2"),
         F.col("nv").alias("n2"),
     )
-    cos = dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+    # try_divide: a zero-norm pair (empty/all-zero vectors) scores NULL
+    # (DuckDB x/0 parity) and is dropped by the threshold filter, where
+    # ANSI `/` would raise DIVIDE_BY_ZERO
+    cos = F.try_divide(
+        dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")
+    )
     return (
         left.join(right, "blk")
         .filter(F.col("id1") < F.col("id2"))

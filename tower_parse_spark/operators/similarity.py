@@ -210,9 +210,15 @@ def _with_centroid_scores(
         multi_dot_lit(F.col(vec_colname), centroids, with_self_sq=True),
     )
     vnorm = F.sqrt(F.col("_scraw")[k])
+    # try_divide, not /: a zero-norm (empty or all-zero) vector must
+    # score NULL — DuckDB's x/0 semantics — and take the deterministic
+    # cell-0 path, where ANSI `/` raises DIVIDE_BY_ZERO executor-side
+    # (caught by the NULL-fixture robustness test, test_null_fixture.py)
     scores = F.array(
         *[
-            F.col("_scraw")[j] / (vnorm * F.lit(lit_norm(centroids[j])))
+            F.try_divide(
+                F.col("_scraw")[j], vnorm * F.lit(lit_norm(centroids[j]))
+            )
             for j in range(k)
         ]
     )
@@ -363,8 +369,13 @@ def _cosine_rank(
     scored = joined.select(
         probe_id_col,
         id_col,
+        # try_divide: zero-norm rows score NULL (DuckDB x/0 parity)
+        # instead of raising ANSI DIVIDE_BY_ZERO
         F.round(
-            dot(F.col("cv"), F.col("pv")) / (F.col("cn") * F.col("pn")), 4
+            F.try_divide(
+                dot(F.col("cv"), F.col("pv")), F.col("cn") * F.col("pn")
+            ),
+            4,
         ).alias("cos_sim"),
     )
     w = W.partitionBy(probe_id_col).orderBy(

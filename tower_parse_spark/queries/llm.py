@@ -687,7 +687,12 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_label"),
         F.sum("_cn4").alias("_cn4_sum"),
     )
-    w = W.partitionBy("cell").orderBy(F.col("n_label").desc(), "label")
+    # asc_nulls_last: Spark's default ASC is NULLS FIRST but DuckDB's is
+    # NULLS LAST — on a tie a NULL label must not beat a real one
+    # (caught by the NULL-fixture robustness test)
+    w = W.partitionBy("cell").orderBy(
+        F.col("n_label").desc(), F.asc_nulls_last("label")
+    )
     return (
         per_label.withColumn("_rn", F.row_number().over(w))
         .groupBy("cell")
