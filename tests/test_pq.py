@@ -194,3 +194,55 @@ def test_residual_adc_recall_floor(spark):
     r_raw = recall_at_k(raw, truth, k=k)
     assert r_resid >= 0.7
     assert r_resid > r_raw
+
+
+def test_prebuilt_ivfpq_index_matches_inline(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_topk_prebuilt return the exact rows the
+    inline ivfpq_topk computes (residual codes + means sidecar through
+    the parquet round-trip), and the code scan prunes to probed cells."""
+    emb = load_table(spark, SF, "embeddings")
+    probes = _probes(emb)
+    path = str(tmp_path / "ivfpq_idx")
+    PQ.build_ivfpq_index(emb, path, dim=DIM)
+    pre = PQ.ivfpq_topk_prebuilt(spark, path, probes, dim=DIM, k=5)
+    inline = PQ.ivfpq_topk(emb, probes, dim=DIM, k=5)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["rank"], r["vec_id"], r["adc_dist"])
+        for r in df.collect()
+    )
+    assert rows(pre) == rows(inline)
+    plan = pre._jdf.queryExecution().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_append_ivfpq_index_frozen_means(spark, tmp_path):
+    """Appending encodes against the index's FROZEN mean sidecar: after
+    build(half A) + append(half B), probing returns exactly what an
+    inline run over A∪B with A's means would — verified by asserting
+    the appended codes equal re-encoding B with the sidecar means."""
+    emb = load_table(spark, SF, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq_inc")
+    PQ.build_ivfpq_index(half_a, path, dim=DIM)
+    report = PQ.append_ivfpq_index(half_b, path, dim=DIM)
+    assert report["n_appended"] == half_b.count()
+    # the index now holds every vector exactly once
+    import os
+    got = spark.read.parquet(os.path.join(path, "codes"))
+    assert got.count() == emb.count()
+    assert got.select("vec_id").distinct().count() == emb.count()
+    # appended codes == encoding B against the sidecar means directly
+    means = spark.read.parquet(os.path.join(path, "means"))
+    cents = S.lattice_centroids(DIM)
+    enc_b, _ = PQ.encode_ivfpq(half_b, DIM, cents, means=means)
+    expect = {
+        r["vec_id"]: (r["cell"], tuple(r["codes"])) for r in enc_b.collect()
+    }
+    b_ids = set(expect)
+    stored = {
+        r["vec_id"]: (int(r["cell"]), tuple(r["codes"]))
+        for r in got.collect()
+        if r["vec_id"] in b_ids
+    }
+    assert stored == {k: (int(c), t) for k, (c, t) in expect.items()}

@@ -32,6 +32,8 @@ BOTH engines; argmin tie-break is first-minimum on both
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -300,6 +302,134 @@ def with_residual(
     )
 
 
+def _normed(df: DataFrame, col: str) -> DataFrame:
+    """L2-normalize an array column in place; zero/NULL vectors become
+    NULL (the malformed-vector cell-0 path). The norm fold is STAGED
+    once: referencing it from inside the per-element transform lambda
+    re-reads a slot, never re-folds."""
+    df = df.withColumn("_nrm", norm(F.col(col)))
+    return df.withColumn(
+        col,
+        F.when(
+            F.col("_nrm") > 0,
+            F.transform(F.col(col), lambda x: x / F.col("_nrm")),
+        ),
+    ).drop("_nrm")
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    residual: bool = True,
+    means: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """The IVF-PQ corpus side, shared by the inline query, the index
+    builder and the incremental append: (normalize ->) assign cells ->
+    (residual vs cell means ->) PQ-encode. Returns ``(encoded, means)``
+    where encoded = (id, cell, codes) behind a materialization barrier
+    and means is the per-cell mean table (None when residual=False).
+
+    Pass *means* to encode against FROZEN reproduction values — the
+    append path, where new vectors must use the means the existing codes
+    were built with, never recomputed ones."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+    if normalize:
+        c = _normed(c, "cv")
+    c = assign_cells(c, "cv", centroids, out="cell")
+    if residual:
+        # barrier BEFORE the means agg: the assigned corpus feeds two
+        # consumers (the per-cell mean aggregation and the residual
+        # encode), and without it the normalize + (k+1)-accumulator
+        # assignment fold re-runs per consumer — measured 10.5 s -> 6.9 s
+        # on the 256-probe 100k smoke. The means relation itself is also
+        # checkpointed (~IVF_K rows) since both join sides reference it.
+        c = c.localCheckpoint(eager=False)
+        if means is None:
+            means = with_cell_means(c, "cv", dim).localCheckpoint(eager=False)
+        c = with_residual(c, "cv", means)
+    enc_col = "rv" if residual else "cv"
+    # materialize the encoded corpus (id, cell, M codes — the compressed
+    # index, a few bytes/row) BEFORE the join: broadcast-hash-join
+    # codegen defers streamed-side column evaluation into the per-match
+    # loop, so without the barrier the whole encode expression ran once
+    # per PAIR instead of per row (measured 8-16x: 31 s -> 4 s on the
+    # 256-probe 100k smoke). The prebuilt-index deployment gets the same
+    # barrier from parquet.
+    c = (
+        with_pq_codes(c, enc_col, dim, codebooks=codebooks)
+        .select(id_col, "cell", "codes")
+        .localCheckpoint(eager=False)
+    )
+    return c, means
+
+
+def probe_adc_tables(
+    probes: DataFrame,
+    dim: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]] | None = None,
+    nprobe: int = IVF_NPROBE,
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    residual: bool = True,
+    means: DataFrame | None = None,
+) -> DataFrame:
+    """The IVF-PQ probe side, shared by the inline query and the
+    prebuilt-index probe: (normalize ->) score cells -> explode to
+    probed cells -> stage the ADC table (per probe, or per (probe,
+    probed cell) in residual mode). Returns (probe_id, cell, pt, qsq)."""
+    p = probes.select(
+        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+    )
+    if normalize:
+        p = _normed(p, "pv")
+    p = _with_centroid_scores(p, "pv", centroids, out="sc0")
+    if residual:
+        # the ADC table depends on the probed cell's mean, so it is
+        # staged AFTER the cell explode — one table per (probe, cell) row
+        p = _explode_probe_cells(p, nprobe)
+        p = with_residual(p, "pv", means)
+        p = with_adc_table(p, "rv", dim, codebooks=codebooks).drop("pv", "rv")
+    else:
+        p = with_adc_table(p, "pv", dim, codebooks=codebooks).drop("pv")
+        p = _explode_probe_cells(p, nprobe)
+    return p
+
+
+def _adc_rank(
+    enc: DataFrame,
+    p: DataFrame,
+    k: int,
+    books: list[list[list[float]]],
+    id_col: str,
+    probe_id_col: str,
+) -> DataFrame:
+    """Shared ADC scoring + rank tail (inline and prebuilt paths)."""
+    scored = enc.join(F.broadcast(p), "cell").select(
+        probe_id_col,
+        id_col,
+        F.round(
+            adc_distance(
+                F.col("codes"), F.col("pt"), F.col("qsq"),
+                len(books), len(books[0]),
+            ),
+            4,
+        ).alias("adc_dist"),
+    )
+    w = W.partitionBy(probe_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -366,78 +496,19 @@ def ivfpq_topk(
         )
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     nprobe = min(nprobe, len(cents))
-
-    def _normed(df: DataFrame, col: str) -> DataFrame:
-        # the norm fold is STAGED once: referencing it from inside the
-        # per-element transform lambda re-reads a slot, never re-folds
-        df = df.withColumn("_nrm", norm(F.col(col)))
-        return df.withColumn(
-            col,
-            F.when(
-                F.col("_nrm") > 0,
-                F.transform(F.col(col), lambda x: x / F.col("_nrm")),
-            ),
-        ).drop("_nrm")
-
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
-    if normalize:
-        c = _normed(c, "cv")
-    c = assign_cells(c, "cv", cents, out="cell")
-    if residual:
-        # barrier BEFORE the means agg: the assigned corpus feeds two
-        # consumers (the per-cell mean aggregation and the residual
-        # encode), and without it the normalize + (k+1)-accumulator
-        # assignment fold re-runs per consumer — measured 10.5 s -> 6.9 s
-        # on the 256-probe 100k smoke. The means relation itself is also
-        # checkpointed (~IVF_K rows) since both join sides reference it.
-        c = c.localCheckpoint(eager=False)
-        means = with_cell_means(c, "cv", dim).localCheckpoint(eager=False)
-        c = with_residual(c, "cv", means)
-    enc_col = "rv" if residual else "cv"
-    # materialize the encoded corpus (id, cell, M codes — the compressed
-    # index, a few bytes/row) BEFORE the join: broadcast-hash-join
-    # codegen defers streamed-side column evaluation into the per-match
-    # loop, so without the barrier the whole encode expression ran once
-    # per PAIR instead of per row (measured 8-16x: 31 s -> 4 s on the
-    # 256-probe 100k smoke). The prebuilt-index deployment gets the same
-    # barrier from parquet.
-    c = (
-        with_pq_codes(c, enc_col, dim, codebooks=codebooks)
-        .select(id_col, "cell", "codes")
-        .localCheckpoint(eager=False)
+    c, means = encode_ivfpq(
+        corpus, dim, cents, codebooks,
+        id_col=id_col, vec_col=vec_col,
+        normalize=normalize, residual=residual,
     )
-    p = probes.select(
-        F.col(probe_id_col), as_double(F.col(vec_col)).alias("pv")
+    p = probe_adc_tables(
+        probes, dim, cents, codebooks, nprobe,
+        probe_id_col=probe_id_col, vec_col=vec_col,
+        normalize=normalize, residual=residual, means=means,
     )
-    if normalize:
-        p = _normed(p, "pv")
-    p = _with_centroid_scores(p, "pv", cents, out="sc0")
-    if residual:
-        # the ADC table depends on the probed cell's mean, so it is
-        # staged AFTER the cell explode — one table per (probe, cell) row
-        p = _explode_probe_cells(p, nprobe)
-        p = with_residual(p, "pv", means)
-        p = with_adc_table(p, "rv", dim, codebooks=codebooks).drop("pv", "rv")
-    else:
-        p = with_adc_table(p, "pv", dim, codebooks=codebooks).drop("pv")
-        p = _explode_probe_cells(p, nprobe)
     books = codebooks if codebooks is not None else lattice_codebooks(dim)
-    scored = c.join(F.broadcast(p), "cell").select(
-        probe_id_col,
-        id_col,
-        F.round(
-            adc_distance(
-                F.col("codes"), F.col("pt"), F.col("qsq"),
-                len(books), len(books[0]),
-            ),
-            4,
-        ).alias("adc_dist"),
-    )
-    w = W.partitionBy(probe_id_col).orderBy(F.col("adc_dist").asc(), F.col(id_col))
     shortlist_k = rerank if rerank is not None else k
-    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= shortlist_k
-    )
+    ranked = _adc_rank(c, p, shortlist_k, books, id_col, probe_id_col)
     if rerank is None:
         return ranked
     # materialize the tiny shortlist (|probes| x k' id pairs) ONCE: it is
@@ -459,6 +530,136 @@ def ivfpq_topk(
     # probe_id attaches pv/pn per pair, then the shared rank tail scores
     # exactly and cuts to k
     return _cosine_rank(cv, pv, k, id_col, probe_id_col, on=probe_id_col)
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    residual: bool = True,
+    files_per_cell: int = 1,
+) -> None:
+    """Materialize the IVF-PQ index: ``{path}/codes`` = (id, M codes)
+    parquet partitioned by cell — the compressed inverted lists, M
+    bytes + id per vector instead of 4·dim raw bytes — plus
+    ``{path}/means`` = the per-cell reproduction values the residual
+    codes were built against (tiny sidecar; probes MUST use these, so
+    they ship with the index). At 10^9 vectors this is the deployment:
+    the raw corpus is scanned once at build, every probe batch reads
+    only probed-cell code files (partition pruning), and the index is
+    ~dim·4/M× smaller than a raw-vector IVF index."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    enc, means = encode_ivfpq(
+        corpus, dim, cents, codebooks,
+        id_col=id_col, vec_col=vec_col,
+        normalize=normalize, residual=residual,
+    )
+    if files_per_cell > 1:
+        enc = enc.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    else:
+        enc = enc.repartition(F.col("cell"))
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    if means is not None:
+        # one file: IVF_K rows of (cell, dim doubles)
+        means.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "means")
+        )
+
+
+def _read_means(spark, path: str, residual: bool) -> DataFrame | None:
+    return (
+        spark.read.parquet(os.path.join(path, "means")) if residual else None
+    )
+
+
+def ivfpq_topk_prebuilt(
+    spark,
+    path: str,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    normalize: bool = True,
+    residual: bool = True,
+) -> DataFrame:
+    """Pure-ADC top-k against a :func:`build_ivfpq_index` index: only
+    the probe side is computed; the code scan reads just the probed
+    cells (collected driver-side into a partition-pruning predicate —
+    bounded state, |probes| × nprobe ints, same posture as
+    ivf_topk_prebuilt). *centroids*/*codebooks* must be the set the
+    index was built with; the residual means come from the index's own
+    sidecar. Bit-identical to inline ``ivfpq_topk`` with rerank=None
+    (tests/test_pq.py locks the parity)."""
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    nprobe = min(nprobe, len(cents))
+    means = _read_means(spark, path, residual)
+    p = probe_adc_tables(
+        probes, dim, cents, codebooks, nprobe,
+        probe_id_col=probe_id_col, vec_col=vec_col,
+        normalize=normalize, residual=residual, means=means,
+    ).localCheckpoint(eager=True)
+    cells = [r["cell"] for r in p.select("cell").distinct().collect()]
+    enc = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin([int(x) for x in cells])
+    )
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    return _adc_rank(enc, p, k, books, id_col, probe_id_col)
+
+
+def append_ivfpq_index(
+    new_corpus: DataFrame,
+    path: str,
+    dim: int,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    residual: bool = True,
+    files_per_cell: int = 1,
+) -> dict:
+    """Incrementally append NEW vectors to an IVF-PQ index: encode with
+    the FROZEN quantizer, codebooks AND the index's own mean sidecar
+    (recomputing means would silently disagree with every existing
+    code), write additional part files into the ``cell=N`` layout.
+    Existing lists are never rewritten. Returns ``{"n_appended"}``;
+    quantizer-drift monitoring is the same rule as
+    :func:`similarity.append_ivf_index` — run that report on the raw
+    batch when a retrain policy is attached."""
+    spark = new_corpus.sparkSession
+    cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    means = _read_means(spark, path, residual)
+    enc, _ = encode_ivfpq(
+        new_corpus, dim, cents, codebooks,
+        id_col=id_col, vec_col=vec_col,
+        normalize=normalize, residual=residual, means=means,
+    )
+    if files_per_cell > 1:
+        enc = enc.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    else:
+        enc = enc.repartition(F.col("cell"))
+    enc.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+    return {"n_appended": enc.count()}
 
 
 def pq_train_codebooks(
