@@ -88,3 +88,80 @@ def test_embedding_query_parity_with_degenerate_vectors(
     assert len(srows) == len(drows)
     assert sorted(scols) == sorted(dcols)
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+DOCS_QUERIES = [
+    "dedup_exact",
+    "dedup_passages",
+    "incremental_exact_dedup",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "source_overlap_minhash",
+    "text_quality",
+    "text_langid",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_repetition",
+    "text_tfidf_topterms",
+    "quality_filter_funnel",
+    "decontaminate_ngram",
+    "text_pii_redact",
+    "doc_chunking",
+    "training_data_pipeline",
+]
+
+
+@pytest.fixture(scope="module")
+def null_docs_dir(tmp_path_factory):
+    """sf0.001 with degenerate document rows appended: NULL text, empty
+    text, whitespace-only text + NULL lang, NULL source, all-NULL row.
+
+    First run (r6) caught: NULL-text fingerprints folding to 0 instead
+    of NULL in the oracles, and shingle-less docs entering LSH banding /
+    prefix blocking on Spark only (concat_ws skips NULLs, the oracle's
+    || propagates them) — now excluded on BOTH engines, which also kills
+    the quadratic empty-doc bucket a web corpus would hit."""
+    dst = tmp_path_factory.mktemp("sf_nulldocs")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(table_path(SRC, t), table_path(str(dst), t))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, text, lang, source, n_chars
+          FROM read_parquet('{table_path(SRC, "documents")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (900, NULL, 'en', 'srcx', NULL),
+            (901, '', 'en', 'srcx', 0),
+            (902, '   ', NULL, 'srcx', 3),
+            (903, 'one two three', 'en', NULL, 13),
+            (904, NULL, NULL, NULL, NULL)
+          ) AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{table_path(str(dst), "documents")}' (FORMAT parquet)
+        """
+    )
+    return str(dst)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", DOCS_QUERIES)
+def test_docs_query_parity_with_degenerate_text(spark, null_docs_dir, name):
+    reg = registry()
+    sdf = reg[name].fn(spark, null_docs_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(null_docs_dir, t)}')"
+        )
+    res = con.execute(reg[name].oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)

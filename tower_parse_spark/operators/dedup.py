@@ -136,9 +136,16 @@ def minhash_lsh_pairs(
     # localCheckpoint (not .cache()): storage is released when the
     # DataFrame is GC'd, so repeated calls in a long-lived session don't
     # accumulate pinned executor storage.
+    # shingle-less documents (empty/whitespace/NULL text, <n tokens) are
+    # EXCLUDED from banding on both engines: their [null]*k signatures
+    # would otherwise concat_ws-skip into one shared band bucket — at web
+    # scale a quadratic all-pairs blowup of empty docs (and the oracle's
+    # ||-built band keys NULL-propagate, so the engines would diverge).
+    # Identical empty docs are already caught by exact dedup on md5('').
     sig = (
         with_minhash(df, text_col, bands * rows, hash_fn)
         .select(id_col, "mh")
+        .filter(F.col("mh")[0].isNotNull())
         .localCheckpoint(eager=True)
     )
     band_keys = F.array(
@@ -441,9 +448,13 @@ def ngram_jaccard_pairs(
     # materialize the (id, block, shingles) relation once: both join legs
     # would otherwise recompute tokenization+shingling per leg (the same
     # "persist the signatures" step as the LSH pipeline)
+    # shingle-less docs never enter blocking (same rule + rationale as
+    # minhash_lsh_pairs: md5('') is a shared key — a quadratic empty-doc
+    # bucket at scale; exact dedup owns identical empty docs)
     base = (
         ensure_parallelism(df)
         .select(F.col(id_col), prefix.alias("block_key"), sh.alias("sh"))
+        .filter(F.size(F.col("sh")) > 0)
         .localCheckpoint(eager=True)
     )
     left = base.select(

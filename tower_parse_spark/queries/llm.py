@@ -122,8 +122,11 @@ def _band_key_sql(b: int, rows: int) -> str:
 def _minhash_pairs_ctes(docs_rel: str) -> str:
     """CTE chain computing MinHash-LSH candidate pairs over *docs_rel*
     (ends with a ``pairs`` relation carrying mh1/mh2 signatures)."""
+    # mh[1] IS NOT NULL: shingle-less docs are excluded from banding on
+    # both engines (operators/dedup.py::minhash_lsh_pairs rationale)
     banded_union = " UNION ALL ".join(
-        f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh FROM sig"
+        f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh "
+        "FROM sig WHERE mh[1] IS NOT NULL"
         for b in range(D.LSH_BANDS)
     )
     return f"""tok AS (
@@ -220,7 +223,11 @@ WITH tok AS (
 ), hs AS (
   SELECT doc_id, {SQL_TOKEN_HASHES} AS hs FROM tok
 )
-SELECT doc_id, {_simhash_sql()} AS simhash
+SELECT doc_id,
+       -- NULL text -> NULL fingerprint (Spark parity; the per-bit
+       -- CASEs would otherwise fold NULL comparisons to an all-zero
+       -- fingerprint)
+       CASE WHEN hs IS NULL THEN NULL ELSE {_simhash_sql()} END AS simhash
 FROM hs
 ORDER BY doc_id
 """
@@ -236,10 +243,13 @@ DEDUP_NGRAM_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id, {SQL_TOKS} AS toks FROM documents
 ), base AS (
+  -- len(sh) > 0: shingle-less docs never enter blocking (both-engine
+  -- rule, operators/dedup.py::ngram_jaccard_pairs rationale)
   SELECT doc_id,
          md5(array_to_string(toks[1:8], ' ')) AS block_key,
          {SQL_SHINGLES} AS sh
   FROM tok
+  WHERE len({SQL_SHINGLES}) > 0
 )
 SELECT l.doc_id AS id1, r.doc_id AS id2,
        round(CASE WHEN len(list_distinct(l.sh || r.sh)) > 0
@@ -916,8 +926,12 @@ WITH tok AS (
   FROM tok
 )
 SELECT doc_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), hashes),
-                   (a, b) -> (a * {T.FP_BASE} + b) % {P}) AS rolling_fp,
+       -- NULL text -> NULL fingerprint (Spark's fold over a NULL array);
+       -- without the guard list_prepend(0, NULL) -> [0] folds to 0
+       CASE WHEN hashes IS NULL THEN NULL
+            ELSE list_reduce(list_prepend(CAST(0 AS BIGINT), hashes),
+                             (a, b) -> (a * {T.FP_BASE} + b) % {P}) END
+         AS rolling_fp,
        md5(text) AS md5_fp
 FROM hs
 ORDER BY doc_id
