@@ -165,3 +165,83 @@ def test_docs_query_parity_with_degenerate_text(spark, null_docs_dir, name):
     assert len(srows) == len(drows)
     assert sorted(scols) == sorted(dcols)
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+EVENTS_QUERIES = [
+    "events_tumbling_window",
+    "events_sliding_window",
+    "events_sessionize",
+    "events_session_window",
+    "events_time_rollup",
+    "events_value_distribution",
+    "events_map_functions",
+    "events_json_props",
+    "events_asof_order",
+    "events_order_range_join",
+    "ingest_extract_probe",
+    "ingest_sentinel_stats",
+    "ingest_multiformat",
+    "ingest_malformed_routing",
+    "ingest_pack_assign",
+    "ingest_pack_scalable",
+    "ingest_echo",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(tmp_path_factory):
+    """sf0.001 with degenerate event rows appended: NULL ts, an all-NULL
+    row (keeps ts), malformed JSON props, empty event_type + empty JSON.
+
+    First run (r6) caught: ANSI crashes (NULL map key in the event-type
+    histogram, divide-by-zero in the n=1 stddev group, ANSI cast killing
+    the watermark stream on a "null"-formatted spool line, a Python
+    TypeError sorting a NULL bucket in scalable packs) and four
+    NULL-ordering/NULL-group asymmetries between Spark and DuckDB —
+    each now pinned with an explicit both-engine rule."""
+    dst = tmp_path_factory.mktemp("sf_nullevents")
+    for t in TABLES:
+        if t != "events":
+            shutil.copy(table_path(SRC, t), table_path(str(dst), t))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id, ts, user_id, event_type, value, props
+          FROM read_parquet('{table_path(SRC, "events")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (990001, NULL, 5, 'error', 1.0, '{{"k": 1}}'),
+            (990002, TIMESTAMP '2024-01-02 00:00:00',
+             NULL, NULL, NULL, NULL),
+            (990003, TIMESTAMP '2024-01-03 00:00:00', 6, 'click', 2.5,
+             'not json'),
+            (990004, TIMESTAMP '2024-01-04 00:00:00', 7, '', 0.0, '{{}}')
+          ) AS t(event_id, ts, user_id, event_type, value, props)
+        ) TO '{table_path(str(dst), "events")}' (FORMAT parquet)
+        """
+    )
+    return str(dst)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EVENTS_QUERIES)
+def test_events_query_parity_with_degenerate_rows(
+    spark, null_events_dir, name
+):
+    reg = registry()
+    sdf = reg[name].fn(spark, null_events_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(null_events_dir, t)}')"
+        )
+    res = con.execute(reg[name].oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)

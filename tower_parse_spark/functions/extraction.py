@@ -242,7 +242,12 @@ def extract_lines(
         matched = flags[0]
         for m in flags[1:]:
             matched = matched | m
-        return staged.select(*projected, (~matched).alias("_corrupt"))
+        # coalesce: a NULL line (upstream formatting of a NULL-field
+        # event) is maximally malformed — route it corrupt instead of a
+        # NULL flag that would group separately (r6 robustness rule)
+        return staged.select(
+            *projected, F.coalesce(~matched, F.lit(True)).alias("_corrupt")
+        )
     # Filter with a plain rlike, NOT the packed-parts flag: predicate
     # pushdown substitutes the staged regexp_replace+split into the
     # Filter and would execute the heavy parse twice per row; a bare

@@ -144,10 +144,15 @@ def with_pack_id_scalable(
         if not bounds:
             return F.lit(0)
         barr = F.array(*[F.lit(b) for b in bounds])
+        # coalesce: a NULL order value sorts FIRST (bucket 0) — the same
+        # position Spark's window form gives it (asc = NULLS FIRST), and
+        # a non-NULL bucket keeps the driver-side offset sort total
+        # (a NULL _bkt crashed it with a Python TypeError — r6 fixture)
         return F.aggregate(
             barr,
             F.lit(0),
-            lambda acc, b: acc + (F.col(order_col) >= b).cast("int"),
+            lambda acc, b: acc
+            + F.coalesce((F.col(order_col) >= b).cast("int"), F.lit(0)),
         )
 
     # NULL-safe group key for dict/map lookups (a corrupt group value is

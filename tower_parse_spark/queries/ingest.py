@@ -71,7 +71,16 @@ def _probe_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_id"),
         F.col("ts").cast("double").alias("ts"),  # epoch seconds, readport.py:453
-        line.alias("line"),
+        # NULL-safe mirror of DuckDB printf: Spark format_string prints a
+        # literal "null" for a NULL argument where DuckDB's printf
+        # propagates NULL — emit a NULL line on both engines when any
+        # formatted field is NULL (routed corrupt downstream, r6)
+        F.when(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("event_id").isNotNull(),
+            line,
+        ).alias("line"),
     )
 
 
@@ -172,7 +181,8 @@ INGEST_PACK_ORACLE = _probe_oracle(
     """
 , packed AS (
   SELECT level, time,
-         CAST(floor((row_number() OVER (PARTITION BY level ORDER BY time, event_id) - 1) / 50.0) AS BIGINT) AS pack_id
+         CAST(floor((row_number() OVER (PARTITION BY level
+           ORDER BY time NULLS FIRST, event_id) - 1) / 50.0) AS BIGINT) AS pack_id
   FROM extracted
 )
 SELECT level, pack_id,
@@ -202,7 +212,8 @@ INGEST_PACK_SCALABLE_ORACLE = _probe_oracle(
     """
 , packed AS (
   SELECT time,
-         CAST(floor((row_number() OVER (ORDER BY time, event_id) - 1) / 100.0) AS BIGINT) AS pack_id
+         CAST(floor((row_number() OVER (ORDER BY time NULLS FIRST, event_id) - 1)
+           / 100.0) AS BIGINT) AS pack_id
   FROM extracted
 )
 SELECT pack_id,
@@ -332,7 +343,8 @@ WITH lines AS (
          END AS line
   FROM events
 )
-SELECT NOT regexp_matches(line, '^(\\d+) RH= (\\S+) %RH T= (\\S+) .C ID=(\\d+)$') AS is_corrupt,
+SELECT coalesce(NOT regexp_matches(line,
+         '^(\\d+) RH= (\\S+) %RH T= (\\S+) .C ID=(\\d+)$'), TRUE) AS is_corrupt,
        count(*) AS n_lines,
        count(CASE WHEN regexp_matches(line, '^(\\d+) RH= (\\S+) %RH T= (\\S+) .C ID=(\\d+)$')
                   THEN nullif(nullif(regexp_extract(line, '^(\\d+) RH= (\\S+) %RH T= (\\S+) .C ID=(\\d+)$', 2), ''), '///')

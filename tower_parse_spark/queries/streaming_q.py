@@ -247,9 +247,11 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(dst, (t0 + i, t0 + i))
         src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
         sp = F.split(F.col("value"), " ")
+        # try_cast, defense in depth: a malformed spool line must drop a
+        # row, never terminate the streaming query with an ANSI cast error
         rows = src.select(
-            F.timestamp_seconds(sp[0].cast("double")).alias("ts"),
-            sp[1].cast("double").alias("v"),
+            F.timestamp_seconds(sp[0].try_cast("double")).alias("ts"),
+            sp[1].try_cast("double").alias("v"),
         )
         agg = (
             rows.withWatermark("ts", f"{WM_DELAY_S} seconds")
@@ -292,9 +294,14 @@ def _probe_events_for_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tower_parse_spark.session import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id", F.col("ts").cast("double").alias("t"), "value"
-    )
+    # only well-formed rows are spooled: a NULL event time cannot be
+    # watermarked and a NULL value cannot be summed — Spark's
+    # format_string would print a literal "null" into the line and kill
+    # the stream at the cast (r6 NULL-events fixture); the oracle
+    # filters identically
+    return ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("event_id", F.col("ts").cast("double").alias("t"), "value")
 
 
 STREAMING_LATE_DATA_ORACLE = f"""
@@ -303,6 +310,7 @@ WITH r AS (
          event_id % {N_WM_BATCHES} AS b,
          floor(epoch(ts) / {WM_WINDOW_S}) * {WM_WINDOW_S} AS wstart
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 ), batch_max AS (
   SELECT b, max(t) AS mx FROM r GROUP BY b
 ), wm AS (

@@ -32,7 +32,11 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg shape: window() + groupBy; batch twin of readStream+watermark)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(
+        # a NULL event time belongs to no window: Spark's window() drops
+        # such rows implicitly; the filter makes the rule explicit and
+        # the oracle mirrors it (NULL-events robustness fixture, r6)
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
             F.window("ts", "1 hour").alias("w"), "event_type"
         )
         .agg(
@@ -55,6 +59,7 @@ SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
        round(sum(value), 4) AS sum_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
@@ -69,7 +74,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the average is order-independent (a float sum's partial-agg order
         # differs between engines and runs; with quantized data the result
         # lands exactly on round-half boundaries).
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             pround(
@@ -90,6 +96,7 @@ WITH slid AS (
            AT TIME ZONE 'UTC' AS window_start,
          value
   FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+  WHERE ts IS NOT NULL
 )
 SELECT CAST(window_start AS TIMESTAMP) AS window_start,
        count(*) AS n_events,
@@ -108,7 +115,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30 min inactivity): classic gaps-and-islands —
     lag + cumulative sum of new-session flags, then per-session agg.
     Two window passes over one (user, ts) sort; one shuffle total."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(
+        # no event time -> no session; also dodges the engines' opposite
+        # NULL sort defaults inside the lag window (r6 robustness rule)
+        F.col("ts").isNotNull()
+    )
     w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(
         w_user
@@ -149,6 +160,7 @@ WITH flagged AS (
                  IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), sessioned AS (
   SELECT user_id, ts,
          sum(new_session) OVER (
@@ -195,6 +207,7 @@ WITH flagged AS (
                  IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), sessioned AS (
   SELECT user_id, ts,
          sum(new_session) OVER (
@@ -329,7 +342,10 @@ ORDER BY p.purchase_id
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON prop extraction (get_json_object) + bucket aggregation."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: malformed/NULL JSON (or a non-numeric k) yields a NULL
+    # bucket instead of an ANSI cast error; DuckDB mirrors with
+    # json_valid + TRY_CAST (r6 robustness rule)
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.select("event_type", (k % 10).alias("k_bucket"), "value")
         .groupBy("event_type", "k_bucket")
@@ -347,7 +363,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_ORACLE = """
 SELECT event_type,
-       CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+       TRY_CAST(json_extract(CASE WHEN json_valid(props) THEN props END,
+                             '$.k') AS INT) % 10 AS k_bucket,
        count(*) AS n,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
 FROM events
@@ -372,10 +389,15 @@ def events_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     sx = F.sum("v100")
     sx2 = F.sum(F.col("v100") * F.col("v100"))
+    # try_divide: a single-row group (n=1) makes the Bessel denominator
+    # zero — sd is undefined, and DuckDB's x/0 yields NULL where ANSI `/`
+    # raises (NULL-events robustness fixture, r6)
     sd = (
         F.sqrt(
-            (n * sx2 - sx * sx).cast("double")
-            / (n * (n - F.lit(1))).cast("double")
+            F.try_divide(
+                (n * sx2 - sx * sx).cast("double"),
+                (n * (n - F.lit(1))).cast("double"),
+            )
         )
         / 100.0
     )
@@ -426,7 +448,12 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     map stays internal; every output column is scalar so the driver's
     pandas canonicalizer can sort/hash rows (dict cells are unhashable,
     same hazard as the r1 customer_order_arrays arrays)."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type is excluded from the histogram on both engines: a
+    # NULL map KEY is illegal in Spark (NULL_MAP_KEY) and a NULL type is
+    # not a type; '' stays a valid key (r6 robustness rule)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -454,7 +481,9 @@ def events_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_MAP_ORACLE = """
 WITH counts AS (
-  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+  -- NULL event_type excluded on both engines (Spark NULL_MAP_KEY rule)
+  SELECT user_id, event_type, count(*) AS n FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1, 2
 ), m AS (
   SELECT user_id,
          map_from_entries(list_sort(list(struct_pack(k := event_type,
