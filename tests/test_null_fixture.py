@@ -245,3 +245,101 @@ def test_events_query_parity_with_degenerate_rows(
     assert len(srows) == len(drows)
     assert sorted(scols) == sorted(dcols)
     assert value_hash(scols, srows) == value_hash(dcols, drows)
+
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q9_product_profit", "q11_important_parts",
+    "q16_supplier_counts", "q17_small_quantity_revenue",
+    "q21_blame_suppliers", "top_customers_per_nation",
+    "running_revenue_by_nation", "revenue_rollup", "revenue_cube",
+    "order_priority_pivot", "wealthy_inactive_customers",
+    "segment_set_ops", "priority_ship_stats", "order_gaps_quartiles",
+    "customers_without_urgent_orders", "part_supplier_overlap",
+    "orders_with_returns", "customer_order_distribution",
+    "min_cost_parts", "top_return_customers", "promo_revenue_pct",
+    "disjunctive_filter_revenue", "nation_volume_shipping",
+    "market_share_by_year", "big_basket_orders", "top_revenue_supplier",
+    "customer_order_arrays", "orders_date_functions",
+]
+
+
+@pytest.fixture(scope="module")
+def null_rel_dir(tmp_path_factory):
+    """sf0.001 with degenerate TPC-H rows: an all-NULL-fields order /
+    lineitem / customer plus zero-amount rows with NULL dimensions.
+    First run (r6): 31/32 already held (plain SQL semantics are
+    NULL-safe by construction); the one divergence was collect_list
+    (skips NULLs) vs DuckDB list() (keeps them) in
+    customer_order_arrays, mirrored with a FILTER clause."""
+    dst = tmp_path_factory.mktemp("sf_nullrel")
+    skip = {"orders", "lineitem", "customer"}
+    for t in TABLES:
+        if t not in skip:
+            shutil.copy(table_path(SRC, t), table_path(str(dst), t))
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{table_path(SRC, "orders")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (8000001, NULL, 'O', NULL, NULL, '1-URGENT'),
+            (8000002, 1, NULL, 0.0, DATE '1995-06-01', NULL)
+          ) AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority)
+        ) TO '{table_path(str(dst), "orders")}' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{table_path(SRC, "lineitem")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (8000001, NULL, NULL, 1, NULL, NULL, NULL, NULL, NULL, NULL,
+             NULL),
+            (8000002, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, 'N', 'O',
+             DATE '1995-06-15')
+          ) AS t(l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate)
+        ) TO '{table_path(str(dst), "lineitem")}' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM read_parquet('{table_path(SRC, "customer")}')
+          UNION ALL BY NAME
+          SELECT * FROM (VALUES
+            (8000001, NULL, NULL, NULL, NULL),
+            (8000002, 'Customer#NULLSEG', 1, 0.0, NULL)
+          ) AS t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+        ) TO '{table_path(str(dst), "customer")}' (FORMAT parquet)
+        """
+    )
+    return str(dst)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_relational_query_parity_with_degenerate_rows(
+    spark, null_rel_dir, name
+):
+    reg = registry()
+    sdf = reg[name].fn(spark, null_rel_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(null_rel_dir, t)}')"
+        )
+    res = con.execute(reg[name].oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert value_hash(scols, srows) == value_hash(dcols, drows)

@@ -408,7 +408,11 @@ SELECT o_custkey,
          AS distinct_prios,
        prios[1] AS first_prio,
        list_contains(prios, '1-URGENT') AS has_urgent
-FROM (SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios
+FROM (SELECT o_custkey,
+             -- FILTER mirrors Spark collect_list, which SKIPS NULLs
+             -- (DuckDB's list() keeps them — r6 NULL-fixture rule)
+             list_sort(list(o_orderpriority)
+                       FILTER (o_orderpriority IS NOT NULL)) AS prios
       FROM orders GROUP BY o_custkey)
 ORDER BY o_custkey
 """
