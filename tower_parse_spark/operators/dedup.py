@@ -142,11 +142,17 @@ def minhash_lsh_pairs(
     # scale a quadratic all-pairs blowup of empty docs (and the oracle's
     # ||-built band keys NULL-propagate, so the engines would diverge).
     # Identical empty docs are already caught by exact dedup on md5('').
+    # The exclusion filter comes AFTER the checkpoint barrier: filtering
+    # on mh[0] below it lets predicate pushdown re-inline the whole
+    # K-fold signature expression into the Filter (the with_minhash 50x
+    # md5-inlining disease — measured 1.1 s -> 58 s at sf0.1 before the
+    # barrier reorder; the checkpointed read makes the filter a cheap
+    # column test).
     sig = (
         with_minhash(df, text_col, bands * rows, hash_fn)
         .select(id_col, "mh")
-        .filter(F.col("mh")[0].isNotNull())
         .localCheckpoint(eager=True)
+        .filter(F.col("mh")[0].isNotNull())
     )
     band_keys = F.array(
         *[
@@ -450,12 +456,14 @@ def ngram_jaccard_pairs(
     # "persist the signatures" step as the LSH pipeline)
     # shingle-less docs never enter blocking (same rule + rationale as
     # minhash_lsh_pairs: md5('') is a shared key — a quadratic empty-doc
-    # bucket at scale; exact dedup owns identical empty docs)
+    # bucket at scale; exact dedup owns identical empty docs). The filter
+    # sits AFTER the checkpoint barrier, or pushdown re-inlines the
+    # shingle expression into the Filter (the minhash 50x lesson above).
     base = (
         ensure_parallelism(df)
         .select(F.col(id_col), prefix.alias("block_key"), sh.alias("sh"))
-        .filter(F.size(F.col("sh")) > 0)
         .localCheckpoint(eager=True)
+        .filter(F.size(F.col("sh")) > 0)
     )
     left = base.select(
         "block_key", F.col(id_col).alias("id1"), F.col("sh").alias("sh1")
