@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "embedding_cluster_stats",
     "decontaminate_ngram",
+    "decontaminate_fuzzy",
     "train_val_split",
     "market_share_by_year",
     "text_quality",
@@ -89,6 +90,7 @@ HEADLINE = [
     "multimodal_decode",
     "training_data_pipeline",
     "doc_chunking",
+    "sequence_packing",
     "streaming_late_data",
     "text_repetition",
     "text_tfidf_topterms",

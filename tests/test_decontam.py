@@ -11,7 +11,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from tower_parse_spark.operators.decontam import flag_contaminated, ngram_hash_set
+from tower_parse_spark.operators.decontam import (
+    flag_contaminated,
+    flag_contaminated_fuzzy,
+    ngram_hash_set,
+)
 
 
 @pytest.fixture()
@@ -80,6 +84,61 @@ def test_corpus_side_not_shuffled(spark, corpus, bench_set):
     # operator's 100 TB design.
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert sorted(shuffles) == ["doc_id", "gram"], plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+def test_fuzzy_flags_exact_and_reworded_copies(spark, bench_set):
+    rows = [
+        # exact copy of bench 100 -> every minhash slot agrees
+        (1, "we measure the quick brown fox benchmark accuracy"),
+        # lightly reworded copy of bench 100 -> most slots agree
+        (2, "we measure the quick brown fox benchmark accuracy today"),
+        # unrelated
+        (3, "completely unrelated words here nothing shared at all"),
+        # < 3 tokens -> shingle-less, never banded
+        (4, "tiny doc"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in flag_contaminated_fuzzy(corpus, bench_set).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].contaminated and out[1].max_est_jaccard == 1.0
+    assert out[2].contaminated and 0.5 <= out[2].max_est_jaccard < 1.0
+    assert not out[3].contaminated and out[3].max_est_jaccard == 0.0
+    assert not out[4].contaminated
+    assert out[1].n_bench_matches == 1
+
+
+def test_fuzzy_threshold_gates_matches(spark, bench_set):
+    corpus = spark.createDataFrame(
+        [(2, "we measure the quick brown fox benchmark accuracy today")],
+        "doc_id long, text string",
+    )
+    loose = flag_contaminated_fuzzy(corpus, bench_set, threshold=0.5).first()
+    strict = flag_contaminated_fuzzy(
+        corpus, bench_set, threshold=1.0
+    ).first()
+    assert loose.contaminated
+    assert not strict.contaminated and strict.max_est_jaccard == 0.0
+
+
+def test_fuzzy_corpus_never_shuffled(spark, corpus, bench_set):
+    plan = (
+        flag_contaminated_fuzzy(corpus, bench_set)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # allowed hash exchanges: the candidate-pair dedupe (cid, bid) and
+    # the per-doc hit aggregate (cid). The banded corpus stream must hit
+    # the benchmark via BroadcastHashJoin, and the final flag join is a
+    # broadcast too — the corpus itself is never hash-partitioned.
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert sorted(shuffles) == ["cid", "cid"], plan
     assert plan.count("BroadcastHashJoin") == 2, plan
 
 

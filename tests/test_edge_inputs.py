@@ -43,6 +43,22 @@ def test_dedup_operators_empty_inputs(spark):
     assert D.incremental_exact_dedup(batch, empty_hist).count() == 1
 
 
+def test_seqpack_and_fuzzy_decontam_empty_inputs(spark):
+    from tower_parse_spark.operators.decontam import flag_contaminated_fuzzy
+    from tower_parse_spark.operators.seqpack import pack_sequences
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_sequences(empty_docs).count() == 0
+    one = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    row = pack_sequences(one, seq_tokens=4, shards=2).first()
+    assert (row.start_off, row.first_seq, row.n_seqs) == (0, 0, 1)
+    # empty benchmark: nothing flagged, every corpus id still reported
+    out = flag_contaminated_fuzzy(one, empty_docs).collect()
+    assert len(out) == 1 and not out[0].contaminated
+    # empty corpus: empty result, not a crash
+    assert flag_contaminated_fuzzy(empty_docs, one).count() == 0
+
+
 def test_null_vector_gets_deterministic_cell_and_bucket(spark):
     """The non-nullable join keys (r5): a NULL/malformed vector lands in
     cell/bucket 0 instead of a NULL key that would silently drop it —

@@ -106,8 +106,10 @@ DOCS_QUERIES = [
     "text_tfidf_topterms",
     "quality_filter_funnel",
     "decontaminate_ngram",
+    "decontaminate_fuzzy",
     "text_pii_redact",
     "doc_chunking",
+    "sequence_packing",
     "training_data_pipeline",
 ]
 

@@ -115,3 +115,118 @@ def flag_contaminated(
             ),
         )
     )
+
+
+#: minimum estimated Jaccard (fraction of matching MinHash slots) for a
+#: corpus doc to count as a fuzzy match of a benchmark doc. 0.5 = 8 of
+#: 16 slots — exact binary fractions, so the threshold compare is
+#: engine-portable.
+FUZZY_THRESHOLD = 0.5
+
+
+def flag_contaminated_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = FUZZY_THRESHOLD,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag corpus documents whose MinHash
+    signature agrees with some benchmark document's on >= *threshold* of
+    its slots (estimated Jaccard) — catches lightly-reworded benchmark
+    leakage the exact n-gram filter misses (the fuzzy-dedup
+    decontamination step of Llama/Dolma-style pipelines; public
+    methodology, Broder resemblance sketches + banded LSH).
+
+    Scale shape (benchmark ≪ corpus): both sides project signatures in
+    the row scan; the BENCHMARK banding (|bench| × bands rows of
+    (band_key, id, 16 longs)) is explicitly broadcast, so the corpus is
+    NEVER shuffled — candidate generation is a broadcast hash join on the
+    band key, exactly the decontamination asymmetry that makes this
+    cheaper than the self-join dedup: per-corpus-row work is bands probes
+    of a hash map. The only shuffle is the per-doc aggregate over
+    surviving candidates.
+
+    Returns every corpus id with ``n_bench_matches`` (benchmark docs at
+    or above the threshold), ``max_est_jaccard`` (0.0 when unmatched),
+    and ``contaminated``.
+    """
+    from tower_parse_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        band_key_array,
+        with_minhash,
+    )
+
+    def banded(df: DataFrame) -> DataFrame:
+        # same barrier-then-filter order as minhash_lsh_pairs: the
+        # checkpoint stops pushdown re-inlining the K-fold signature
+        # into the filter, and stops BHJ codegen re-running the fold
+        # per matched pair on the streamed side
+        sig = (
+            with_minhash(df, text_col, MINHASH_K, hash_fn)
+            .select(id_col, "mh")
+            .localCheckpoint(eager=True)
+            .filter(F.col("mh")[0].isNotNull())
+        )
+        return sig.select(
+            F.explode(band_key_array(LSH_BANDS, LSH_ROWS)).alias("band_key"),
+            id_col,
+            "mh",
+        )
+
+    cand = (
+        banded(corpus)
+        .withColumnsRenamed({id_col: "cid", "mh": "mh1"})
+        .join(
+            F.broadcast(
+                banded(benchmark).withColumnsRenamed(
+                    {id_col: "bid", "mh": "mh2"}
+                )
+            ),
+            "band_key",
+        )
+        .select("cid", "bid", "mh1", "mh2")
+        .dropDuplicates(["cid", "bid"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("mh1"),
+                F.col("mh2"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(MINHASH_K))
+    )
+    hits = (
+        cand.withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_matches"),
+            F.max("est").alias("max_est"),
+        )
+    )
+    return (
+        corpus.select(id_col)
+        .join(
+            F.broadcast(hits.withColumnRenamed("cid", id_col)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bench_matches"), F.lit(0).cast("long")).alias(
+                "n_bench_matches"
+            ),
+            F.round(F.coalesce(F.col("max_est"), F.lit(0.0)), 4).alias(
+                "max_est_jaccard"
+            ),
+            (F.coalesce(F.col("n_bench_matches"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -24,7 +24,7 @@ murmur seeds differ). Mod-P arithmetic keeps every intermediate in int64.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -111,6 +111,28 @@ def with_minhash(
     return hashed.withColumn("mh", mins).drop("_th", "_sh_hashes")
 
 
+def band_key_array(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Array of banded LSH keys over a staged ``mh`` signature column:
+    key b = md5(b || the band's signature slots). Shared by the self-join
+    dedup pipeline and the cross-relation (corpus vs benchmark) variant —
+    both sides of any LSH join must build keys identically."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(b),
+                    *[
+                        F.col("mh")[b * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -154,23 +176,8 @@ def minhash_lsh_pairs(
         .localCheckpoint(eager=True)
         .filter(F.col("mh")[0].isNotNull())
     )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    F.lit(b),
-                    *[
-                        F.col("mh")[b * rows + r].cast("string")
-                        for r in range(rows)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
     banded = sig.select(
-        F.explode(band_keys).alias("band_key"), id_col, "mh"
+        F.explode(band_key_array(bands, rows)).alias("band_key"), id_col, "mh"
     )
     left = banded.select(
         "band_key", F.col(id_col).alias("id1"), F.col("mh").alias("mh1")

@@ -35,13 +35,15 @@ class Query:
 # in-window despite being r5-green: queries whose behavior changes this
 # round (ann_ivfpq_topk — residual ADC encoding; embedding_cluster_stats
 # — NULL-vector oracle mirror; streaming_late_data — bench warm-start),
-# sole-representative queries (decontaminate_ngram, text_pii_redact,
-# doc_chunking, train_val_split, events_asof_order,
-# events_order_range_join, ingest_extract_probe, ingest_echo,
-# part_string_functions, lineitem_math_functions, customer_order_arrays,
-# dedup_exact — the incremental query's base), and the flagship
-# training_data_pipeline. The 2 NEW r6 queries (dedup_passages,
-# incremental_exact_dedup) need first driver evidence and stay in.
+# sole-representative queries (text_pii_redact, train_val_split,
+# events_asof_order, events_order_range_join, ingest_extract_probe,
+# ingest_echo, part_string_functions, lineitem_math_functions,
+# customer_order_arrays, dedup_exact — the incremental query's base),
+# and the flagship training_data_pipeline. The 4 NEW r6 queries
+# (dedup_passages, incremental_exact_dedup, sequence_packing,
+# decontaminate_fuzzy) need first driver evidence and stay in;
+# doc_chunking and decontaminate_ngram defer to their new same-family
+# siblings.
 _DEFER_TO_TAIL = [
     # --- relational, all r5-green (CORRECTNESS_r05) ---
     "q1_pricing_summary",  # agg — q6/q9/q17 + customer_order_distribution re-enter
@@ -76,6 +78,8 @@ _DEFER_TO_TAIL = [
     "text_repetition",  # text signals — text_langid/text_fingerprint re-enter
     "text_tfidf_topterms",  # text — same
     "quality_filter_funnel",  # quality rules — training_data_pipeline stays in window
+    "doc_chunking",  # chunking — NEW sequence_packing (same family) takes the slot
+    "decontaminate_ngram",  # decontam — NEW decontaminate_fuzzy takes the slot
     # --- streaming / temporal, r5-green ---
     "streaming_generator",  # synthetic source — streaming_late_data stays + pack_carry re-enters
     "events_tumbling_window",  # event-time windows — events_sliding_window/sessionize re-enter

@@ -27,6 +27,7 @@ from tower_parse_spark.operators import dedup as D
 from tower_parse_spark.operators import multimodal as M
 from tower_parse_spark.operators import pq as PQ
 from tower_parse_spark.operators import sampling as SP
+from tower_parse_spark.operators import seqpack as SQ
 from tower_parse_spark.operators import similarity as S
 from tower_parse_spark.queries import Query
 from tower_parse_spark.session import load_table
@@ -1455,6 +1456,81 @@ ORDER BY c.doc_id
 """
 
 
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training docs whose MinHash
+    signature matches a benchmark doc's on >= 50% of slots (estimated
+    Jaccard) — catches reworded leakage the exact n-gram filter misses.
+    Same bench split as decontaminate_ngram; the corpus additionally
+    carries a lightly-perturbed copy of every benchmark doc (id-shifted,
+    two tokens appended) so the fuzzy path is exercised at est < 1 — the
+    raw table is near-duplicate-free by construction. The plan broadcasts
+    the banded BENCHMARK signatures so the corpus is never shuffled
+    (operators/decontam.py::flag_contaminated_fuzzy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    leaked = bench.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" leaked copy")).alias("text"),
+    )
+    corpus = (
+        docs.filter(F.col("doc_id") % 25 != 0)
+        .select("doc_id", "text")
+        .unionAll(leaked)
+    )
+    return DC.flag_contaminated_fuzzy(corpus, bench).orderBy("doc_id")
+
+
+def _sig_banded_ctes(rel: str, alias: str) -> str:
+    """CTE chain ``{alias}_tok .. {alias}_banded`` computing banded
+    MinHash signatures over *rel* (same hashing family as
+    ``_minhash_pairs_ctes``, parameterized for two-relation joins)."""
+    banded_union = " UNION ALL ".join(
+        f"SELECT {_band_key_sql(b, D.LSH_ROWS)} AS band_key, doc_id, mh "
+        f"FROM {alias}_sig WHERE mh[1] IS NOT NULL"
+        for b in range(D.LSH_BANDS)
+    )
+    return f"""{alias}_tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM {rel}
+), {alias}_th AS (
+  SELECT doc_id, {SQL_TOKEN_HASHES_MODP} AS th FROM {alias}_tok
+), {alias}_hs AS (
+  SELECT doc_id, {SQL_SHINGLE_HASHES_COMBINED} AS hs FROM {alias}_th
+), {alias}_sig AS (
+  SELECT doc_id, {_minhash_sql_components()} AS mh FROM {alias}_hs
+), {alias}_banded AS (
+  {banded_union}
+)"""
+
+
+DECONTAM_FUZZY_ORACLE = f"""
+WITH bench AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+), corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 25 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' leaked copy' AS text
+  FROM documents WHERE doc_id % 25 = 0
+), {_sig_banded_ctes("corp", "c")}, {_sig_banded_ctes("bench", "b")},
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid,
+         c.mh AS mh1, b.mh AS mh2
+  FROM c_banded c JOIN b_banded b USING (band_key)
+), scored AS (
+  SELECT cid, bid, {_EST_JACCARD_SQL} AS est FROM cand
+), hits AS (
+  SELECT cid, count(*) AS n, max(est) AS m
+  FROM scored WHERE est >= {DC.FUZZY_THRESHOLD}
+  GROUP BY cid
+)
+SELECT corp.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_bench_matches,
+       round(coalesce(m, 0.0), 4) AS max_est_jaccard,
+       coalesce(n, 0) > 0 AS contaminated
+FROM corp LEFT JOIN hits ON corp.doc_id = hits.cid
+ORDER BY doc_id
+"""
+
+
 #: train/val/test weights for the split query (cumulative bucket edges
 #: 8000/9000 of sampling.N_BUCKETS — exact integers on both engines)
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1681,6 +1757,30 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): every document's
+    span in the fixed-length training-sequence space, computed per
+    hash shard with ONE window cumulative sum — a single shuffle on the
+    shard key, no explode (operators/seqpack.py::pack_sequences).
+    ``n_seqs`` > 1 marks context-boundary straddlers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SQ.pack_sequences(docs).orderBy("doc_id")
+
+
+SEQUENCE_PACKING_ORACLE = f"""
+WITH {SQ.sql_pack_sequences("documents", SQL_TOKS)}
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       n_tokens,
+       CAST(start_off AS BIGINT) AS start_off,
+       CAST(first_seq AS BIGINT) AS first_seq,
+       CAST(last_seq AS BIGINT) AS last_seq,
+       CAST(last_seq - first_seq + 1 AS BIGINT) AS n_seqs
+FROM packed
+ORDER BY doc_id
+"""
+
+
 def dedup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document passage dedup (VERDICT r5 item 3): per-doc duplicate-
     passage fraction + the deduplicated text rebuilt from globally-first
@@ -1863,6 +1963,11 @@ QUERIES = {
         DECONTAM_ORACLE,
         "benchmark n-gram decontamination",
     ),
+    "decontaminate_fuzzy": Query(
+        decontaminate_fuzzy,
+        DECONTAM_FUZZY_ORACLE,
+        "MinHash-LSH fuzzy benchmark decontamination",
+    ),
     "train_val_split": Query(
         train_val_split, TRAIN_VAL_SPLIT_ORACLE, "deterministic hash split"
     ),
@@ -1874,6 +1979,11 @@ QUERIES = {
     ),
     "doc_chunking": Query(
         doc_chunking, DOC_CHUNKING_ORACLE, "overlapping token-window chunking"
+    ),
+    "sequence_packing": Query(
+        sequence_packing,
+        SEQUENCE_PACKING_ORACLE,
+        "fixed-length training-sequence packing (concat-and-chunk)",
     ),
     "text_repetition": Query(
         text_repetition,
