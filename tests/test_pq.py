@@ -167,17 +167,14 @@ def test_residual_adc_recall_floor(spark):
     ):
         truth.setdefault(r["probe_id"], set()).add(r["vec_id"])
     cents = S.kmeans_centroids(corpus, dim=dim, k=8, iters=4)
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    # the operator's own zero-guarded normalizer + a barrier before the
+    # means/residual fan-out (same pipeline tools/ann_recall.py uses)
+    ncorpus = PQ._normed(
+        corpus.select("vec_id", F.col("embedding").alias("cv")), "cv"
     )
-    ncorpus = corpus.withColumn("_n", nrm).select(
-        "vec_id", F.transform("embedding", lambda x: x / F.col("_n")).alias("cv")
+    assigned = S.assign_cells(ncorpus, "cv", cents, out="cell").localCheckpoint(
+        eager=False
     )
-    assigned = S.assign_cells(ncorpus, "cv", cents, out="cell")
     means = PQ.with_cell_means(assigned, "cv", dim).localCheckpoint(eager=False)
     residuals = PQ.with_residual(assigned, "cv", means).select(
         F.col("rv").alias("embedding")
@@ -213,6 +210,68 @@ def test_prebuilt_ivfpq_index_matches_inline(spark, tmp_path):
     assert rows(pre) == rows(inline)
     plan = pre._jdf.queryExecution().toString()
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_prebuilt_ivfpq_drops_degenerate_probes(spark, tmp_path):
+    """A NULL/empty/zero probe must be silently dropped by the prebuilt
+    path exactly as the inline path drops it — not crash the driver-side
+    cell collection (int(None) regression)."""
+    emb = load_table(spark, SF, "embeddings")
+    good = _probes(emb)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, []), (9003, [0.0] * DIM)],
+        "probe_id long, embedding array<double>",
+    )
+    probes = good.unionAll(bad)
+    path = str(tmp_path / "ivfpq_degen")
+    PQ.build_ivfpq_index(emb, path, dim=DIM)
+    pre = PQ.ivfpq_topk_prebuilt(spark, path, probes, dim=DIM, k=5)
+    inline = PQ.ivfpq_topk(emb, probes, dim=DIM, k=5)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["probe_id"], r["rank"], r["vec_id"]) for r in df.collect()
+    )
+    got = rows(pre)
+    assert got == rows(inline)
+    assert not {p for p, _, _ in got} & {9001, 9002, 9003}
+
+
+def test_append_into_build_time_empty_cell(spark, tmp_path):
+    """Appending vectors whose cell was EMPTY at build time must write
+    real (zero-mean-fallback) codes, report them, and rank them by real
+    ADC distances — the all-NULL-codes / NULLS-FIRST regression."""
+    import os
+
+    emb = load_table(spark, SF, "embeddings")
+    cents = S.lattice_centroids(DIM)
+    enc_all, _ = PQ.encode_ivfpq(emb, DIM, cents)
+    cells = [r["cell"] for r in enc_all.select("vec_id", "cell").collect()]
+    top_cell = max(set(cells), key=cells.count)
+    in_top = {
+        r["vec_id"]
+        for r in enc_all.filter(F.col("cell") == top_cell).collect()
+    }
+    build_half = emb.filter(F.col("vec_id").isin(list(in_top)))
+    append_half = emb.filter(~F.col("vec_id").isin(list(in_top)))
+    path = str(tmp_path / "ivfpq_gap")
+    PQ.build_ivfpq_index(build_half, path, dim=DIM)
+    report = PQ.append_ivfpq_index(append_half, path, dim=DIM)
+    assert report["n_appended"] == append_half.count()
+    assert report["n_zero_mean_rows"] == report["n_appended"]
+    got = spark.read.parquet(os.path.join(path, "codes"))
+    # no NULL codes anywhere in the index
+    assert (
+        got.filter(
+            F.exists(F.col("codes"), lambda c: c.isNull())
+            | F.col("codes").isNull()
+        ).count()
+        == 0
+    )
+    # probing returns real, NULL-free distances for every probe
+    res = PQ.ivfpq_topk_prebuilt(
+        spark, path, _probes(emb), dim=DIM, k=5, nprobe=len(cents)
+    )
+    out = res.collect()
+    assert out and all(r["adc_dist"] is not None for r in out)
 
 
 def test_append_ivfpq_index_frozen_means(spark, tmp_path):

@@ -209,6 +209,30 @@ def test_prebuilt_ivf_index_matches_inline(blob_corpus, blob_probes, spark, tmp_
     assert "PartitionFilters" in plan and "cell" in plan
 
 
+def test_prebuilt_ivf_drops_degenerate_probes(
+    blob_corpus, blob_probes, spark, tmp_path
+):
+    """NULL/empty/zero probes carry NULL cells: the prebuilt path must
+    skip them in the pruning predicate (int(None) regression) and drop
+    them from the output exactly as the inline path does."""
+    bad = spark.createDataFrame(
+        [(990, None), (991, []), (992, [0.0] * 4)],
+        "probe_id long, embedding array<double>",
+    )
+    probes = blob_probes.unionAll(bad)
+    cents = S.kmeans_centroids(blob_corpus, dim=4, k=3, iters=3)
+    path = str(tmp_path / "ivf_idx_degen")
+    S.build_ivf_index(blob_corpus, path, dim=4, centroids=cents)
+    pre = S.ivf_topk_prebuilt(
+        spark, path, probes, dim=4, k=5, nprobe=1, centroids=cents
+    )
+    inline = S.ivf_topk(
+        blob_corpus, probes, dim=4, k=5, nprobe=1, centroids=cents
+    )
+    assert _topk_rows(pre) == _topk_rows(inline)
+    assert not {r["probe_id"] for r in pre.collect()} & {990, 991, 992}
+
+
 def test_prebuilt_lsh_index_matches_inline(blob_corpus, blob_probes, spark, tmp_path):
     path = str(tmp_path / "lsh_idx")
     S.build_lsh_index(blob_corpus, path, dim=4, planes=4)

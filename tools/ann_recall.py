@@ -127,19 +127,16 @@ def measure(
     books_raw = PQ.pq_train_codebooks(corpus, DIM, iters=3)
     # residual codebooks are trained on the residuals themselves (the
     # matching distribution): normalize -> assign -> per-cell mean ->
-    # v - mean, mirroring the operator's internal pipeline
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x * x),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
+    # v - mean, mirroring the operator's internal pipeline. Reuse the
+    # operator's own zero-guarded normalizer (an unguarded x/n raises
+    # ANSI DIVIDE_BY_ZERO on any zero/empty vector), and checkpoint the
+    # assignment before it fans out to the means agg + residual encode.
+    ncorpus = PQ._normed(
+        corpus.select("vec_id", F.col("embedding").alias("cv")), "cv"
     )
-    ncorpus = corpus.withColumn("_n", nrm).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x / F.col("_n")).alias("cv"),
+    assigned = assign_cells(ncorpus, "cv", cents, out="cell").localCheckpoint(
+        eager=False
     )
-    assigned = assign_cells(ncorpus, "cv", cents, out="cell")
     means = PQ.with_cell_means(assigned, "cv", DIM).localCheckpoint(
         eager=False
     )

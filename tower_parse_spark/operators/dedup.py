@@ -346,6 +346,10 @@ def passage_dedup(
     )
     # one row per (doc, passage start); passage text staged once so the
     # hash and the rebuild read the same slot
+    # localCheckpoint: p feeds TWO consumers (the canonical-occurrence
+    # agg and the join back) — without the barrier the tokenize + explode
+    # + slice + md5 work re-runs per consumer, doubling the corpus scan
+    # (the same fan-out rule as encode_ivfpq / minhash_lsh_pairs)
     p = (
         staged.select(
             F.col(id_col), F.explode("_starts").alias("s"), F.col("_toks")
@@ -358,6 +362,7 @@ def passage_dedup(
             ).alias("ptext"),
         )
         .withColumn("phash", F.md5(F.col("ptext")))
+        .localCheckpoint(eager=False)
     )
     canon = p.groupBy("phash").agg(
         F.min(F.struct(F.col(id_col).alias("cid"), F.col("s").alias("cs"))).alias("_c")

@@ -44,6 +44,7 @@ from tower_parse_spark.operators.similarity import (
     IVF_NPROBE,
     _cosine_rank,
     _explode_probe_cells,
+    _repartition_cells,
     _with_centroid_scores,
     assign_cells,
     lattice_centroids,
@@ -287,15 +288,24 @@ def with_residual(
     out: str = "rv",
 ) -> DataFrame:
     """Attach the cell-relative residual ``out[i] = v[i] - mean_v[i]``
-    via a broadcast join on the (tiny) per-cell mean table. LEFT join:
-    a probe row probing a cell absent from the corpus keeps its row
-    (NULL residual — it scores no candidates anyway)."""
+    via a broadcast join on the (tiny) per-cell mean table. LEFT join
+    with a ZERO-MEAN fallback: a row whose cell has no mean entry keeps
+    its RAW vector as the residual. Matters on both sides of the frozen-
+    means append path — an appended vector landing in a cell that was
+    empty at build time would otherwise be written with all-NULL codes,
+    and a probe of that cell would carry a NULL ADC table whose NULL
+    distances rank FIRST (ascending) and displace real neighbors.
+    Encode and probe fall back identically, so ADC on such cells is
+    plain (non-residual) PQ — consistent, deterministic, and reported by
+    :func:`append_ivfpq_index` as ``n_zero_mean_rows``."""
     return (
         df.join(F.broadcast(means), cell_col, "left")
         .withColumn(
             out,
-            F.zip_with(
-                F.col(vec_colname), F.col("mean_v"), lambda a, b: a - b
+            F.when(F.col("mean_v").isNull(), F.col(vec_colname)).otherwise(
+                F.zip_with(
+                    F.col(vec_colname), F.col("mean_v"), lambda a, b: a - b
+                )
             ),
         )
         .drop("mean_v")
@@ -422,8 +432,11 @@ def _adc_rank(
             4,
         ).alias("adc_dist"),
     )
+    # asc_nulls_last, defense in depth: a NULL distance (degenerate probe
+    # or any future NULL leak) must never outrank a real neighbor —
+    # Spark's plain asc is NULLS FIRST
     w = W.partitionBy(probe_id_col).orderBy(
-        F.col("adc_dist").asc(), F.col(id_col)
+        F.col("adc_dist").asc_nulls_last(), F.col(id_col)
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
@@ -559,13 +572,7 @@ def build_ivfpq_index(
         id_col=id_col, vec_col=vec_col,
         normalize=normalize, residual=residual,
     )
-    if files_per_cell > 1:
-        enc = enc.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
-        )
-    else:
-        enc = enc.repartition(F.col("cell"))
+    enc = _repartition_cells(enc, id_col, files_per_cell)
     enc.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "codes")
     )
@@ -613,9 +620,17 @@ def ivfpq_topk_prebuilt(
         probe_id_col=probe_id_col, vec_col=vec_col,
         normalize=normalize, residual=residual, means=means,
     ).localCheckpoint(eager=True)
-    cells = [r["cell"] for r in p.select("cell").distinct().collect()]
+    # NULL cells come from degenerate probes (NULL/empty/zero vectors —
+    # normalization yields NULL, so cell scoring does too): skip them in
+    # the pruning predicate instead of crashing int(None); the probes
+    # themselves drop at the equi-join exactly as in the inline path
+    cells = [
+        int(r["cell"])
+        for r in p.select("cell").distinct().collect()
+        if r["cell"] is not None
+    ]
     enc = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("cell").isin([int(x) for x in cells])
+        F.col("cell").isin(cells)
     )
     books = codebooks if codebooks is not None else lattice_codebooks(dim)
     return _adc_rank(enc, p, k, books, id_col, probe_id_col)
@@ -649,17 +664,20 @@ def append_ivfpq_index(
         id_col=id_col, vec_col=vec_col,
         normalize=normalize, residual=residual, means=means,
     )
-    if files_per_cell > 1:
-        enc = enc.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
-        )
-    else:
-        enc = enc.repartition(F.col("cell"))
-    enc.write.mode("append").partitionBy("cell").parquet(
+    out = _repartition_cells(enc, id_col, files_per_cell)
+    out.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "codes")
     )
-    return {"n_appended": enc.count()}
+    # drift signal: appended rows landing in cells the build-time means
+    # sidecar has never seen were encoded with the zero-mean fallback
+    # (plain PQ, see with_residual) — a growing fraction here means the
+    # data moved into regions empty at build time; fold it into the same
+    # retrain policy as append_ivf_index's cosine drift report
+    n_zero_mean = 0
+    if residual and means is not None:
+        known = [r["cell"] for r in means.select("cell").collect()]
+        n_zero_mean = enc.filter(~F.col("cell").isin(known)).count()
+    return {"n_appended": enc.count(), "n_zero_mean_rows": n_zero_mean}
 
 
 def pq_train_codebooks(

@@ -487,16 +487,7 @@ def build_ivf_index(
         out="cell",
         out_norm="cn",
     )
-    # one shuffle on the cell key so each cell is one file, not
-    # input-partitions x cells fragments; at 10^9+ vectors raise
-    # files_per_cell so a cell spans several parallel-readable files
-    if files_per_cell > 1:
-        c = c.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
-        )
-    else:
-        c = c.repartition(F.col("cell"))
+    c = _repartition_cells(c, id_col, files_per_cell)
     c.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -550,14 +541,7 @@ def append_ivf_index(
             "_best": F.array_max(F.col("_asc")),
         }
     ).drop("_asc").localCheckpoint(eager=False)
-    out = assigned.drop("_best")
-    if files_per_cell > 1:
-        out = out.repartition(
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
-        )
-    else:
-        out = out.repartition(F.col("cell"))
+    out = _repartition_cells(assigned.drop("_best"), id_col, files_per_cell)
     out.write.mode("append").partitionBy("cell").parquet(path)
     stats = assigned.agg(
         F.count(F.lit(1)).alias("n"),
@@ -610,11 +594,33 @@ def ivf_topk_prebuilt(
         out_norm="pn",
     )
     p = _explode_probe_cells(p, nprobe).localCheckpoint(eager=True)
-    cells = [r["cell"] for r in p.select("cell").distinct().collect()]
-    idx = spark.read.parquet(path).filter(
-        F.col("cell").isin([int(x) for x in cells])
-    )
+    # degenerate probes (NULL/empty/zero vectors) carry NULL cells:
+    # exclude them from the pruning predicate (int(None) would raise) —
+    # they drop at the cell equi-join exactly as in the inline path
+    cells = [
+        int(r["cell"])
+        for r in p.select("cell").distinct().collect()
+        if r["cell"] is not None
+    ]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells))
     return _cosine_rank(idx, p, k, id_col, probe_id_col, on="cell")
+
+
+def _repartition_cells(
+    df: DataFrame, id_col: str, files_per_cell: int
+) -> DataFrame:
+    """One shuffle on the cell key so each cell is one file, not
+    input-partitions x cells fragments; at 10^9+ vectors raise
+    *files_per_cell* so a cell spans several parallel-readable files.
+    SHARED by build and append on both the IVF and IVF-PQ layouts — the
+    bucketing scheme must be identical or the two write paths silently
+    diverge within one index."""
+    if files_per_cell > 1:
+        return df.repartition(
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    return df.repartition(F.col("cell"))
 
 
 def build_lsh_index(
