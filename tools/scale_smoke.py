@@ -134,6 +134,22 @@ def main() -> int:
     n_pairs = minhash_lsh_pairs(big, hash_fn="fast").count()
     dedup_sec = round(time.time() - t0, 2)
 
+    # Passage dedup at scale: the replicated corpus repeats every passage
+    # across its exact-duplicate groups, so the canonical-occurrence agg
+    # sees realistic hot hashes (boilerplate shape), not unique keys.
+    from tower_parse_spark.operators.dedup import passage_dedup
+
+    t0 = time.time()
+    n_passage_docs = passage_dedup(big).count()
+    passage_sec = round(time.time() - t0, 2)
+
+    # Sequence packing at scale: one window cumsum over hash shards.
+    from tower_parse_spark.operators.seqpack import pack_sequences
+
+    t0 = time.time()
+    n_packed = pack_sequences(big).count()
+    seqpack_sec = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -152,6 +168,12 @@ def main() -> int:
                 "dedup_pairs": n_pairs,
                 "dedup_lsh_sec": dedup_sec,
                 "dedup_docs_per_sec": int(n_docs / dedup_sec),
+                "passage_dedup_docs": n_passage_docs,
+                "passage_dedup_sec": passage_sec,
+                "passage_docs_per_sec": int(n_passage_docs / passage_sec),
+                "seqpack_docs": n_packed,
+                "seqpack_sec": seqpack_sec,
+                "seqpack_docs_per_sec": int(n_packed / seqpack_sec),
             }
         )
     )
