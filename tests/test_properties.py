@@ -174,3 +174,73 @@ def test_fingerprint_deterministic(spark, words):
     ).collect()
     assert fps[0]["fp"] == fps[1]["fp"]
     assert 0 <= fps[0]["fp"] < T.HASH_P
+
+
+@given(
+    sizes=st.lists(st.integers(0, 12), min_size=1, max_size=40),
+    seq_tokens=st.integers(1, 9),
+    shards=st.integers(1, 4),
+)
+@settings(**SETTINGS)
+def test_seqpack_tiling_invariants(spark, sizes, seq_tokens, shards):
+    """Packing invariants over random corpora: per shard the spans tile
+    the stream exactly (no gaps/overlaps, starting at 0), sequence ids
+    are span arithmetic, and tokenless docs never appear."""
+    from tower_parse_spark.operators.seqpack import pack_sequences
+
+    rows = [(i, "w " * n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(
+        df, seq_tokens=seq_tokens, shards=shards
+    ).collect()
+    assert {r.doc_id for r in out} == {
+        i for i, n in enumerate(sizes) if n > 0
+    }
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows_s in by_shard.values():
+        pos = 0
+        for r in sorted(rows_s, key=lambda r: r.start_off):
+            assert r.start_off == pos
+            assert r.first_seq == pos // seq_tokens
+            assert r.last_seq == (pos + r.n_tokens - 1) // seq_tokens
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+            pos += r.n_tokens
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_fuzzy_decontam_flags_every_exact_copy(spark, texts):
+    """An exact copy of a benchmark doc always flags at est 1.0 when it
+    has shingles; shingle-less docs (< 3 tokens) are never flagged."""
+    from tower_parse_spark.functions.text import tokens as tok_fn
+    from tower_parse_spark.operators.decontam import flag_contaminated_fuzzy
+
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n_toks = {
+        r.doc_id: r.nt
+        for r in corpus.select(
+            "doc_id", F.size(tok_fn(F.col("text"))).alias("nt")
+        ).collect()
+    }
+    out = {
+        r.doc_id: r for r in flag_contaminated_fuzzy(corpus, bench).collect()
+    }
+    for i in range(len(texts)):
+        if n_toks[i] >= 3:  # has shingles -> exact bench copy must flag
+            assert out[i].contaminated and out[i].max_est_jaccard == 1.0
+        else:
+            assert not out[i].contaminated
