@@ -150,6 +150,18 @@ def main() -> int:
     n_packed = pack_sequences(big).count()
     seqpack_sec = round(time.time() - t0, 2)
 
+    # Fuzzy decontamination at scale: the 50k-doc replicated corpus
+    # against the base 500 docs as the "benchmark" — the asymmetric
+    # shape (bench ≪ corpus, banded bench signatures broadcast, corpus
+    # never shuffled). Every rotation-0 replica is an exact bench copy,
+    # so the hit aggregation also carries real volume.
+    from tower_parse_spark.operators.decontam import flag_contaminated_fuzzy
+
+    t0 = time.time()
+    fuzzy = flag_contaminated_fuzzy(big, docs, hash_fn="fast")
+    n_flagged = fuzzy.filter(F.col("contaminated")).count()
+    fuzzy_sec = round(time.time() - t0, 2)
+
     print(
         json.dumps(
             {
@@ -174,6 +186,9 @@ def main() -> int:
                 "seqpack_docs": n_packed,
                 "seqpack_sec": seqpack_sec,
                 "seqpack_docs_per_sec": int(n_packed / seqpack_sec),
+                "fuzzy_decontam_flagged": n_flagged,
+                "fuzzy_decontam_sec": fuzzy_sec,
+                "fuzzy_decontam_docs_per_sec": int(n_docs / fuzzy_sec),
             }
         )
     )
