@@ -250,6 +250,109 @@ def test_incremental_exact_dedup(spark):
     assert incremental_exact_dedup(day2, index2).count() == 0
 
 
+def test_incremental_minhash_dedup_round_trip(spark, tmp_path):
+    """build index -> probe a batch (exact copy, reworded copy, novel
+    doc) -> append survivors -> a re-probe of a survivor's copy flags.
+    History documents are never re-read: the probe runs on the index
+    relation alone."""
+    hist = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_idx")
+    D.build_minhash_index(hist, path)
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # appended token: shingle SET grows but most minima survive,
+            # so bands still collide (a tail-token REPLACEMENT can
+            # legitimately miss when the changed shingle's hash was a
+            # band-critical minimum — deterministic family, no retry)
+            (11, "the quick brown fox jumps over the lazy dog today tonight"),
+            (12, "completely novel words that share nothing at all here"),
+            (13, "xy"),  # shingle-less -> never a candidate
+        ],
+        "doc_id long, text string",
+    )
+    index = spark.read.parquet(path)
+    out = {
+        r.doc_id: r
+        for r in D.incremental_minhash_dedup(batch, index).collect()
+    }
+    assert out[10].is_dup and out[10].max_est_jaccard == 1.0
+    assert out[11].is_dup and 0.5 <= out[11].max_est_jaccard < 1.0
+    assert not out[12].is_dup and out[12].n_hist_matches == 0
+    assert not out[13].is_dup
+    survivors = batch.filter(F.col("doc_id") == 12)
+    D.append_minhash_index(survivors, path)
+    reprobe = spark.createDataFrame(
+        [(20, "completely novel words that share nothing at all here")],
+        "doc_id long, text string",
+    )
+    out2 = D.incremental_minhash_dedup(
+        reprobe, spark.read.parquet(path)
+    ).first()
+    assert out2.is_dup and out2.max_est_jaccard == 1.0
+
+
+def test_incremental_minhash_matches_fuzzy_flags(spark):
+    """The index probe is the same math as flag_contaminated_fuzzy run
+    directly on the history documents — verdict-for-verdict."""
+    from tower_parse_spark.operators.decontam import flag_contaminated_fuzzy
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc number {i} with shared tail words " + "w " * i)
+         for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "history doc number 3 with shared tail words w w w"),
+            (102, "unrelated fresh content nothing in common whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    banded = D.banded_signatures(hist, hash_fn="portable")
+    via_index = {
+        r.doc_id: (r.is_dup, r.max_est_jaccard, r.n_hist_matches)
+        for r in D.incremental_minhash_dedup(
+            batch, banded, hash_fn="portable"
+        ).collect()
+    }
+    via_docs = {
+        r.doc_id: (r.contaminated, r.max_est_jaccard, r.n_bench_matches)
+        for r in flag_contaminated_fuzzy(
+            batch, hist, hash_fn="portable"
+        ).collect()
+    }
+    assert via_index == via_docs
+
+
+def test_incremental_minhash_index_never_shuffled(spark):
+    """The history index must stream through a BroadcastHashJoin (batch
+    side broadcast) — shuffling the index would defeat the operator."""
+    import re
+
+    hist = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "one two three four five six")], "doc_id long, text string"
+    )
+    plan = (
+        D.incremental_minhash_dedup(batch, D.banded_signatures(hist))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert sorted(shuffles) == ["_nid", "_nid"], plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
 def test_passage_dedup(spark):
     """Passage-level dedup: the repeated 4-token passage survives only at
     its first global occurrence; per-doc stats and the rebuilt text

@@ -152,29 +152,15 @@ def flag_contaminated_fuzzy(
     or above the threshold), ``max_est_jaccard`` (0.0 when unmatched),
     and ``contaminated``.
     """
-    from tower_parse_spark.operators.dedup import (
-        LSH_BANDS,
-        LSH_ROWS,
-        MINHASH_K,
-        band_key_array,
-        with_minhash,
-    )
+    from tower_parse_spark.operators.dedup import MINHASH_K, banded_signatures
 
     def banded(df: DataFrame) -> DataFrame:
-        # same barrier-then-filter order as minhash_lsh_pairs: the
-        # checkpoint stops pushdown re-inlining the K-fold signature
-        # into the filter, and stops BHJ codegen re-running the fold
-        # per matched pair on the streamed side
-        sig = (
-            with_minhash(df, text_col, MINHASH_K, hash_fn)
-            .select(id_col, "mh")
-            .localCheckpoint(eager=True)
-            .filter(F.col("mh")[0].isNotNull())
-        )
-        return sig.select(
-            F.explode(band_key_array(LSH_BANDS, LSH_ROWS)).alias("band_key"),
-            id_col,
-            "mh",
+        # shared banding (operators/dedup.py::banded_signatures): the
+        # checkpoint-then-filter order stops pushdown re-inlining the
+        # K-fold signature into the filter, and stops BHJ codegen
+        # re-running the fold per matched pair on the streamed side
+        return banded_signatures(
+            df, id_col=id_col, text_col=text_col, hash_fn=hash_fn
         )
 
     cand = (

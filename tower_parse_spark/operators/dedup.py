@@ -133,6 +133,52 @@ def band_key_array(bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """The ``(band_key, id, mh)`` LSH relation every MinHash join builds
+    on — the self-join dedup, the cross-relation decontamination, and
+    the incremental signature index all band identically or their joins
+    silently miss.
+
+    The signature relation is materialized first: it is tiny (id + K
+    longs) but its expression tree is large (K nested higher-order
+    lambdas) — a downstream self-join would inline that tree per leg and
+    whole-stage codegen time dominates. At cluster scale this is the
+    standard "persist the signatures table" step of every LSH pipeline.
+    localCheckpoint (not .cache()): storage is released when the
+    DataFrame is GC'd, so repeated calls in a long-lived session don't
+    accumulate pinned executor storage.
+
+    Shingle-less documents (empty/whitespace/NULL text, <n tokens) are
+    EXCLUDED from banding on both engines: their [null]*k signatures
+    would otherwise concat_ws-skip into one shared band bucket — at web
+    scale a quadratic all-pairs blowup of empty docs (and the oracle's
+    ||-built band keys NULL-propagate, so the engines would diverge).
+    Identical empty docs are already caught by exact dedup on md5('').
+    The exclusion filter comes AFTER the checkpoint barrier: filtering
+    on mh[0] below it lets predicate pushdown re-inline the whole
+    K-fold signature expression into the Filter (the with_minhash 50x
+    md5-inlining disease — measured 1.1 s -> 58 s at sf0.1 before the
+    barrier reorder; the checkpointed read makes the filter a cheap
+    column test).
+    """
+    sig = (
+        with_minhash(df, text_col, bands * rows, hash_fn)
+        .select(id_col, "mh")
+        .localCheckpoint(eager=True)
+        .filter(F.col("mh")[0].isNotNull())
+    )
+    return sig.select(
+        F.explode(band_key_array(bands, rows)).alias("band_key"), id_col, "mh"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -150,35 +196,7 @@ def minhash_lsh_pairs(
     at 100 TB the band-bucket join is the only shuffle and it carries
     ids + signatures, not documents.
     """
-    # Materialize the signature relation: it is tiny (id + K longs) and the
-    # signature expression tree is large (K nested higher-order lambdas) —
-    # without materializing, the self-join below would inline that tree 8x
-    # and whole-stage codegen time dominates. At cluster scale this is the
-    # standard "persist the signatures table" step of every LSH pipeline.
-    # localCheckpoint (not .cache()): storage is released when the
-    # DataFrame is GC'd, so repeated calls in a long-lived session don't
-    # accumulate pinned executor storage.
-    # shingle-less documents (empty/whitespace/NULL text, <n tokens) are
-    # EXCLUDED from banding on both engines: their [null]*k signatures
-    # would otherwise concat_ws-skip into one shared band bucket — at web
-    # scale a quadratic all-pairs blowup of empty docs (and the oracle's
-    # ||-built band keys NULL-propagate, so the engines would diverge).
-    # Identical empty docs are already caught by exact dedup on md5('').
-    # The exclusion filter comes AFTER the checkpoint barrier: filtering
-    # on mh[0] below it lets predicate pushdown re-inline the whole
-    # K-fold signature expression into the Filter (the with_minhash 50x
-    # md5-inlining disease — measured 1.1 s -> 58 s at sf0.1 before the
-    # barrier reorder; the checkpointed read makes the filter a cheap
-    # column test).
-    sig = (
-        with_minhash(df, text_col, bands * rows, hash_fn)
-        .select(id_col, "mh")
-        .localCheckpoint(eager=True)
-        .filter(F.col("mh")[0].isNotNull())
-    )
-    banded = sig.select(
-        F.explode(band_key_array(bands, rows)).alias("band_key"), id_col, "mh"
-    )
+    banded = banded_signatures(df, id_col, text_col, bands, rows, hash_fn)
     left = banded.select(
         "band_key", F.col(id_col).alias("id1"), F.col("mh").alias("mh1")
     )
@@ -207,6 +225,119 @@ def minhash_lsh_pairs(
     return pairs.select(
         "id1", "id2", F.round(est, 4).alias("est_jaccard")
     )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "fast",
+) -> None:
+    """Materialize the corpus's banded-signature INDEX: ``(band_key, id,
+    mh)`` parquet — |docs| × bands rows of ~60 bytes. This is the
+    incremental-near-dup counterpart of the exact-dedup hash index:
+    tomorrow's batch probes these signatures, never the documents
+    (100 TB of history is represented by |history| × bands small rows).
+    No partitionBy: band keys are uniform md5 values, so a batch probes
+    the whole key space anyway — pruning has nothing to prune, and a
+    per-key layout would create |docs|×bands directories. hash_fn
+    defaults to the production "fast" family (index and probes must use
+    the SAME family — it is baked into the stored signatures)."""
+    banded_signatures(df, id_col, text_col, hash_fn=hash_fn).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_fn: str = "fast",
+) -> DataFrame:
+    """NEAR-duplicate dedup of a NEW batch against an indexed corpus —
+    the daily-ingest shape for fuzzy dedup (the exact counterpart is
+    :func:`incremental_exact_dedup`). *index* is the banded-signature
+    relation (``spark.read.parquet`` of a :func:`build_minhash_index`
+    path).
+
+    Scale shape (batch ≪ history): the BATCH's banded signatures are
+    broadcast and the index STREAMS through the join — one scan of
+    |history| × bands small rows, zero shuffle of the index, no history
+    documents read. Candidates (same band key) score estimated Jaccard
+    on the stored signatures; ``is_dup`` at *threshold*.
+
+    Returns every batch id with ``n_hist_matches``, ``max_est_jaccard``
+    and ``is_dup``. Survivors = ``filter(~is_dup)``; append their banded
+    rows via :func:`append_minhash_index` to advance the state.
+    """
+    batch = banded_signatures(
+        new_df, id_col, text_col, hash_fn=hash_fn
+    ).withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
+    hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})
+    k = MINHASH_K
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("mh1"),
+                F.col("mh2"),
+                lambda x, y: (x == y).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k))
+    )
+    hits = (
+        hist.join(F.broadcast(batch), "band_key")
+        .select("_nid", "_hid", "mh1", "mh2")
+        .dropDuplicates(["_nid", "_hid"])
+        .withColumn("est", est)
+        .filter(F.col("est") >= threshold)
+        .groupBy("_nid")
+        .agg(
+            F.count(F.lit(1)).alias("n_hist_matches"),
+            F.max("est").alias("_max_est"),
+        )
+    )
+    return (
+        new_df.select(id_col)
+        .join(
+            F.broadcast(hits.withColumnRenamed("_nid", id_col)),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hist_matches"), F.lit(0).cast("long")).alias(
+                "n_hist_matches"
+            ),
+            F.round(F.coalesce(F.col("_max_est"), F.lit(0.0)), 4).alias(
+                "max_est_jaccard"
+            ),
+            (F.coalesce(F.col("n_hist_matches"), F.lit(0)) > 0).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+def append_minhash_index(
+    survivors: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "fast",
+) -> None:
+    """Append a deduped batch's banded signatures to the index —
+    existing rows are never rewritten (``mode("append")``), so the index
+    grows by |batch| × bands rows per day and the next batch sees
+    yesterday's survivors."""
+    banded_signatures(
+        survivors, id_col, text_col, hash_fn=hash_fn
+    ).write.mode("append").parquet(path)
 
 
 def source_minhash_overlap(
