@@ -286,6 +286,10 @@ def test_incremental_minhash_dedup_round_trip(spark, tmp_path):
     assert out[11].is_dup and 0.5 <= out[11].max_est_jaccard < 1.0
     assert not out[12].is_dup and out[12].n_hist_matches == 0
     assert not out[13].is_dup
+    # in-batch stage: 11 near-matches LOWER-id 10 within the batch; 10
+    # itself survives the min-id rule
+    assert out[11].in_batch_dup and not out[10].in_batch_dup
+    assert not out[12].in_batch_dup and not out[13].in_batch_dup
     survivors = batch.filter(F.col("doc_id") == 12)
     D.append_minhash_index(survivors, path)
     reprobe = spark.createDataFrame(
@@ -296,6 +300,48 @@ def test_incremental_minhash_dedup_round_trip(spark, tmp_path):
         reprobe, spark.read.parquet(path)
     ).first()
     assert out2.is_dup and out2.max_est_jaccard == 1.0
+
+
+def test_incremental_minhash_rejects_family_mismatch(spark, tmp_path):
+    """A probe with the wrong hash family would silently never collide —
+    the index's self-describing hash_fn column makes it raise instead."""
+    import pytest as _pytest
+
+    hist = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_idx_fam")
+    D.build_minhash_index(hist, path, hash_fn="fast")
+    with _pytest.raises(ValueError, match="hash_fn"):
+        D.incremental_minhash_dedup(
+            hist, spark.read.parquet(path), hash_fn="portable"
+        )
+
+
+def test_incremental_minhash_in_batch_copies(spark):
+    """N identical novel docs in ONE batch: only the min id survives —
+    without the in-batch stage every copy would be indexed forever."""
+    index = D.banded_signatures(
+        spark.createDataFrame(
+            [(1, "unrelated history content entirely different")],
+            "doc_id long, text string",
+        )
+    )
+    batch = spark.createDataFrame(
+        [(10, "new boilerplate page repeated many times today"),
+         (11, "new boilerplate page repeated many times today"),
+         (12, "new boilerplate page repeated many times today")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in D.incremental_minhash_dedup(
+            batch, index, hash_fn="portable"
+        ).collect()
+    }
+    assert not any(r.is_dup for r in out.values())  # novel vs history
+    assert not out[10].in_batch_dup
+    assert out[11].in_batch_dup and out[12].in_batch_dup
 
 
 def test_incremental_minhash_matches_fuzzy_flags(spark):
@@ -333,7 +379,12 @@ def test_incremental_minhash_matches_fuzzy_flags(spark):
 
 def test_incremental_minhash_index_never_shuffled(spark):
     """The history index must stream through a BroadcastHashJoin (batch
-    side broadcast) — shuffling the index would defeat the operator."""
+    side broadcast) — shuffling the index would defeat the operator.
+    Every allowed exchange below is BATCH-sized: the hits dedupe + agg
+    (_nid x2), the in-batch self-join of the batch's own signatures
+    (band_key x2), the in-batch pair dedupe (id1) and the id2 distinct
+    (doc_id). Matching hash families on both sides — a mismatch would
+    make the probed join vacuous (and now raises)."""
     import re
 
     hist = spark.createDataFrame(
@@ -342,15 +393,17 @@ def test_incremental_minhash_index_never_shuffled(spark):
     batch = spark.createDataFrame(
         [(2, "one two three four five six")], "doc_id long, text string"
     )
-    plan = (
-        D.incremental_minhash_dedup(batch, D.banded_signatures(hist))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    out = D.incremental_minhash_dedup(
+        batch, D.banded_signatures(hist), hash_fn="portable"
     )
+    # the fixture exercises a REAL match, not just a plan shape
+    assert out.first().is_dup
+    plan = out._jdf.queryExecution().executedPlan().toString()
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
-    assert sorted(shuffles) == ["_nid", "_nid"], plan
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert sorted(shuffles) == [
+        "_nid", "_nid", "band_key", "band_key", "doc_id", "id1"
+    ], plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
 
 
 def test_passage_dedup(spark):

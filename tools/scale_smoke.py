@@ -161,6 +161,11 @@ def main() -> int:
     fuzzy = flag_contaminated_fuzzy(big, docs, hash_fn="fast")
     n_flagged = fuzzy.filter(F.col("contaminated")).count()
     fuzzy_sec = round(time.time() - t0, 2)
+    # ground truth: exactly the rotation-0 replicas (r % 5 == 0, incl.
+    # the originals) are exact copies of benchmark docs — make the smoke
+    # actually check itself, not just print a number
+    n_expected = ((reps + 4) // 5) * docs.count()
+    assert n_flagged == n_expected, (n_flagged, n_expected)
 
     # Incremental near-dup at scale: the 50k-doc corpus becomes a banded
     # signature INDEX once; a 500-doc daily batch (the base docs — every

@@ -152,43 +152,31 @@ def flag_contaminated_fuzzy(
     or above the threshold), ``max_est_jaccard`` (0.0 when unmatched),
     and ``contaminated``.
     """
-    from tower_parse_spark.operators.dedup import MINHASH_K, banded_signatures
-
-    def banded(df: DataFrame) -> DataFrame:
-        # shared banding (operators/dedup.py::banded_signatures): the
-        # checkpoint-then-filter order stops pushdown re-inlining the
-        # K-fold signature into the filter, and stops BHJ codegen
-        # re-running the fold per matched pair on the streamed side
-        return banded_signatures(
-            df, id_col=id_col, text_col=text_col, hash_fn=hash_fn
-        )
+    # shared banding + scorer (operators/dedup.py): the checkpoint-then-
+    # filter order inside banded_signatures stops pushdown re-inlining
+    # the K-fold signature into the filter, and stops BHJ codegen
+    # re-running the fold per matched pair on the streamed side
+    from tower_parse_spark.operators.dedup import (
+        MINHASH_K,
+        banded_signatures,
+        est_jaccard,
+    )
 
     cand = (
-        banded(corpus)
+        banded_signatures(corpus, id_col=id_col, text_col=text_col, hash_fn=hash_fn)
         .withColumnsRenamed({id_col: "cid", "mh": "mh1"})
         .join(
             F.broadcast(
-                banded(benchmark).withColumnsRenamed(
-                    {id_col: "bid", "mh": "mh2"}
-                )
+                banded_signatures(
+                    benchmark, id_col=id_col, text_col=text_col, hash_fn=hash_fn
+                ).withColumnsRenamed({id_col: "bid", "mh": "mh2"})
             ),
             "band_key",
         )
         .select("cid", "bid", "mh1", "mh2")
         .dropDuplicates(["cid", "bid"])
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("mh1"),
-                F.col("mh2"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(float(MINHASH_K))
-    )
+    est = est_jaccard(F.col("mh1"), F.col("mh2"), MINHASH_K)
     hits = (
         cand.withColumn("est", est)
         .filter(F.col("est") >= threshold)

@@ -174,8 +174,29 @@ def banded_signatures(
         .localCheckpoint(eager=True)
         .filter(F.col("mh")[0].isNotNull())
     )
+    # the hash family is baked into the stored signatures: carry it as a
+    # column so a persisted index is self-describing and a probe with
+    # the WRONG family fails loudly instead of silently never colliding
     return sig.select(
-        F.explode(band_key_array(bands, rows)).alias("band_key"), id_col, "mh"
+        F.explode(band_key_array(bands, rows)).alias("band_key"),
+        id_col,
+        "mh",
+        F.lit(hash_fn).alias("hash_fn"),
+    )
+
+
+def est_jaccard(mh1: Column, mh2: Column, k: int) -> Column:
+    """Estimated Jaccard = fraction of matching signature slots. ONE
+    scorer shared by the self-join dedup, fuzzy decontamination and the
+    incremental index probe — *k* must be the signature WIDTH
+    (bands*rows) or the estimate silently caps below 1."""
+    return (
+        F.aggregate(
+            F.zip_with(mh1, mh2, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k))
     )
 
 
@@ -209,19 +230,7 @@ def minhash_lsh_pairs(
         .select("id1", "id2", "mh1", "mh2")
         .dropDuplicates(["id1", "id2"])
     )
-    k = bands * rows
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("mh1"),
-                F.col("mh2"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(float(k))
-    )
+    est = est_jaccard(F.col("mh1"), F.col("mh2"), bands * rows)
     return pairs.select(
         "id1", "id2", F.round(est, 4).alias("est_jaccard")
     )
@@ -269,27 +278,39 @@ def incremental_minhash_dedup(
     documents read. Candidates (same band key) score estimated Jaccard
     on the stored signatures; ``is_dup`` at *threshold*.
 
-    Returns every batch id with ``n_hist_matches``, ``max_est_jaccard``
-    and ``is_dup``. Survivors = ``filter(~is_dup)``; append their banded
-    rows via :func:`append_minhash_index` to advance the state.
+    Two duplicate classes, reported separately (both stages the exact
+    counterpart has):
+
+    - ``is_dup`` — near-dup of an INDEXED doc;
+    - ``in_batch_dup`` — near-dup of a LOWER-id doc in the same batch
+      (greedy min-id rule on the batch's own LSH pairs; like all banded
+      candidates this is per-pair, not transitively closed — chains
+      a~b~c keep a, as the pairwise threshold intends).
+
+    Survivors = ``filter(~is_dup & ~in_batch_dup)``; append their banded
+    rows via :func:`append_minhash_index` to advance the state — without
+    the in-batch stage, N copies of new boilerplate in one batch would
+    all survive and be indexed forever.
+
+    The probe's *hash_fn* must be the family the index was built with —
+    it is baked into the stored signatures, so a mismatch would silently
+    never collide. The index carries its family in the ``hash_fn``
+    column (written by :func:`build_minhash_index`); this function
+    validates it and raises on mismatch.
     """
+    if "hash_fn" in index.columns:
+        fam_row = index.select("hash_fn").first()
+        if fam_row is not None and fam_row["hash_fn"] != hash_fn:
+            raise ValueError(
+                f"index was built with hash_fn={fam_row['hash_fn']!r} but "
+                f"the probe uses {hash_fn!r} — band keys would never "
+                "collide; pass the index's family"
+            )
     batch = banded_signatures(
         new_df, id_col, text_col, hash_fn=hash_fn
     ).withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
     hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})
-    k = MINHASH_K
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("mh1"),
-                F.col("mh2"),
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-        / F.lit(float(k))
-    )
+    est = est_jaccard(F.col("mh1"), F.col("mh2"), MINHASH_K)
     hits = (
         hist.join(F.broadcast(batch), "band_key")
         .select("_nid", "_hid", "mh1", "mh2")
@@ -302,6 +323,17 @@ def incremental_minhash_dedup(
             F.max("est").alias("_max_est"),
         )
     )
+    # stage 2, in-batch: a batch doc is a duplicate when it near-matches
+    # a LOWER id in the SAME batch (the min-id survivor rule of
+    # incremental_exact_dedup, applied to LSH pairs). The pair relation
+    # is batch-sized — tiny next to the index scan.
+    in_batch = (
+        minhash_lsh_pairs(new_df, id_col, text_col, hash_fn=hash_fn)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+        .withColumn("in_batch_dup", F.lit(True))
+    )
     return (
         new_df.select(id_col)
         .join(
@@ -309,6 +341,7 @@ def incremental_minhash_dedup(
             id_col,
             "left",
         )
+        .join(F.broadcast(in_batch), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_hist_matches"), F.lit(0).cast("long")).alias(
@@ -319,6 +352,9 @@ def incremental_minhash_dedup(
             ),
             (F.coalesce(F.col("n_hist_matches"), F.lit(0)) > 0).alias(
                 "is_dup"
+            ),
+            F.coalesce(F.col("in_batch_dup"), F.lit(False)).alias(
+                "in_batch_dup"
             ),
         )
     )
