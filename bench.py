@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_passages",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

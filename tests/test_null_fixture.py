@@ -94,6 +94,7 @@ DOCS_QUERIES = [
     "dedup_exact",
     "dedup_passages",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",

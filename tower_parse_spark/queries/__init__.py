@@ -38,11 +38,11 @@ class Query:
 # sole-representative queries (text_pii_redact, train_val_split,
 # events_asof_order, events_order_range_join, ingest_extract_probe,
 # ingest_echo, part_string_functions, lineitem_math_functions,
-# customer_order_arrays, dedup_exact — the incremental query's base),
-# and the flagship training_data_pipeline. The 4 NEW r6 queries
-# (dedup_passages, incremental_exact_dedup, sequence_packing,
-# decontaminate_fuzzy) need first driver evidence and stay in;
-# doc_chunking and decontaminate_ngram defer to their new same-family
+# customer_order_arrays), and the flagship training_data_pipeline. The
+# 5 NEW r6 queries (dedup_passages, incremental_exact_dedup,
+# incremental_minhash_dedup, sequence_packing, decontaminate_fuzzy)
+# need first driver evidence and stay in; doc_chunking,
+# decontaminate_ngram and dedup_exact defer to their new same-family
 # siblings.
 _DEFER_TO_TAIL = [
     # --- relational, all r5-green (CORRECTNESS_r05) ---
@@ -80,6 +80,8 @@ _DEFER_TO_TAIL = [
     "quality_filter_funnel",  # quality rules — training_data_pipeline stays in window
     "doc_chunking",  # chunking — NEW sequence_packing (same family) takes the slot
     "decontaminate_ngram",  # decontam — NEW decontaminate_fuzzy takes the slot
+    "dedup_exact",  # exact dedup — NEW incremental_minhash_dedup takes the slot;
+    # incremental_exact_dedup (same md5-hash machinery) stays in window
     # --- streaming / temporal, r5-green ---
     "streaming_generator",  # synthetic source — streaming_late_data stays + pack_carry re-enters
     "events_tumbling_window",  # event-time windows — events_sliding_window/sessionize re-enter

@@ -1531,6 +1531,85 @@ ORDER BY doc_id
 """
 
 
+def incremental_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup against the banded signature index
+    (operators/dedup.py::incremental_minhash_dedup) — the fuzzy
+    counterpart of incremental_exact_dedup. History is represented by
+    its (band_key, id, mh) signature relation; the batch is broadcast
+    and the index streams. The synthetic batch exercises every verdict:
+    novel docs, lightly-perturbed history leaks (``is_dup``), and
+    id-shifted replays of batch docs (``in_batch_dup`` via the min-id
+    rule). Portable hash family so DuckDB mirrors the signatures."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", "text")
+        .unionAll(
+            hist.filter(F.col("doc_id") % 20 == 1).select(
+                (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" leaked copy")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"), "text"
+            )
+        )
+    )
+    index = D.banded_signatures(hist, hash_fn="portable")
+    return D.incremental_minhash_dedup(
+        batch, index, hash_fn="portable"
+    ).orderBy("doc_id")
+
+
+def _incremental_minhash_oracle() -> str:
+    thr = 0.5
+    return f"""
+WITH hist AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+), batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' leaked copy' AS text
+  FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 20 = 1
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 20 = 0
+), {_sig_banded_ctes("hist", "h")}, {_sig_banded_ctes("batch", "n")},
+cand AS (
+  SELECT DISTINCT n.doc_id AS nid, h.doc_id AS hid,
+         n.mh AS mh1, h.mh AS mh2
+  FROM n_banded n JOIN h_banded h USING (band_key)
+), scored AS (
+  SELECT nid, hid, {_EST_JACCARD_SQL} AS est FROM cand
+), hits AS (
+  SELECT nid, count(*) AS nh, max(est) AS m
+  FROM scored WHERE est >= {thr} GROUP BY nid
+), ib_cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         a.mh AS mh1, b.mh AS mh2
+  FROM n_banded a JOIN n_banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+), ib AS (
+  SELECT DISTINCT id2
+  FROM (SELECT id1, id2, {_EST_JACCARD_SQL} AS est FROM ib_cand)
+  WHERE est >= {thr}
+)
+SELECT b.doc_id,
+       CAST(coalesce(nh, 0) AS BIGINT) AS n_hist_matches,
+       round(coalesce(m, 0.0), 4) AS max_est_jaccard,
+       coalesce(nh, 0) > 0 AS is_dup,
+       ib.id2 IS NOT NULL AS in_batch_dup
+FROM batch b LEFT JOIN hits ON b.doc_id = hits.nid
+             LEFT JOIN ib ON b.doc_id = ib.id2
+ORDER BY b.doc_id
+"""
+
+
+INCREMENTAL_MINHASH_ORACLE = _incremental_minhash_oracle()
+
+
 #: train/val/test weights for the split query (cumulative bucket edges
 #: 8000/9000 of sampling.N_BUCKETS — exact integers on both engines)
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -1905,6 +1984,11 @@ QUERIES = {
         incremental_dedup_batch,
         INCREMENTAL_DEDUP_ORACLE,
         "new-batch dedup against the historical hash index",
+    ),
+    "incremental_minhash_dedup": Query(
+        incremental_minhash_query,
+        INCREMENTAL_MINHASH_ORACLE,
+        "new-batch NEAR-dup against the banded signature index",
     ),
     "dedup_minhash_lsh": Query(
         dedup_minhash_lsh, DEDUP_MINHASH_ORACLE, "MinHash+LSH near-dup"
