@@ -381,10 +381,11 @@ def test_incremental_minhash_index_never_shuffled(spark):
     """The history index must stream through a BroadcastHashJoin (batch
     side broadcast) — shuffling the index would defeat the operator.
     Every allowed exchange below is BATCH-sized: the hits dedupe + agg
-    (_nid x2), the in-batch self-join of the batch's own signatures
-    (band_key x2), the in-batch pair dedupe (id1) and the id2 distinct
-    (doc_id). Matching hash families on both sides — a mismatch would
-    make the probed join vacuous (and now raises)."""
+    (_nid x2), the in-batch pair dedupe (id1) and the id2 distinct
+    (doc_id). The in-batch self-join of the batch's own signatures is
+    BROADCAST too (batch ≪ history is the operating assumption), so no
+    band_key shuffle appears. Matching hash families on both sides — a
+    mismatch would make the probed join vacuous (and now raises)."""
     import re
 
     hist = spark.createDataFrame(
@@ -400,10 +401,8 @@ def test_incremental_minhash_index_never_shuffled(spark):
     assert out.first().is_dup
     plan = out._jdf.queryExecution().executedPlan().toString()
     shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
-    assert sorted(shuffles) == [
-        "_nid", "_nid", "band_key", "band_key", "doc_id", "id1"
-    ], plan
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert sorted(shuffles) == ["_nid", "_nid", "doc_id", "id1"], plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
 
 
 def test_passage_dedup(spark):

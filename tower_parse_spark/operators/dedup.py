@@ -218,19 +218,37 @@ def minhash_lsh_pairs(
     ids + signatures, not documents.
     """
     banded = banded_signatures(df, id_col, text_col, bands, rows, hash_fn)
+    return lsh_pairs_from_banded(banded, id_col, bands * rows)
+
+
+def lsh_pairs_from_banded(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    k: int = MINHASH_K,
+    broadcast_join: bool = False,
+) -> DataFrame:
+    """The join/score tail of :func:`minhash_lsh_pairs`, split out so a
+    caller that already holds the banded ``(band_key, id, mh)`` relation
+    (the incremental probe's in-batch stage) doesn't re-shingle and
+    re-hash the documents a second time. *broadcast_join* broadcasts the
+    right leg of the bucket self-join — correct when the relation is
+    batch-sized (the incremental path, where batch ≪ history is the
+    operating assumption), wrong for a full corpus."""
     left = banded.select(
         "band_key", F.col(id_col).alias("id1"), F.col("mh").alias("mh1")
     )
     right = banded.select(
         "band_key", F.col(id_col).alias("id2"), F.col("mh").alias("mh2")
     )
+    if broadcast_join:
+        right = F.broadcast(right)
     pairs = (
         left.join(right, "band_key")
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", "mh1", "mh2")
         .dropDuplicates(["id1", "id2"])
     )
-    est = est_jaccard(F.col("mh1"), F.col("mh2"), bands * rows)
+    est = est_jaccard(F.col("mh1"), F.col("mh2"), k)
     return pairs.select(
         "id1", "id2", F.round(est, 4).alias("est_jaccard")
     )
@@ -306,9 +324,14 @@ def incremental_minhash_dedup(
                 f"the probe uses {hash_fn!r} — band keys would never "
                 "collide; pass the index's family"
             )
-    batch = banded_signatures(
+    # ONE banding of the batch feeds BOTH stages (history probe and
+    # in-batch pairs) — the signature relation is localCheckpointed
+    # inside banded_signatures, so the expensive shingle/minhash job
+    # runs once, not per consumer
+    batch_banded = banded_signatures(
         new_df, id_col, text_col, hash_fn=hash_fn
-    ).withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
+    )
+    batch = batch_banded.withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
     hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})
     est = est_jaccard(F.col("mh1"), F.col("mh2"), MINHASH_K)
     hits = (
@@ -326,9 +349,12 @@ def incremental_minhash_dedup(
     # stage 2, in-batch: a batch doc is a duplicate when it near-matches
     # a LOWER id in the SAME batch (the min-id survivor rule of
     # incremental_exact_dedup, applied to LSH pairs). The pair relation
-    # is batch-sized — tiny next to the index scan.
+    # is batch-sized — tiny next to the index scan — so the bucket
+    # self-join broadcasts instead of shuffling on the band key.
     in_batch = (
-        minhash_lsh_pairs(new_df, id_col, text_col, hash_fn=hash_fn)
+        lsh_pairs_from_banded(
+            batch_banded, id_col, MINHASH_K, broadcast_join=True
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id2").alias(id_col))
         .distinct()
