@@ -67,6 +67,7 @@ HEADLINE = [
     "orders_with_returns",
     "dedup_exact",
     "dedup_passages",
+    "boilerplate_removal",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "dedup_minhash_lsh",

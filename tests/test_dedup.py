@@ -436,6 +436,58 @@ def test_passage_dedup(spark):
     assert out[2]["dup_frac"] == 0.5
 
 
+def test_boilerplate_removal(spark):
+    """Frequency-thresholded boilerplate: the header passage shared by
+    3 docs is removed from ALL of them (not kept at its first
+    occurrence, unlike passage_dedup); a passage shared by only 2 docs
+    stays below the min_doc_freq=3 bar; a doc that is pure boilerplate
+    cleans to empty text."""
+    docs = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 h4 a b c d"),   # header + unique body
+            (2, "h1 h2 h3 h4 e f g h"),   # header + unique body
+            (3, "h1 h2 h3 h4"),           # pure header
+            (4, "p q r s m n o t"),       # "p q r s" shared by 2 docs only
+            (5, "p q r s u v w x"),
+            (6, ""),                      # no tokens -> drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_removal(
+            docs, passage_tokens=4, min_doc_freq=3
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    for d, body in ((1, "a b c d"), (2, "e f g h")):
+        assert out[d]["n_boiler_passages"] == 1
+        assert out[d]["clean_text"] == body
+        assert out[d]["boiler_frac"] == 0.5
+    assert out[3]["clean_text"] == "" and out[3]["boiler_frac"] == 1.0
+    # df=2 < 3: the shared "p q r s" passage survives in BOTH docs
+    assert out[4]["n_boiler_passages"] == 0
+    assert out[4]["clean_text"] == "p q r s m n o t"
+    assert out[5]["clean_text"] == "p q r s u v w x"
+
+
+def test_boilerplate_within_doc_repeat_not_boiler(spark):
+    """Document frequency counts DISTINCT docs: a passage repeated
+    twice inside ONE document doesn't cross min_doc_freq=2 on its own."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d a b c d"), (2, "x y z w q r s t")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.boilerplate_removal(
+            docs, passage_tokens=4, min_doc_freq=2
+        ).collect()
+    }
+    assert out[1]["n_boiler_passages"] == 0
+    assert out[1]["clean_text"] == "a b c d a b c d"
+
+
 def test_passage_dedup_short_tail_passage(spark):
     """A trailing passage shorter than the stride is still a passage —
     and two identical short tails dedup against each other."""

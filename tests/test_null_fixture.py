@@ -93,6 +93,7 @@ def test_embedding_query_parity_with_degenerate_vectors(
 DOCS_QUERIES = [
     "dedup_exact",
     "dedup_passages",
+    "boilerplate_removal",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "dedup_minhash_lsh",

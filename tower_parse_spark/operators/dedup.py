@@ -585,6 +585,91 @@ def passage_dedup(
     )
 
 
+def boilerplate_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_tokens: int = PASSAGE_TOKENS,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: a passage that appears in
+    >= *min_doc_freq* DISTINCT documents is removed from ALL of them
+    (the C4 / RefinedWeb repeated-boilerplate rule — public
+    methodology). The frequency semantics are the complement of
+    :func:`passage_dedup`: that keeps the globally FIRST occurrence of
+    a repeated passage; this drops every occurrence once the passage is
+    frequent enough to be template text (cookie banners, license
+    disclaimers, navigation chrome).
+
+    Per document: the same non-overlapping *passage_tokens*-token
+    windows as passage_dedup, then ``n_passages``,
+    ``n_boiler_passages``, ``boiler_frac`` and ``clean_text`` rebuilt
+    from the surviving passages in order.
+
+    Scale shape — linear, no pairwise anything:
+
+    - document frequency per passage hash is ``countDistinct(doc_id)``,
+      which Spark plans as a two-stage aggregate keyed (phash, doc_id)
+      then phash — both stages partial-aggregate map-side, so a
+      passage repeated 10^8 times never funnels into one task;
+    - only hashes at/over the threshold survive into the join-back
+      relation (the boilerplate set is orders of magnitude smaller
+      than the passage relation), and the join is a left equi-join AQE
+      skew-splits if a hash is still hot;
+    - the passage relation feeds TWO consumers (the frequency agg and
+      the join back), so it is localCheckpointed — same fan-out rule as
+      passage_dedup.
+    """
+    toks = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_starts", chunk_starts(F.col("_toks"), passage_tokens)
+    )
+    p = (
+        staged.select(
+            F.col(id_col), F.explode("_starts").alias("s"), F.col("_toks")
+        )
+        .select(
+            F.col(id_col),
+            "s",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("s"), passage_tokens)
+            ).alias("ptext"),
+        )
+        .withColumn("phash", F.md5(F.col("ptext")))
+        .localCheckpoint(eager=False)
+    )
+    boiler = (
+        p.groupBy("phash")
+        .agg(F.countDistinct(F.col(id_col)).alias("_dfreq"))
+        .filter(F.col("_dfreq") >= min_doc_freq)
+        .select("phash", F.lit(True).alias("_boiler"))
+    )
+    marked = p.join(boiler, "phash", "left").withColumn(
+        "boiler", F.coalesce(F.col("_boiler"), F.lit(False))
+    )
+    out = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_boiler_passages"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("boiler"), F.struct("s", "ptext"))
+                    )
+                ),
+                lambda x: x["ptext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return out.withColumn(
+        "boiler_frac",
+        F.col("n_boiler_passages") / F.col("n_passages").cast("double"),
+    )
+
+
 def with_simhash(
     df: DataFrame,
     text_col: str = "text",

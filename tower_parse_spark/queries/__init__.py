@@ -37,13 +37,13 @@ class Query:
 # — NULL-vector oracle mirror; streaming_late_data — bench warm-start),
 # sole-representative queries (text_pii_redact, train_val_split,
 # events_asof_order, events_order_range_join, ingest_extract_probe,
-# ingest_echo, part_string_functions, lineitem_math_functions,
-# customer_order_arrays), and the flagship training_data_pipeline. The
-# 5 NEW r6 queries (dedup_passages, incremental_exact_dedup,
+# ingest_echo, part_string_functions, lineitem_math_functions), and the
+# flagship training_data_pipeline. The 6 NEW r6 queries
+# (dedup_passages, boilerplate_removal, incremental_exact_dedup,
 # incremental_minhash_dedup, sequence_packing, decontaminate_fuzzy)
 # need first driver evidence and stay in; doc_chunking,
-# decontaminate_ngram and dedup_exact defer to their new same-family
-# siblings.
+# decontaminate_ngram, dedup_exact and customer_order_arrays defer to
+# same-family siblings.
 _DEFER_TO_TAIL = [
     # --- relational, all r5-green (CORRECTNESS_r05) ---
     "q1_pricing_summary",  # agg — q6/q9/q17 + customer_order_distribution re-enter
@@ -87,6 +87,9 @@ _DEFER_TO_TAIL = [
     "events_tumbling_window",  # event-time windows — events_sliding_window/sessionize re-enter
     "events_session_window",  # sessionization — events_sessionize re-enters
     "events_map_functions",  # map/JSON — events_json_props re-enters
+    "customer_order_arrays",  # arrays — NEW boilerplate_removal takes the slot;
+    # lineitem_math_functions (math) + events_json_props (JSON, re-entering)
+    # keep the math/array/map/JSON family in the window
 ]
 
 

@@ -1909,6 +1909,81 @@ ORDER BY doc_id
 """
 
 
+#: exactly 2 × PASSAGE_TOKENS lowercase tokens, so the prepended header
+#: occupies two whole passage windows and every body window stays
+#: aligned with the unaugmented tokenization
+_BOILER_HEADER = (
+    "this document is provided as is without any warranty of "
+    "any kind either express or implied including fitness for purpose"
+)
+_BOILER_MIN_DF = 5
+
+
+def boilerplate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (C4 / RefinedWeb rule): a
+    passage appearing in >= min_doc_freq DISTINCT documents is dropped
+    from ALL of them — the complement of dedup_passages' keep-first
+    semantics (operators/dedup.py::boilerplate_removal for the scale
+    shape: countDistinct doc-frequency agg, threshold-filtered join-back).
+    The duplicate-free fixture gets synthetic template text: every third
+    doc is prepended with a fixed 20-token disclaimer, whose two aligned
+    passage windows then exceed the frequency bar everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(_BOILER_HEADER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = D.boilerplate_removal(aug, min_doc_freq=_BOILER_MIN_DF)
+    return out.select(
+        "doc_id",
+        "n_passages",
+        "n_boiler_passages",
+        pround(F.col("boiler_frac"), 4).alias("boiler_frac"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN '{_BOILER_HEADER} ' || text ELSE text END AS text
+  FROM documents
+), tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM aug
+), pass AS (
+  SELECT doc_id, s,
+         array_to_string(toks[s : s + {_PT - 1}], ' ') AS ptext
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, len(toks) + 1, {_PT})) AS s
+        FROM tok)
+), freq AS (
+  SELECT md5(ptext) AS ph, count(DISTINCT doc_id) AS dfreq
+  FROM pass GROUP BY 1
+), marked AS (
+  SELECT p.doc_id, p.s, p.ptext, f.dfreq >= {_BOILER_MIN_DF} AS boiler
+  FROM pass p JOIN freq f ON md5(p.ptext) = f.ph
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler_passages,
+       {sql_pround(
+           "CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / count(*)", 4)} AS boiler_frac,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN ptext END, ' '
+                           ORDER BY s), '') AS clean_text
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (the daily-ingest shape, VERDICT r5): a
     NEW batch is deduped in-batch then anti-joined against the historical
@@ -1979,6 +2054,11 @@ QUERIES = {
         dedup_passages,
         DEDUP_PASSAGES_ORACLE,
         "sub-document passage dedup (dup fraction + rebuilt text)",
+    ),
+    "boilerplate_removal": Query(
+        boilerplate_query,
+        BOILERPLATE_ORACLE,
+        "corpus-frequency boilerplate passage removal",
     ),
     "incremental_exact_dedup": Query(
         incremental_dedup_batch,
