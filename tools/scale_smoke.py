@@ -143,6 +143,19 @@ def main() -> int:
     n_passage_docs = passage_dedup(big).count()
     passage_sec = round(time.time() - t0, 2)
 
+    # Boilerplate removal at scale: same corpus, frequency rule. With
+    # reps replicas in 5 rotation groups, every passage recurs in
+    # ~reps/5 distinct docs — all of it clears min_doc_freq, the
+    # worst case for the threshold join-back (nothing is filtered out).
+    from tower_parse_spark.operators.dedup import boilerplate_removal
+
+    t0 = time.time()
+    boiler = boilerplate_removal(big, min_doc_freq=reps // 5)
+    n_boiler_docs = boiler.filter(F.col("boiler_frac") >= 1.0).count()
+    boiler_sec = round(time.time() - t0, 2)
+    # self-check: every doc with passages is fully template here
+    assert n_boiler_docs == n_passage_docs, (n_boiler_docs, n_passage_docs)
+
     # Sequence packing at scale: one window cumsum over hash shards.
     from tower_parse_spark.operators.seqpack import pack_sequences
 
@@ -212,6 +225,8 @@ def main() -> int:
                 "dedup_docs_per_sec": int(n_docs / dedup_sec),
                 "passage_dedup_docs": n_passage_docs,
                 "passage_dedup_sec": passage_sec,
+                "boilerplate_docs_fully_template": n_boiler_docs,
+                "boilerplate_sec": boiler_sec,
                 "passage_docs_per_sec": int(n_passage_docs / passage_sec),
                 "seqpack_docs": n_packed,
                 "seqpack_sec": seqpack_sec,
