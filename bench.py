@@ -68,6 +68,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_passages",
     "boilerplate_removal",
+    "split_leakage_check",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "dedup_minhash_lsh",

@@ -35,15 +35,16 @@ class Query:
 # in-window despite being r5-green: queries whose behavior changes this
 # round (ann_ivfpq_topk — residual ADC encoding; embedding_cluster_stats
 # — NULL-vector oracle mirror; streaming_late_data — bench warm-start),
-# sole-representative queries (text_pii_redact, train_val_split,
-# events_asof_order, events_order_range_join, ingest_extract_probe,
-# ingest_echo, part_string_functions, lineitem_math_functions), and the
-# flagship training_data_pipeline. The 6 NEW r6 queries
-# (dedup_passages, boilerplate_removal, incremental_exact_dedup,
-# incremental_minhash_dedup, sequence_packing, decontaminate_fuzzy)
-# need first driver evidence and stay in; doc_chunking,
-# decontaminate_ngram, dedup_exact and customer_order_arrays defer to
-# same-family siblings.
+# sole-representative queries (text_pii_redact, events_asof_order,
+# events_order_range_join, ingest_extract_probe, ingest_echo,
+# part_string_functions, lineitem_math_functions), and the flagship
+# training_data_pipeline. The 7 NEW r6 queries (dedup_passages,
+# boilerplate_removal, incremental_exact_dedup,
+# incremental_minhash_dedup, sequence_packing, decontaminate_fuzzy,
+# split_leakage_check) need first driver evidence and stay in;
+# doc_chunking, decontaminate_ngram, dedup_exact,
+# customer_order_arrays and train_val_split defer to same-family
+# siblings.
 _DEFER_TO_TAIL = [
     # --- relational, all r5-green (CORRECTNESS_r05) ---
     "q1_pricing_summary",  # agg — q6/q9/q17 + customer_order_distribution re-enter
@@ -90,6 +91,8 @@ _DEFER_TO_TAIL = [
     "customer_order_arrays",  # arrays — NEW boilerplate_removal takes the slot;
     # lineitem_math_functions (math) + events_json_props (JSON, re-entering)
     # keep the math/array/map/JSON family in the window
+    "train_val_split",  # sampling — NEW split_leakage_check takes the slot
+    # and exercises the identical with_split bucket machinery
 ]
 
 

@@ -1653,6 +1653,67 @@ ORDER BY source, split
 """
 
 
+def split_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: after the deterministic train/val/test
+    split, flag TRAIN documents that are near-duplicates of an eval-side
+    (val/test) document — the QA step that catches eval contamination
+    introduced by corpus duplicates straddling the split boundary. Pure
+    composition of two verified operators: sampling.with_split assigns
+    splits row-locally, then decontam.flag_contaminated_fuzzy treats the
+    eval side as the "benchmark" (banded signatures broadcast, the train
+    corpus never shuffled — eval ≪ train is guaranteed by the split
+    weights). The duplicate-free fixture gets planted leaks: every
+    seventh doc re-enters id-shifted with two appended tokens, and the
+    copies hash into splits independently of their originals, so some
+    straddle the boundary."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.unionAll(
+        docs.filter(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + F.lit(500_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" replayed copy")).alias("text"),
+        )
+    )
+    split = SP.with_split(aug, weights=_SPLIT_WEIGHTS)
+    train = split.filter(F.col("split") == "train").select("doc_id", "text")
+    evals = split.filter(F.col("split") != "train").select("doc_id", "text")
+    return DC.flag_contaminated_fuzzy(train, evals).orderBy("doc_id")
+
+
+SPLIT_LEAKAGE_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text || ' replayed copy' AS text
+  FROM documents WHERE doc_id % 7 = 3
+), sp AS (
+  SELECT doc_id, text,
+         {SP.sql_hash_bucket("doc_id", "split")} AS bucket
+  FROM aug
+), corp AS (
+  SELECT doc_id, text FROM sp WHERE bucket < 8000
+), bench AS (
+  SELECT doc_id, text FROM sp WHERE bucket >= 8000
+), {_sig_banded_ctes("corp", "c")}, {_sig_banded_ctes("bench", "b")},
+cand AS (
+  SELECT DISTINCT c.doc_id AS cid, b.doc_id AS bid,
+         c.mh AS mh1, b.mh AS mh2
+  FROM c_banded c JOIN b_banded b USING (band_key)
+), scored AS (
+  SELECT cid, bid, {_EST_JACCARD_SQL} AS est FROM cand
+), hits AS (
+  SELECT cid, count(*) AS n, max(est) AS m
+  FROM scored WHERE est >= {DC.FUZZY_THRESHOLD}
+  GROUP BY cid
+)
+SELECT corp.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_bench_matches,
+       round(coalesce(m, 0.0), 4) AS max_est_jaccard,
+       coalesce(n, 0) > 0 AS contaminated
+FROM corp LEFT JOIN hits ON corp.doc_id = hits.cid
+ORDER BY doc_id
+"""
+
+
 #: per-source keep rates for the domain-mixing query; unlisted sources
 #: keep everything (default_rate=1.0)
 _MIX_RATES = {"src0": 0.2, "src1": 0.5, "src2": 0.8}
@@ -2134,6 +2195,11 @@ QUERIES = {
     ),
     "train_val_split": Query(
         train_val_split, TRAIN_VAL_SPLIT_ORACLE, "deterministic hash split"
+    ),
+    "split_leakage_check": Query(
+        split_leakage_query,
+        SPLIT_LEAKAGE_ORACLE,
+        "cross-split fuzzy leakage audit (train vs eval near-dups)",
     ),
     "domain_mix_sample": Query(
         domain_mix_sample, DOMAIN_MIX_ORACLE, "per-source deterministic downsample"
