@@ -25,74 +25,75 @@ class Query:
 
 
 # The driver checks exactly the first 50 registry entries (observed cap:
-# CORRECTNESS_r01..r05.json each have 50 rows cut in registry order).
-# Queries listed here rotate to the registry tail. Round-6 rotation goal
-# (VERDICT r5 #2): all 32 queries whose latest driver-green row is r4
-# (the r5 tail) re-enter the window; 34 r5-green queries defer. After
-# the r6 driver run every registry entry's latest driver-green row is
-# r5 or r6. Each deferred query's category keeps a sibling in the
+# CORRECTNESS_r01..r06.json each have 50 rows cut in registry order).
+# Queries listed here rotate to the registry tail. Round-7 rotation goal
+# (VERDICT r6 #1): all 39 queries whose latest driver-green row is r5
+# (the r6 tail) re-enter the window; 43 r6-green queries defer. After
+# the r7 driver run every registry entry's latest driver-green row is
+# r6 or r7. Each deferred query's category keeps a sibling in the
 # window (noted per entry; see COVERAGE.md rotation table). Kept
-# in-window despite being r5-green: queries whose behavior changes this
-# round (ann_ivfpq_topk — residual ADC encoding; embedding_cluster_stats
-# — NULL-vector oracle mirror; streaming_late_data — bench warm-start),
-# sole-representative queries (text_pii_redact, events_asof_order,
-# events_order_range_join, ingest_extract_probe, ingest_echo,
-# part_string_functions, lineitem_math_functions), and the flagship
-# training_data_pipeline. The 7 NEW r6 queries (dedup_passages,
-# boilerplate_removal, incremental_exact_dedup,
-# incremental_minhash_dedup, sequence_packing, decontaminate_fuzzy,
-# split_leakage_check) need first driver evidence and stay in;
-# doc_chunking, decontaminate_ngram, dedup_exact,
-# customer_order_arrays and train_val_split defer to same-family
-# siblings.
+# in-window despite being r6-green: ann_ivfpq_topk (its cost/recall
+# stance changes this round, VERDICT r6 #5), the sole-representative
+# queries (text_pii_redact — PII; events_asof_order — as-of join;
+# events_order_range_join — range join; ingest_extract_probe —
+# A6/A8/A11; ingest_echo — A4), and the flagship
+# training_data_pipeline. The 4 NEW r7 queries (domain_curation,
+# semantic_dedup, multimodal_near_dup, streaming_minhash_dedup) need
+# first driver evidence and stay in; part_string_functions defers to
+# the string-heavy NEW domain_curation, streaming_late_data to the NEW
+# watermark-bounded streaming_minhash_dedup, lineitem_math_functions
+# and events_json_props to the re-entering customer_order_arrays +
+# events_map_functions (one math/array/map/JSON family), and
+# orders_date_functions to the re-entering events_tumbling_window.
 _DEFER_TO_TAIL = [
-    # --- relational, all r5-green (CORRECTNESS_r05) ---
-    "q1_pricing_summary",  # agg — q6/q9/q17 + customer_order_distribution re-enter
-    "q3_shipping_priority",  # join+top-k — q5/big_basket + top_return_customers re-enter
-    "top_customers_per_nation",  # window fns — running_revenue_by_nation re-enters
-    "revenue_rollup",  # grouping sets — revenue_cube + events_time_rollup re-enter
-    "order_priority_pivot",  # pivot — part_measures_unpivot re-enters
-    "wealthy_inactive_customers",  # correlated subq — min_cost_parts re-enters
-    "segment_set_ops",  # set ops — part_supplier_overlap re-enters
-    "priority_ship_stats",  # conditional-ratio agg — promo_revenue_pct re-enters
-    "order_gaps_quartiles",  # percentiles/ntile — events_value_distribution re-enters
-    "q11_important_parts",  # agg+threshold join — q6/q9/q17 re-enter
-    "q16_supplier_counts",  # distinct agg — customer_order_distribution re-enters
-    "q21_blame_suppliers",  # multi-join exists/anti — q5 + customers_without_urgent_orders re-enter
-    # --- ingest, r5-green ---
-    "ingest_sentinel_stats",  # sentinel->NULL — ingest_extract_probe stays in window
-    "ingest_pack_assign",  # count packs — ingest_pack_scalable re-enters
-    "ingest_multiformat",  # alternation unify — ingest_extract_probe stays
-    "ingest_malformed_routing",  # malformed routing — ingest_extract_probe + echo stay
-    # --- llm families, r5-green ---
-    "dedup_minhash_lsh",  # dedup — dedup_simhash/ngram_jaccard re-enter + 2 NEW in window
-    "source_overlap_minhash",  # sketch overlap — dedup_simhash (signature family) re-enters
-    "dedup_embedding_cosine",  # near-dup — dedup_ngram_jaccard re-enters
-    "dedup_cluster_resolution",  # components — dedup family well covered in window
-    "ann_cosine_topk",  # ANN — ann_ivfpq_topk stays (residual-ADC change this round)
-    "ann_lsh_topk",  # ANN — same
-    "ann_ivf_topk",  # ANN — same
-    "text_quality",  # text — text_langid/text_fingerprint re-enter
-    "text_token_stats",  # text — same
-    "multimodal_decode",  # multimodal — multimodal_pipeline re-enters
-    "domain_mix_sample",  # sampling — train_val_split stays in window
-    "text_repetition",  # text signals — text_langid/text_fingerprint re-enter
-    "text_tfidf_topterms",  # text — same
-    "quality_filter_funnel",  # quality rules — training_data_pipeline stays in window
-    "doc_chunking",  # chunking — NEW sequence_packing (same family) takes the slot
-    "decontaminate_ngram",  # decontam — NEW decontaminate_fuzzy takes the slot
-    "dedup_exact",  # exact dedup — NEW incremental_minhash_dedup takes the slot;
-    # incremental_exact_dedup (same md5-hash machinery) stays in window
-    # --- streaming / temporal, r5-green ---
-    "streaming_generator",  # synthetic source — streaming_late_data stays + pack_carry re-enters
-    "events_tumbling_window",  # event-time windows — events_sliding_window/sessionize re-enter
-    "events_session_window",  # sessionization — events_sessionize re-enters
-    "events_map_functions",  # map/JSON — events_json_props re-enters
-    "customer_order_arrays",  # arrays — NEW boilerplate_removal takes the slot;
-    # lineitem_math_functions (math) + events_json_props (JSON, re-entering)
-    # keep the math/array/map/JSON family in the window
-    "train_val_split",  # sampling — NEW split_leakage_check takes the slot
-    # and exercises the identical with_split bucket machinery
+    # --- relational, all r6-green (CORRECTNESS_r06) ---
+    "q5_local_supplier",  # snowflake join — q3/q21 re-enter
+    "running_revenue_by_nation",  # window frames — top_customers_per_nation + order_gaps_quartiles re-enter
+    "customers_without_urgent_orders",  # anti join — q21 + wealthy_inactive_customers re-enter
+    "part_supplier_overlap",  # set ops — segment_set_ops re-enters
+    "orders_with_returns",  # semi join — q21 (exists) re-enters
+    "customer_order_distribution",  # outer join + distribution — q16 re-enters
+    "part_string_functions",  # strings — NEW domain_curation (URL string surface) takes the slot
+    "orders_date_functions",  # date/time — events_tumbling_window re-enters
+    "lineitem_math_functions",  # math — customer_order_arrays + events_map_functions re-enter
+    "min_cost_parts",  # correlated subq — wealthy_inactive_customers re-enters
+    "top_return_customers",  # top-k — q3_shipping_priority re-enters
+    "promo_revenue_pct",  # conditional-ratio agg — priority_ship_stats re-enters
+    "disjunctive_filter_revenue",  # disjunctive filters — q1/q6 re-enter
+    "revenue_cube",  # grouping sets — revenue_rollup re-enters
+    "part_measures_unpivot",  # unpivot — order_priority_pivot re-enters
+    "nation_volume_shipping",  # multi-join pair disjunction — q21/q3 re-enter
+    "market_share_by_year",  # conditional ratio — priority_ship_stats re-enters
+    "top_revenue_supplier",  # argmax agg — q11/q16 re-enter
+    "big_basket_orders",  # HAVING + join-back — q3 re-enters
+    "q6_forecast_revenue",  # pushdown agg — q1 re-enters
+    "q9_product_profit",  # profit rollup — q1 re-enters
+    "q17_small_quantity_revenue",  # correlated avg — wealthy_inactive_customers + q11 re-enter
+    # --- ingest, r6-green ---
+    "ingest_pack_scalable",  # count packs — ingest_pack_assign re-enters
+    # --- llm families, r6-green ---
+    "dedup_passages",  # passage dedup — dedup_exact + dedup_minhash_lsh re-enter
+    "boilerplate_removal",  # boilerplate — same dedup family re-enters
+    "incremental_exact_dedup",  # incremental exact — dedup_exact re-enters
+    "incremental_minhash_dedup",  # incremental near-dup — dedup_minhash_lsh re-enters;
+    # NEW streaming_minhash_dedup runs the same probe machinery in-window
+    "dedup_simhash",  # simhash — NEW multimodal_near_dup (same banding) + dedup family
+    "dedup_ngram_jaccard",  # jaccard verify — dedup_minhash_lsh re-enters
+    "embedding_cluster_stats",  # cluster stats — NEW semantic_dedup (same quantizer) takes the slot
+    "text_langid",  # text — text_quality/text_token_stats/text_repetition re-enter
+    "text_fingerprint",  # text — same
+    "multimodal_pipeline",  # multimodal — multimodal_decode re-enters + NEW multimodal_near_dup
+    "decontaminate_fuzzy",  # fuzzy decontam — decontaminate_ngram re-enters
+    "split_leakage_check",  # split QA — train_val_split re-enters
+    "sequence_packing",  # seq packing — doc_chunking re-enters
+    # --- streaming / temporal, r6-green ---
+    "streaming_pack_carry",  # stateful packs — ingest_pack_assign (A17) + streaming_generator re-enter
+    "streaming_late_data",  # watermarks — NEW streaming_minhash_dedup (watermark-bounded streaming)
+    "events_time_rollup",  # multi-resolution rollup — revenue_rollup + events_tumbling_window re-enter
+    "events_sliding_window",  # event-time windows — events_tumbling_window re-enters
+    "events_sessionize",  # sessionization — events_session_window re-enters
+    "events_json_props",  # JSON — events_map_functions re-enters (one family with arrays/math)
+    "events_value_distribution",  # percentiles — order_gaps_quartiles re-enters
 ]
 
 
