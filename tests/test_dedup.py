@@ -318,6 +318,30 @@ def test_incremental_minhash_rejects_family_mismatch(spark, tmp_path):
         )
 
 
+def test_append_minhash_index_rejects_family_mismatch(spark, tmp_path):
+    """Appending with a different hash family would create a MIXED index
+    the single-row probe check can't detect — the append path validates
+    against the stored family and raises before writing (ADVICE r6)."""
+    import pytest as _pytest
+
+    hist = spark.createDataFrame(
+        [(1, "one two three four five")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh_idx_appfam")
+    D.build_minhash_index(hist, path, hash_fn="fast")
+    more = spark.createDataFrame(
+        [(2, "six seven eight nine ten")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="hash_fn"):
+        D.append_minhash_index(more, path, hash_fn="portable")
+    # the matching family still appends; a fresh path needs no check
+    D.append_minhash_index(more, path, hash_fn="fast")
+    assert (
+        spark.read.parquet(path).select("doc_id").distinct().count() == 2
+    )
+    D.append_minhash_index(more, str(tmp_path / "mh_idx_new"))
+
+
 def test_incremental_minhash_in_batch_copies(spark):
     """N identical novel docs in ONE batch: only the min id survives —
     without the in-batch stage every copy would be indexed forever."""

@@ -305,3 +305,40 @@ def test_append_ivfpq_index_frozen_means(spark, tmp_path):
         if r["vec_id"] in b_ids
     }
     assert stored == {k: (int(c), t) for k, (c, t) in expect.items()}
+
+
+def test_index_meta_sidecar_rejects_mismatched_params(spark, tmp_path):
+    """The index is self-describing (ADVICE r6): probing or appending
+    with flags/quantizers other than the build's raises instead of
+    silently returning plausible-but-wrong neighbors."""
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    path = str(tmp_path / "ivfpq_meta")
+    PQ.build_ivfpq_index(emb, path, dim=DIM)  # normalize/residual True
+    probes = _probes(emb)
+    with pytest.raises(ValueError, match="residual"):
+        PQ.ivfpq_topk_prebuilt(
+            spark, path, probes, dim=DIM, k=5, residual=False
+        )
+    with pytest.raises(ValueError, match="normalize"):
+        PQ.append_ivfpq_index(emb, path, dim=DIM, normalize=False)
+    with pytest.raises(ValueError, match="codebook_fp"):
+        PQ.ivfpq_topk_prebuilt(
+            spark, path, probes, dim=DIM, k=5,
+            codebooks=PQ.lattice_codebooks(DIM, k_codes=8),
+        )
+    # matching parameters still probe
+    assert PQ.ivfpq_topk_prebuilt(spark, path, probes, dim=DIM, k=5).count() > 0
+
+
+def test_index_without_meta_sidecar_still_probes(spark, tmp_path):
+    """Back-compat: a pre-r7 index (no meta dir) skips validation."""
+    import shutil
+
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    path = str(tmp_path / "ivfpq_nometa")
+    PQ.build_ivfpq_index(emb, path, dim=DIM)
+    shutil.rmtree(f"{path}/meta")
+    assert (
+        PQ.ivfpq_topk_prebuilt(spark, path, _probes(emb), dim=DIM, k=5).count()
+        > 0
+    )

@@ -452,7 +452,6 @@ class LineServer(threading.Thread):
         self.sock.close()
 
 
-@pytest.mark.timeout(120)
 def test_socket_source_live(spark, tmp_path):
     """A1/A6: socket line source reassembles torn packets into lines and
     stamps processing time."""

@@ -157,7 +157,6 @@ def flag_contaminated_fuzzy(
     # the K-fold signature into the filter, and stops BHJ codegen
     # re-running the fold per matched pair on the streamed side
     from tower_parse_spark.operators.dedup import (
-        MINHASH_K,
         banded_signatures,
         est_jaccard,
     )
@@ -176,7 +175,7 @@ def flag_contaminated_fuzzy(
         .select("cid", "bid", "mh1", "mh2")
         .dropDuplicates(["cid", "bid"])
     )
-    est = est_jaccard(F.col("mh1"), F.col("mh2"), MINHASH_K)
+    est = est_jaccard(F.col("mh1"), F.col("mh2"))
     hits = (
         cand.withColumn("est", est)
         .filter(F.col("est") >= threshold)

@@ -185,18 +185,22 @@ def banded_signatures(
     )
 
 
-def est_jaccard(mh1: Column, mh2: Column, k: int) -> Column:
+def est_jaccard(mh1: Column, mh2: Column) -> Column:
     """Estimated Jaccard = fraction of matching signature slots. ONE
     scorer shared by the self-join dedup, fuzzy decontamination and the
-    incremental index probe — *k* must be the signature WIDTH
-    (bands*rows) or the estimate silently caps below 1."""
+    incremental index probe. The width is derived from the signature
+    itself (``size(mh1)``), so a caller banding with non-default
+    bands*rows can never mis-scale the estimate by forgetting to pass
+    the matching k (ADVICE r6); mismatched widths between the two sides
+    surface as NULL estimates (zip_with NULL-pads), never as a silently
+    capped score."""
     return (
         F.aggregate(
             F.zip_with(mh1, mh2, lambda x, y: (x == y).cast("int")),
             F.lit(0),
             lambda acc, v: acc + v,
         )
-        / F.lit(float(k))
+        / F.size(mh1).cast("double")
     )
 
 
@@ -218,22 +222,23 @@ def minhash_lsh_pairs(
     ids + signatures, not documents.
     """
     banded = banded_signatures(df, id_col, text_col, bands, rows, hash_fn)
-    return lsh_pairs_from_banded(banded, id_col, bands * rows)
+    return lsh_pairs_from_banded(banded, id_col)
 
 
 def lsh_pairs_from_banded(
     banded: DataFrame,
     id_col: str = "doc_id",
-    k: int = MINHASH_K,
     broadcast_join: bool = False,
 ) -> DataFrame:
     """The join/score tail of :func:`minhash_lsh_pairs`, split out so a
     caller that already holds the banded ``(band_key, id, mh)`` relation
     (the incremental probe's in-batch stage) doesn't re-shingle and
-    re-hash the documents a second time. *broadcast_join* broadcasts the
-    right leg of the bucket self-join — correct when the relation is
-    batch-sized (the incremental path, where batch ≪ history is the
-    operating assumption), wrong for a full corpus."""
+    re-hash the documents a second time. The Jaccard estimate scales by
+    the stored signature's own width, so non-default bands*rows need no
+    extra parameter. *broadcast_join* broadcasts the right leg of the
+    bucket self-join — correct when the relation is batch-sized (the
+    incremental path, where batch ≪ history is the operating
+    assumption), wrong for a full corpus."""
     left = banded.select(
         "band_key", F.col(id_col).alias("id1"), F.col("mh").alias("mh1")
     )
@@ -248,7 +253,7 @@ def lsh_pairs_from_banded(
         .select("id1", "id2", "mh1", "mh2")
         .dropDuplicates(["id1", "id2"])
     )
-    est = est_jaccard(F.col("mh1"), F.col("mh2"), k)
+    est = est_jaccard(F.col("mh1"), F.col("mh2"))
     return pairs.select(
         "id1", "id2", F.round(est, 4).alias("est_jaccard")
     )
@@ -333,7 +338,7 @@ def incremental_minhash_dedup(
     )
     batch = batch_banded.withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
     hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})
-    est = est_jaccard(F.col("mh1"), F.col("mh2"), MINHASH_K)
+    est = est_jaccard(F.col("mh1"), F.col("mh2"))
     hits = (
         hist.join(F.broadcast(batch), "band_key")
         .select("_nid", "_hid", "mh1", "mh2")
@@ -352,9 +357,7 @@ def incremental_minhash_dedup(
     # is batch-sized — tiny next to the index scan — so the bucket
     # self-join broadcasts instead of shuffling on the band key.
     in_batch = (
-        lsh_pairs_from_banded(
-            batch_banded, id_col, MINHASH_K, broadcast_join=True
-        )
+        lsh_pairs_from_banded(batch_banded, id_col, broadcast_join=True)
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("id2").alias(id_col))
         .distinct()
@@ -396,7 +399,27 @@ def append_minhash_index(
     """Append a deduped batch's banded signatures to the index —
     existing rows are never rewritten (``mode("append")``), so the index
     grows by |batch| × bands rows per day and the next batch sees
-    yesterday's survivors."""
+    yesterday's survivors.
+
+    The append validates *hash_fn* against the existing index before
+    writing (ADVICE r6): appending with a different family would create
+    a MIXED index whose new rows never collide with probes — and since
+    the probe-side check samples one arbitrary row, a mixed index could
+    still pass it. Guarding the only write path that could mix families
+    keeps every stored index single-family by construction."""
+    spark = survivors.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None  # first append: nothing to validate against
+    if existing is not None and "hash_fn" in existing.columns:
+        fam_row = existing.select("hash_fn").first()
+        if fam_row is not None and fam_row["hash_fn"] != hash_fn:
+            raise ValueError(
+                f"index was built with hash_fn={fam_row['hash_fn']!r} but "
+                f"the probe uses {hash_fn!r} — band keys would never "
+                "collide; pass the index's family"
+            )
     banded_signatures(
         survivors, id_col, text_col, hash_fn=hash_fn
     ).write.mode("append").parquet(path)

@@ -567,8 +567,9 @@ def build_ivfpq_index(
     only probed-cell code files (partition pruning), and the index is
     ~dim·4/M× smaller than a raw-vector IVF index."""
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
     enc, means = encode_ivfpq(
-        corpus, dim, cents, codebooks,
+        corpus, dim, cents, books,
         id_col=id_col, vec_col=vec_col,
         normalize=normalize, residual=residual,
     )
@@ -581,12 +582,77 @@ def build_ivfpq_index(
         means.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(path, "means")
         )
+    # self-describing index: build flags + quantizer fingerprints ride
+    # with the data so a mismatched probe/append fails loudly
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [_index_meta(dim, cents, books, normalize, residual)]
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "meta"))
 
 
 def _read_means(spark, path: str, residual: bool) -> DataFrame | None:
     return (
         spark.read.parquet(os.path.join(path, "means")) if residual else None
     )
+
+
+def _index_meta(
+    dim: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    normalize: bool,
+    residual: bool,
+) -> dict:
+    """The build-time parameters an IVF-PQ index is only valid under.
+    Centroids/codebooks are fingerprinted (md5 of the 9-dp-rounded JSON)
+    rather than stored: equality is all a probe needs to check."""
+    import hashlib
+    import json
+
+    def fp(obj) -> str:
+        return hashlib.md5(
+            json.dumps(obj, separators=(",", ":")).encode()
+        ).hexdigest()
+
+    return {
+        "dim": dim,
+        "normalize": normalize,
+        "residual": residual,
+        "m_sub": len(codebooks),
+        "k_codes": len(codebooks[0]),
+        "centroid_fp": fp([[round(x, 9) for x in c] for c in centroids]),
+        "codebook_fp": fp(
+            [[[round(x, 9) for x in c] for c in b] for b in codebooks]
+        ),
+    }
+
+
+def _validate_index_meta(spark, path: str, expected: dict, op: str) -> None:
+    """Raise when the caller's flags/quantizer disagree with the meta
+    sidecar the index was built with (ADVICE r6): e.g. a residual=False
+    probe of a residual-built index would silently return
+    plausible-but-wrong neighbors. Pre-meta indexes (no sidecar) skip
+    validation for back-compat — rebuild to opt in."""
+    try:
+        row = spark.read.parquet(os.path.join(path, "meta")).first()
+    except Exception:
+        return  # index predates the meta sidecar
+    if row is None:
+        return
+    mismatches = {
+        k: (row[k], expected[k])
+        for k in expected
+        if k in row.__fields__ and row[k] != expected[k]
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: index={a!r} caller={b!r}" for k, (a, b) in mismatches.items()
+        )
+        raise ValueError(
+            f"{op}: parameters disagree with the index's meta sidecar "
+            f"({detail}) — pass the flags/centroids/codebooks the index "
+            "was built with, or rebuild it"
+        )
 
 
 def ivfpq_topk_prebuilt(
@@ -613,6 +679,13 @@ def ivfpq_topk_prebuilt(
     sidecar. Bit-identical to inline ``ivfpq_topk`` with rerank=None
     (tests/test_pq.py locks the parity)."""
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    _validate_index_meta(
+        spark,
+        path,
+        _index_meta(dim, cents, books, normalize, residual),
+        "ivfpq_topk_prebuilt",
+    )
     nprobe = min(nprobe, len(cents))
     means = _read_means(spark, path, residual)
     p = probe_adc_tables(
@@ -632,7 +705,6 @@ def ivfpq_topk_prebuilt(
     enc = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("cell").isin(cells)
     )
-    books = codebooks if codebooks is not None else lattice_codebooks(dim)
     return _adc_rank(enc, p, k, books, id_col, probe_id_col)
 
 
@@ -658,9 +730,16 @@ def append_ivfpq_index(
     batch when a retrain policy is attached."""
     spark = new_corpus.sparkSession
     cents = centroids if centroids is not None else lattice_centroids(dim, IVF_K)
+    books = codebooks if codebooks is not None else lattice_codebooks(dim)
+    _validate_index_meta(
+        spark,
+        path,
+        _index_meta(dim, cents, books, normalize, residual),
+        "append_ivfpq_index",
+    )
     means = _read_means(spark, path, residual)
     enc, _ = encode_ivfpq(
-        new_corpus, dim, cents, codebooks,
+        new_corpus, dim, cents, books,
         id_col=id_col, vec_col=vec_col,
         normalize=normalize, residual=residual, means=means,
     )

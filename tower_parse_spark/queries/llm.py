@@ -1661,8 +1661,12 @@ def split_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition of two verified operators: sampling.with_split assigns
     splits row-locally, then decontam.flag_contaminated_fuzzy treats the
     eval side as the "benchmark" (banded signatures broadcast, the train
-    corpus never shuffled — eval ≪ train is guaranteed by the split
-    weights). The duplicate-free fixture gets planted leaks: every
+    corpus never shuffled). Broadcasting the eval side is valid at
+    fixture scale, but with 80/10/10 weights eval is ~20% of the corpus
+    — only 4× smaller than train — so at full corpus scale this audit
+    must either run on a SAMPLED eval side or swap the broadcast for a
+    shuffle equi-join on the band key (same banded relations, join hint
+    dropped). The duplicate-free fixture gets planted leaks: every
     seventh doc re-enters id-shifted with two appended tokens, and the
     copies hash into splits independently of their originals, so some
     straddle the boundary."""
