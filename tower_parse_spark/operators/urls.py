@@ -1,0 +1,177 @@
+"""URL canonicalization and domain-level corpus curation.
+
+Web-corpus pipelines (C4 — Raffel et al. 2020; RefinedWeb — Penedo et
+al. 2023; both public methodology) lead with URL hygiene before any
+content-level filtering: canonicalize the URL, dedup at the URL level,
+drop blocklisted domains, and cap how many documents any one domain may
+contribute. The reference engine has no URL surface at all (its inputs
+are sensor lines, readport.py:122-149); this family is part of the
+LLM-data-pipeline extension the engine adds on top.
+
+Everything here is built for the 100 TB shape:
+
+- canonicalization and domain extraction are row-local JVM regexp
+  projections (zero shuffle, pushes into the scan projection);
+- URL-level dedup is ONE hash aggregation keyed on the canonical URL
+  (``min(id)`` partial-aggregates map-side, so a URL crawled 10^8 times
+  reduces before the shuffle — the passage_dedup rule) plus an
+  equi-join back;
+- the per-domain cap is the only ranking step and it runs over DEDUP
+  SURVIVORS only; a pathologically hot domain is one task's window —
+  AQE skew-split handles moderate skew, and a deployment that caps
+  domains orders of magnitude over the cap should pre-filter with a
+  domain-count aggregate so only over-cap domains enter the window
+  (noted in :func:`curate_urls`).
+
+Regex syntax is the RE2-compatible subset (no lookaround, no
+backreferences) so the DuckDB oracle runs the literally identical
+patterns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+#: query parameters that never identify content: analytics/click
+#: trackers (the C4/RefinedWeb strip set)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+#: well-known default ports, stripped regardless of scheme (a
+#: documented simplification: http on :443 is pathological)
+DEFAULT_PORT_RE = r":(80|443)$"
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# first '?' up to the fragment; [^#?]* (not greedy [^#]*) so a '?'
+# inside the query never shifts the capture start
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
+
+
+def _host(url: Column) -> Column:
+    """Lowercased host with any well-known default port stripped."""
+    return F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1)), DEFAULT_PORT_RE, ""
+    )
+
+
+def _clean_query(url: Column) -> Column:
+    """Query string with tracking parameters removed, original order
+    preserved (canonicalizers that SORT parameters conflate ?a=1&b=2
+    with ?b=2&a=1 — kept distinct here, the conservative choice)."""
+    params = F.split(F.regexp_extract(url, _QUERY_RE, 1), "&")
+    kept = F.filter(
+        params, lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)
+    )
+    return F.array_join(kept, "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of *url*: lowercase scheme and host, default port
+    stripped, fragment dropped, tracking query parameters removed,
+    empty path normalized to ``/``. Path and query VALUE case are
+    preserved (case-significant on most servers). Pure row-local
+    expression — no UDF, no shuffle."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    q = _clean_query(url)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        _host(url),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable-domain approximation: the canonical host with a
+    leading ``www.`` stripped. (A production pipeline consults the
+    public-suffix list; that table is a broadcast join away and does
+    not change the plan shape.)"""
+    return F.regexp_replace(_host(url), r"^www\.", "")
+
+
+def curate_urls(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    blocklist: Sequence[str] = (),
+    domain_cap: int = 10,
+) -> DataFrame:
+    """Full URL-curation funnel, one pass, per-document verdict rows:
+
+    1. canonicalize (:func:`canonical_url`) and extract the domain;
+    2. URL-level exact dedup — ``is_url_dup`` unless the row holds the
+       min *id_col* for its canonical URL (the exact_dedup survivor
+       rule). Agg + join-back, NOT a window: ``min(id)`` partial-
+       aggregates map-side, so a boilerplate URL with 10^8 crawls
+       reduces to one row before the shuffle;
+    3. domain blocklist — ``blocked`` when the domain is listed (the
+       literal list folds into the scan filter; a large blocklist
+       becomes a broadcast left-semi join, same plan shape);
+    4. per-domain cap — among rows surviving 2–3, ``over_cap`` when the
+       row ranks past *domain_cap* within its domain (rank by *id_col*,
+       deterministic). The window input is survivors only; for domains
+       expected orders of magnitude over the cap, pre-filter with a
+       domain-count aggregate so under-cap domains (the vast majority)
+       bypass the window entirely.
+
+    ``kept`` = passed every stage. Returns one row per input row with
+    (id, canon_url, domain, is_url_dup, blocked, over_cap, kept).
+
+    The canonical relation feeds two consumers (the survivor agg and
+    the join-back), so it is localCheckpointed — the regexp projection
+    runs once per row, not once per consumer (the passage_dedup
+    fan-out rule).
+    """
+    url = F.col(url_col)
+    canon = (
+        df.select(
+            F.col(id_col),
+            canonical_url(url).alias("canon_url"),
+            url_domain(url).alias("domain"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    keepers = canon.groupBy("canon_url").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    flagged = canon.join(keepers, "canon_url").select(
+        F.col(id_col),
+        "canon_url",
+        "domain",
+        (F.col(id_col) != F.col("_keep_id")).alias("is_url_dup"),
+        F.col("domain").isin(*blocklist).alias("blocked")
+        if blocklist
+        else F.lit(False).alias("blocked"),
+    )
+    surv_rank = (
+        flagged.filter(~F.col("is_url_dup") & ~F.col("blocked"))
+        .withColumn(
+            "_rnk",
+            F.row_number().over(
+                W.partitionBy("domain").orderBy(id_col)
+            ),
+        )
+        .select(id_col, "_rnk")
+    )
+    return (
+        flagged.join(surv_rank, id_col, "left")
+        .select(
+            F.col(id_col),
+            "canon_url",
+            "domain",
+            "is_url_dup",
+            "blocked",
+            F.coalesce(F.col("_rnk") > domain_cap, F.lit(False)).alias(
+                "over_cap"
+            ),
+            F.coalesce(F.col("_rnk") <= domain_cap, F.lit(False)).alias(
+                "kept"
+            ),
+        )
+    )

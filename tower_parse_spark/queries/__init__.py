@@ -100,6 +100,7 @@ _DEFER_TO_TAIL = [
 def registry() -> dict[str, Query]:
     """Assemble the full query registry from all modules (import-light)."""
     from tower_parse_spark.queries import (
+        curation,
         ingest,
         llm,
         relational,
@@ -118,6 +119,7 @@ def registry() -> dict[str, Query]:
         llm,
         streaming_q,
         temporal,
+        curation,
     ):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
