@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tower_parse_spark.operators import semdedup as SD
 from tower_parse_spark.operators import urls as U
 from tower_parse_spark.queries import Query
 from tower_parse_spark.session import load_table
@@ -160,10 +161,82 @@ ORDER BY f.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup — Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus plus
+    perturbed near-copies (the same known-duplicate injection the
+    embedding-cosine dedup query uses): cluster via the coarse
+    quantizer, drop within-cluster members whose cosine to a
+    centroid-nearer member is >= 0.9, keep the centroid-nearest
+    representative (operators/semdedup.py)."""
+    from tower_parse_spark.queries.llm import _emb_with_near_copies
+
+    return SD.semantic_dedup_flags(
+        _emb_with_near_copies(spark, sf_dir),
+        dim=64,
+        threshold=SEMDEDUP_THRESHOLD,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    from tower_parse_spark.queries.llm import (
+        _EMB_NEAR_COPIES_SQL,
+        _sql_ivf_cells,
+        _sql_lsh_bucket,
+    )
+
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+        " p -> p[1]*p[2])) / (a.nv * b.nv)"
+    )
+    return f"""
+WITH {_EMB_NEAR_COPIES_SQL},
+emb AS (
+  SELECT vec_id, embedding FROM emb2
+), scored_cells AS ({_sql_ivf_cells()}
+), assigned AS (
+  SELECT sc.vec_id, sc.embedding,
+         coalesce(list_position(sc.s, list_max(sc.s)), 0) AS cell,
+         round(list_max(sc.s), 4) AS cent_cos,
+         sqrt(list_sum(list_transform(sc.embedding, x -> x * x))) AS nv,
+         ({_sql_lsh_bucket()}) AS blk
+  FROM scored_cells sc
+), better AS (
+  SELECT b.vec_id AS vid, count(*) AS n_better
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.blk = b.blk AND a.vec_id <> b.vec_id
+   AND (a.cent_cos > b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  WHERE a.nv > 0 AND b.nv > 0
+    AND round({cos}, 4) >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id,
+       CAST(e.cell AS BIGINT) AS cell,
+       e.cent_cos,
+       CAST(coalesce(p.n_better, 0) AS BIGINT) AS n_better,
+       coalesce(p.n_better, 0) > 0 AS is_semdup,
+       coalesce(p.n_better, 0) = 0 AS keep
+FROM assigned e LEFT JOIN better p ON e.vec_id = p.vid
+ORDER BY e.vec_id
+"""
+
+
 QUERIES = {
     "domain_curation": Query(
         domain_curation,
         DOMAIN_CURATION_ORACLE,
         "URL canonicalize -> URL dedup -> domain blocklist -> domain cap",
+    ),
+    "semantic_dedup": Query(
+        semantic_dedup,
+        _semantic_dedup_oracle(),
+        "SemDeDup: within-cluster cosine pruning, centroid-nearest kept",
     ),
 }
