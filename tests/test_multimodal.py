@@ -65,3 +65,63 @@ def test_decode_payloads_distributed(docs):
     assert out[2]["n_bytes"] == 32
     assert out[2]["format"] == ["png", "jpeg", "webp"][32 % 3]
     assert set(out[1].asDict()) == {"doc_id", "n_bytes", "width", "height", "format"}
+
+
+def test_phash_stub_deterministic_and_length_keyed():
+    assert M.phash_stub(b"hello") == M.phash_stub(b"xxxxx")  # same length
+    assert 0 <= M.phash_stub(b"hello") < (1 << M.PHASH_BITS)
+    assert M.phash_stub(b"hello") != M.phash_stub(b"hello!")
+
+
+def test_with_phash_matches_stub(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "defgh")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in M.with_phash(M.with_payload(df)).collect()}
+    assert out[1].phash == M.phash_stub(b"abc") and out[1].n_bytes == 3
+    assert out[2].phash == M.phash_stub(b"defgh")
+
+
+def test_phash_near_dup_band_recall(spark):
+    """Hamming <= 3 pairs are ALWAYS found (pigeonhole on 4x8 bands);
+    Hamming > max is dropped even when a band collides."""
+    base = 0b1010_1100_0011_0101_1111_0000_0110_1001
+    rows = [
+        (1, base),
+        (2, base),  # hamming 0
+        (3, base ^ 0b111),  # hamming 3, all flips in band 0
+        (4, base ^ (1 << 0) ^ (1 << 9) ^ (1 << 17)),  # 3 flips, 3 bands
+        (5, base ^ (1 << 0) ^ (1 << 9) ^ (1 << 17) ^ (1 << 25)),  # 4 flips
+        (6, ~base & 0xFFFFFFFF),  # complement: no shared band
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in M.phash_near_dup_pairs(df).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 3 and pairs[(1, 4)] == 3
+    assert (1, 5) not in pairs  # hamming 4 > max, despite band collision
+    assert (1, 6) not in pairs and (2, 3) in pairs
+
+
+def test_phash_real_with_pillow(spark):
+    """Real dHash path: an image and its lightly-noised copy land within
+    the Hamming threshold; a very different image does not."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    def png(pixels):
+        im = Image.new("L", (16, 8))
+        im.putdata(pixels)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    grad = [x * 16 for y in range(8) for x in range(16)]
+    noisy = [min(255, v + (i % 3)) for i, v in enumerate(grad)]
+    flat = [128] * (16 * 8)
+    a, b, c = M.phash_real(png(grad)), M.phash_real(png(noisy)), M.phash_real(png(flat))
+    assert bin(a ^ b).count("1") <= M.PHASH_MAX_HAMMING
+    assert a != c

@@ -168,3 +168,127 @@ def process_payloads(df_with_payload: DataFrame) -> DataFrame:
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         pipeline_batches, schema=PIPELINE_SCHEMA
     )
+
+
+# ---- perceptual-hash near-duplicate detection (dHash family) --------------
+
+#: perceptual-hash width; 4 bands of 8 bits guarantee exact recall at
+#: Hamming distance <= 3 (pigeonhole: 3 flipped bits leave >= 1 band
+#: intact)
+PHASH_BITS = 32
+PHASH_BANDS = 4
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
+PHASH_MAX_HAMMING = 3
+
+
+def phash_stub(payload: bytes) -> int:
+    """Deterministic fake perceptual hash: bit j derived arithmetically
+    from the byte length (stands in for dHash over the decoded,
+    32x32-resized grayscale — :func:`phash_real`). Identical payloads
+    hash identically (Hamming 0), so exact image copies are found; the
+    arithmetic form gives the whole distributed pipeline an exact SQL
+    oracle, the same contract as :func:`decode_stub`."""
+    n = len(payload)
+    h = 0
+    for j in range(PHASH_BITS):
+        if ((n * (2 * j + 3)) % 97) % 2:
+            h |= 1 << j
+    return h
+
+
+def phash_real(payload: bytes) -> int:
+    """Real 32-bit dHash via Pillow (Krawetz's difference hash, public
+    methodology): decode, resize to 9x4 grayscale, bit = left pixel
+    brighter than its right neighbour. Optional-dependency gate
+    mirrors :func:`decode_real`; exercised under importorskip where
+    Pillow exists."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container lacks PIL
+        raise NotImplementedError(
+            "phash_real needs the optional 'pillow' dependency "
+            "(pip install pillow); phash_stub is the hermetic default"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        g = im.convert("L").resize((9, 4))
+        px = g.load()
+        h = 0
+        for r in range(4):
+            for c in range(8):
+                if px[c, r] > px[c + 1, r]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+
+def with_phash(df_with_payload: DataFrame, hasher=phash_stub) -> DataFrame:
+    """Distributed perceptual hashing: decode -> resize -> hash per
+    payload inside ONE Arrow-batched mapInPandas stage (the real path
+    does all three in :func:`phash_real`; the stub derives the hash
+    from the bytes directly). Output: (doc_id, n_bytes, phash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "phash": [hasher(p) for p in pdf["payload"]],
+                }
+            )
+
+    return df_with_payload.select("doc_id", "payload").mapInPandas(
+        batches, schema="doc_id long, n_bytes long, phash long"
+    )
+
+
+def phash_near_dup_pairs(
+    df_with_phash: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Image near-duplicate pairs via Hamming-band blocking on the
+    perceptual hash (the SimHash band machinery applied to image
+    fingerprints — Manku et al. 2007): split the 32-bit hash into 4
+    8-bit bands, explode to (band slot, id, phash), self-join per band
+    bucket, score ``bit_count(xor)``. Candidate generation is linear in
+    |docs| x bands and recall is EXACT for Hamming <= 3 (pigeonhole on
+    the bands); the shuffle carries (id, 1 long), never payloads.
+
+    The phash relation comes out of a Python (Arrow) stage, so it is
+    localCheckpointed before the two join legs — without the barrier
+    the mapInPandas decode/hash stage re-runs per leg (the fan-out rule
+    every two-consumer relation in the tree follows).
+
+    Returns (id1, id2, hamming), id1 < id2.
+    """
+    keys = F.array(
+        *[
+            F.lit(b * (1 << PHASH_BAND_BITS))
+            + F.shiftright(F.col("phash"), b * PHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << PHASH_BAND_BITS) - 1)
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    banded = (
+        df_with_phash.select(id_col, "phash")
+        .localCheckpoint(eager=False)
+        .select(F.col(id_col), "phash", F.explode(keys).alias("bkey"))
+    )
+    left = banded.select(
+        "bkey", F.col(id_col).alias("id1"), F.col("phash").alias("ph1")
+    )
+    right = banded.select(
+        "bkey", F.col(id_col).alias("id2"), F.col("phash").alias("ph2")
+    )
+    hamming = F.bit_count(F.col("ph1").bitwiseXOR(F.col("ph2")))
+    return (
+        left.join(right, "bkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "ph1", "ph2")
+        .dropDuplicates(["id1", "id2"])
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tower_parse_spark.operators import multimodal as M
 from tower_parse_spark.operators import semdedup as SD
 from tower_parse_spark.operators import urls as U
 from tower_parse_spark.queries import Query
@@ -228,6 +229,57 @@ ORDER BY e.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Multimodal perceptual-hash near-dup
+# ---------------------------------------------------------------------------
+
+
+def multimodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the multimodal payload table
+    (documents ∪ exact copies, so every payload has a planted Hamming-0
+    partner): Arrow-batched perceptual hashing then Hamming-band
+    blocked pair generation (operators/multimodal.py::with_phash /
+    phash_near_dup_pairs). The stub hasher is arithmetic on the byte
+    length, so the full distributed pipeline — mapInPandas stage, band
+    explode, bucket self-join, bit_count scoring — has an exact SQL
+    twin; the Pillow dHash path swaps in behind the same contract."""
+    from tower_parse_spark.queries.llm import _docs_with_copies
+
+    ph = M.with_phash(M.with_payload(_docs_with_copies(spark, sf_dir)))
+    return M.phash_near_dup_pairs(ph).orderBy("id1", "id2")
+
+
+def _multimodal_near_dup_oracle() -> str:
+    from tower_parse_spark.queries.llm import _DOCS_WITH_COPIES_SQL
+
+    mask = (1 << M.PHASH_BAND_BITS) - 1
+    bands = ", ".join(str(b) for b in range(M.PHASH_BANDS))
+    return f"""
+WITH {_DOCS_WITH_COPIES_SQL},
+ph AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {M.PHASH_BITS}),
+              j -> (((octet_length(encode(text)) * (2*j + 3)) % 97) % 2)
+                   * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS phash
+  FROM docs2
+), banded AS (
+  SELECT doc_id, phash,
+         b * {1 << M.PHASH_BAND_BITS} +
+         ((phash >> (b * {M.PHASH_BAND_BITS})) & {mask}) AS bkey
+  FROM ph CROSS JOIN (SELECT unnest([{bands}]) AS b) t
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         l.phash AS ph1, r.phash AS ph2
+  FROM banded l JOIN banded r USING (bkey)
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(ph1, ph2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ph1, ph2)) <= {M.PHASH_MAX_HAMMING}
+ORDER BY id1, id2
+"""
+
+
 QUERIES = {
     "domain_curation": Query(
         domain_curation,
@@ -238,5 +290,10 @@ QUERIES = {
         semantic_dedup,
         _semantic_dedup_oracle(),
         "SemDeDup: within-cluster cosine pruning, centroid-nearest kept",
+    ),
+    "multimodal_near_dup": Query(
+        multimodal_near_dup,
+        _multimodal_near_dup_oracle(),
+        "perceptual-hash image near-dup via Hamming-band blocking",
     ),
 }
