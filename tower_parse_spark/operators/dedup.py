@@ -321,6 +321,26 @@ def incremental_minhash_dedup(
     column (written by :func:`build_minhash_index`); this function
     validates it and raises on mismatch.
     """
+    verdicts, _ = incremental_minhash_dedup_with_banded(
+        new_df, index, id_col, text_col, threshold, hash_fn
+    )
+    return verdicts
+
+
+def incremental_minhash_dedup_with_banded(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_fn: str = "fast",
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`incremental_minhash_dedup` plus the batch's own banded
+    relation as a second return. The banding is the expensive half of
+    the probe (shingle + K-fold minhash, localCheckpointed); a caller
+    that must immediately index the surviving rows — the streaming
+    loop's every epoch — filters THIS relation to survivor ids instead
+    of re-shingling the documents a second time."""
     if "hash_fn" in index.columns:
         fam_row = index.select("hash_fn").first()
         if fam_row is not None and fam_row["hash_fn"] != hash_fn:
@@ -363,7 +383,7 @@ def incremental_minhash_dedup(
         .distinct()
         .withColumn("in_batch_dup", F.lit(True))
     )
-    return (
+    verdicts = (
         new_df.select(id_col)
         .join(
             F.broadcast(hits.withColumnRenamed("_nid", id_col)),
@@ -387,6 +407,7 @@ def incremental_minhash_dedup(
             ),
         )
     )
+    return verdicts, batch_banded
 
 
 def append_minhash_index(

@@ -338,6 +338,197 @@ ORDER BY wstart
 """
 
 
+N_ND_BATCHES = 3
+ND_THRESHOLD = 0.5
+
+
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup with a full value-level oracle: replay
+    an augmented document corpus as 3 micro-batches keyed by
+    ``doc_id % 3`` through the foreachBatch MinHash loop
+    (streaming/neardup.py) — per batch, probe the banded-signature
+    index built from EARLIER batches' survivors, then index this
+    batch's survivors.
+
+    The augmentation plants every cross-batch dynamic the operator
+    must handle (batch of an id = id % 3; the shift constants are
+    chosen mod 3 to steer each copy's batch):
+
+    - ``d + 3_000_000`` exact copies of ``d % 30 == 0`` docs land in
+      the SAME batch as their original -> ``in_batch_dup``;
+    - ``d + 1_000_000`` reworded copies (' leaked copy' appended) of
+      ``d % 3 == 0`` docs land ONE batch later -> near-dup hits
+      (est < 1) against the just-indexed originals;
+    - ``d + 2_000_000`` exact copies of ``d % 15 == 0`` docs land TWO
+      batches later -> est = 1.0 hits against an index that has
+      meanwhile also rejected (and must NOT have indexed) the batch-1
+      reworded copies.
+
+    Batch assignment is a pure row function, so the DuckDB twin
+    reproduces the sequential survivor/index evolution with three
+    explicit CTE stages. hash_fn='portable' for signature parity.
+    """
+    from tower_parse_spark.session import load_table
+    from tower_parse_spark.streaming import neardup as ND
+
+    d = F.col("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    aug = (
+        docs.unionAll(
+            docs.filter(d % 3 == 0).select(
+                (d + 1_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" leaked copy")).alias("text"),
+            )
+        )
+        .unionAll(
+            docs.filter(d % 15 == 0).select(
+                (d + 2_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            docs.filter(d % 30 == 0).select(
+                (d + 3_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="tps_nd_")
+    spool = os.path.join(tmp, "in")
+    os.makedirs(spool)
+    try:
+        t0 = time.time() - N_ND_BATCHES - 10
+        raw = os.path.join(tmp, "raw")
+        (
+            aug.select(
+                (F.col("doc_id") % N_ND_BATCHES).alias("b"),
+                F.format_string(
+                    "%d %s", F.col("doc_id"), F.col("text")
+                ).alias("value"),
+            )
+            .repartition(N_ND_BATCHES, "b")
+            .write.partitionBy("b")
+            .text(raw)
+        )
+        for i in range(N_ND_BATCHES):
+            parts = sorted(glob.glob(os.path.join(raw, f"b={i}", "part-*")))
+            dst = os.path.join(spool, f"b{i:02d}.txt")
+            if parts:
+                with open(dst, "wb") as out_f:
+                    for p in parts:
+                        with open(p, "rb") as in_f:
+                            shutil.copyfileobj(in_f, out_f)
+            else:
+                open(dst, "w").close()
+            os.utime(dst, (t0 + i, t0 + i))
+        src = spark.readStream.option("maxFilesPerTrigger", "1").text(spool)
+        sp = F.split(F.col("value"), " ", 2)
+        stream = src.select(
+            sp[0].try_cast("long").alias("doc_id"), sp[1].alias("text")
+        )
+        with _scoped_shuffle_partitions(spark, N_STREAM_STATE_PARTS):
+            q = ND.stream_minhash_dedup(
+                stream,
+                os.path.join(tmp, "idx"),
+                os.path.join(tmp, "verdicts"),
+                os.path.join(tmp, "ckpt"),
+                threshold=ND_THRESHOLD,
+                hash_fn="portable",
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        out = (
+            spark.read.option(
+                "basePath", os.path.join(tmp, "verdicts")
+            )
+            .parquet(os.path.join(tmp, "verdicts"))
+            .select(
+                "doc_id",
+                F.col("batch").cast("int").alias("batch"),
+                "n_hist_matches",
+                "max_est_jaccard",
+                "is_dup",
+                "in_batch_dup",
+            )
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _streaming_minhash_oracle() -> str:
+    from tower_parse_spark.queries.llm import (
+        _EST_JACCARD_SQL,
+        _sig_banded_ctes,
+    )
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' leaked copy' AS text
+  FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text
+  FROM documents WHERE doc_id % 15 = 0 AND text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, text
+  FROM documents WHERE doc_id % 30 = 0 AND text IS NOT NULL
+), {_sig_banded_ctes("aug", "s")},
+ab AS (
+  SELECT doc_id, doc_id % {N_ND_BATCHES} AS b FROM aug
+), cand AS (
+  SELECT DISTINCT l.doc_id AS x, r.doc_id AS y, l.mh AS mh1, r.mh AS mh2
+  FROM s_banded l JOIN s_banded r USING (band_key)
+  WHERE l.doc_id <> r.doc_id
+), hits AS (
+  SELECT x, y, est FROM (
+    SELECT x, y, {_EST_JACCARD_SQL} AS est FROM cand
+  ) WHERE est >= {ND_THRESHOLD}
+), hb AS (
+  SELECT h.x, h.y, h.est, ax.b AS bx, ay.b AS byy
+  FROM hits h
+  JOIN ab ax ON ax.doc_id = h.x
+  JOIN ab ay ON ay.doc_id = h.y
+), ib AS (
+  -- in-batch dup: a same-batch, lower-id near-match (the min-id rule)
+  SELECT DISTINCT y AS d FROM hb WHERE bx = byy AND x < y
+), s0 AS (
+  SELECT doc_id FROM ab WHERE b = 0
+    AND doc_id NOT IN (SELECT d FROM ib)
+), d1 AS (
+  SELECT y AS d, count(*) AS n, max(est) AS m FROM hb
+  WHERE byy = 1 AND bx = 0 AND x IN (SELECT doc_id FROM s0)
+  GROUP BY y
+), s1 AS (
+  SELECT doc_id FROM ab WHERE b = 1
+    AND doc_id NOT IN (SELECT d FROM ib)
+    AND doc_id NOT IN (SELECT d FROM d1)
+), d2 AS (
+  SELECT y AS d, count(*) AS n, max(est) AS m FROM hb
+  WHERE byy = 2 AND (
+    (bx = 0 AND x IN (SELECT doc_id FROM s0))
+    OR (bx = 1 AND x IN (SELECT doc_id FROM s1)))
+  GROUP BY y
+), hist AS (
+  SELECT d, n, m FROM d1 UNION ALL SELECT d, n, m FROM d2
+)
+SELECT a.doc_id,
+       CAST(a.b AS INT) AS batch,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hist_matches,
+       round(coalesce(h.m, 0.0), 4) AS max_est_jaccard,
+       coalesce(h.n, 0) > 0 AS is_dup,
+       a.doc_id IN (SELECT d FROM ib) AS in_batch_dup
+FROM ab a LEFT JOIN hist h ON a.doc_id = h.d
+ORDER BY a.doc_id
+"""
+
+
 def streaming_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 generator parity via its deterministic batch twin (the rate
     source applies the same template to the same sequence numbers)."""
@@ -372,5 +563,10 @@ QUERIES = {
         streaming_generator,
         STREAMING_GENERATOR_ORACLE,
         "A5 synthetic generator (batch twin of the rate source)",
+    ),
+    "streaming_minhash_dedup": Query(
+        streaming_minhash_dedup,
+        _streaming_minhash_oracle(),
+        "streaming near-dup dedup via the incremental signature index",
     ),
 }
