@@ -98,12 +98,44 @@ HEADLINE = [
     "text_repetition",
     "text_tfidf_topterms",
     "quality_filter_funnel",
+    "domain_curation",
+    "semantic_dedup",
+    "multimodal_near_dup",
+    "streaming_minhash_dedup",
 ]
 
 
 def materialize(df) -> None:
     """Execute the full plan distributed-side; no rows cross to the driver."""
     df.write.format("noop").mode("overwrite").save()
+
+
+#: driver stdout tail keeps ~2 kB and parses the final line; the compact
+#: line must stay under this no matter how the registry grows
+COMPACT_LINE_BUDGET = 1900
+
+
+def compact_line(times: dict[str, float], total: float, sf: float) -> str:
+    """The driver-contract line: {"metric","value","unit","queries","sf"}.
+    When the full per-query dict would overflow the driver's ~2 kB tail
+    capture (the r5 artifact loss), degrade to the slowest 40 queries
+    plus a ``queries_truncated`` marker — the headline total stays
+    exact. Unit-tested against a 100+-query registry so growth can't
+    silently break the contract again (VERDICT r6 item 7)."""
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_LINE_BUDGET:
+        worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
+        compact["queries"] = worst
+        compact["queries_truncated"] = len(times) - len(worst)
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
 
 
 def main() -> int:
@@ -188,22 +220,7 @@ def main() -> int:
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
-    compact = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        # never overflow the driver tail again: degrade to the slowest
-        # queries only, keeping the headline total exact
-        worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
-        compact["queries"] = worst
-        compact["queries_truncated"] = len(times) - len(worst)
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(times, total, sf))
     return 0
 
 
