@@ -161,6 +161,46 @@ def main() -> int:
             rerank=10 * K,
         ),
     )
+    # Semantic dedup (r7): within-cell cosine pruning at the production
+    # quantizer. The scale guarantee is the CANDIDATE-BLOCK profile:
+    # pairwise work is sum over (cell, sign-bucket) blocks of
+    # C(size, 2), never corpus-pairwise — and the knob is the cluster
+    # count (k ~ n / target_cell_size). The synthetic corpus is the
+    # adversarial shape for this: its 32 tight clusters are exactly the
+    # "everything in the cell is a near-dup" case, so the block profile
+    # here is an upper bound, not a typical case. Run on a 10% slice —
+    # the point is the per-block counts, not wall time at 100k.
+    from tower_parse_spark.operators import semdedup as SD
+    from tower_parse_spark.operators.similarity import bucket_expr
+
+    sd_corpus = corpus_df(spark, n // 10).localCheckpoint(eager=True)
+    t0 = time.time()
+    sd = SD.semantic_dedup_flags(
+        sd_corpus, dim=DIM, centroids=cents32, threshold=0.95
+    )
+    out["semdedup32_flagged"] = sd.filter("is_semdup").count()
+    out["semdedup32_sec"] = round(time.time() - t0, 2)
+    blocks = (
+        S.assign_cells(
+            sd_corpus.select(F.col("embedding").alias("v")),
+            "v",
+            cents32,
+            out="cell",
+        )
+        .select("cell", bucket_expr(F.col("v"), DIM).alias("blk"))
+        .groupBy("cell", "blk")
+        .count()
+    )
+    prof = blocks.agg(
+        F.count(F.lit(1)).alias("blocks"),
+        F.max("count").alias("max_block"),
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("cand_pairs"),
+    ).first()
+    out["semdedup32_n_rows"] = n // 10
+    out["semdedup32_blocks"] = int(prof["blocks"])
+    out["semdedup32_max_block"] = int(prof["max_block"])
+    out["semdedup32_cand_pairs"] = int(prof["cand_pairs"])
+
     print(
         json.dumps(
             {
