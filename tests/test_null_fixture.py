@@ -35,6 +35,7 @@ EMBEDDING_QUERIES = [
     "ann_ivfpq_topk",
     "dedup_embedding_cosine",
     "embedding_cluster_stats",
+    "semantic_dedup",  # r7: NULL/empty/zero vectors kept but never paired
 ]
 
 
@@ -114,6 +115,10 @@ DOCS_QUERIES = [
     "doc_chunking",
     "sequence_packing",
     "training_data_pipeline",
+    # r7: NULL-source URLs / NULL payload hashes / NULL-text stream rows
+    "domain_curation",
+    "multimodal_near_dup",
+    "streaming_minhash_dedup",
 ]
 
 

@@ -229,12 +229,21 @@ def with_phash(df_with_payload: DataFrame, hasher=phash_stub) -> DataFrame:
     from the bytes directly). Output: (doc_id, n_bytes, phash)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads (e.g. a NULL text encoded to a NULL binary) hash
+        # to NULL instead of crashing the worker; their band keys are
+        # NULL downstream and never join — the same drop the SQL twin's
+        # NULL propagation produces
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "phash": [hasher(p) for p in pdf["payload"]],
+                    "n_bytes": [
+                        None if p is None else len(p) for p in pdf["payload"]
+                    ],
+                    "phash": [
+                        None if p is None else hasher(p)
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
