@@ -98,3 +98,65 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     assert len(read.collect()) == 200
     scan = read._jdf.queryExecution().executedPlan().collectLeaves().head()
     assert scan.metrics().apply("numPartitions").value() == 1
+
+
+def test_semantic_dedup_block_keys_non_nullable(spark):
+    """The (cell, blk) equi-join keys must stay non-nullable: a nullable
+    key re-inlines the staged scoring fold below the inferred IsNotNull
+    (the r5 pushdown disease). Also: no nested-loop join anywhere."""
+    from tower_parse_spark.queries.curation import semantic_dedup
+
+    df = semantic_dedup(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    from pyspark.sql import functions as F
+
+    from tower_parse_spark.operators.semdedup import semantic_dedup_flags
+    from tower_parse_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    staged = semantic_dedup_flags(emb, dim=64)
+    cell_field = dict(
+        (f.name, f) for f in staged.schema.fields
+    )["cell"]
+    assert not cell_field.nullable
+
+
+def test_multimodal_near_dup_single_arrow_stage(spark):
+    """Exactly ONE Python stage (the Arrow phash mapInPandas) in the
+    whole pair pipeline — the band explode and bucket join must not
+    drag extra Python stages in, and no per-row Python exists."""
+    from tower_parse_spark.queries.curation import multimodal_near_dup
+
+    plan = plan_of(multimodal_near_dup(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    # the checkpointed phash relation hides its MapInPandas behind the
+    # RDD scan, so count Python stages in the pre-checkpoint plan
+    from tower_parse_spark.operators import multimodal as M
+    from tower_parse_spark.session import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    ph_plan = plan_of(M.with_phash(M.with_payload(docs)))
+    assert ph_plan.count("MapInPandas") == 1
+
+
+def test_streaming_index_probe_partition_prunes(spark, tmp_path):
+    """The epoch-N probe must read only batch < N partitions of the
+    index — the PartitionFilters line is the exactly-once guarantee's
+    other half (a replayed epoch never sees its own partial write)."""
+    from pyspark.sql import functions as F
+
+    from tower_parse_spark.streaming import neardup as ND
+
+    idx, ver = str(tmp_path / "idx"), str(tmp_path / "ver")
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    ND.process_epoch(b0, 0, idx, ver)
+    probe_view = ND._read_index(spark, idx, before_batch=1)
+    plan = plan_of(probe_view)
+    assert "PartitionFilters" in plan and "batch" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
