@@ -115,18 +115,22 @@ def curate_urls(
        becomes a broadcast left-semi join, same plan shape);
     4. per-domain cap — among rows surviving 2–3, ``over_cap`` when the
        row ranks past *domain_cap* within its domain (rank by *id_col*,
-       deterministic). The window input is survivors only; for domains
-       expected orders of magnitude over the cap, pre-filter with a
-       domain-count aggregate so under-cap domains (the vast majority)
-       bypass the window entirely.
+       deterministic). The rank window is COUNT-PREFILTERED: a
+       map-side-combinable per-domain count first identifies the
+       over-cap domains, and only THEIR rows enter the sort-based
+       window — on a real web corpus the vast majority of domains sit
+       under the cap and bypass the sort entirely, and a pathologically
+       hot domain is confined to its own (AQE-splittable) partition of
+       a much smaller relation.
 
     ``kept`` = passed every stage. Returns one row per input row with
     (id, canon_url, domain, is_url_dup, blocked, over_cap, kept).
 
-    The canonical relation feeds two consumers (the survivor agg and
-    the join-back), so it is localCheckpointed — the regexp projection
-    runs once per row, not once per consumer (the passage_dedup
-    fan-out rule).
+    Fan-out barriers (the passage_dedup rule): the canonical relation
+    feeds the survivor agg and the join-back; the flagged relation
+    feeds the domain counts, the window leg and the final output — each
+    is localCheckpointed so its upstream work runs once per row, not
+    once per consumer.
     """
     url = F.col(url_col)
     canon = (
@@ -140,38 +144,45 @@ def curate_urls(
     keepers = canon.groupBy("canon_url").agg(
         F.min(id_col).alias("_keep_id")
     )
-    flagged = canon.join(keepers, "canon_url").select(
-        F.col(id_col),
-        "canon_url",
-        "domain",
-        (F.col(id_col) != F.col("_keep_id")).alias("is_url_dup"),
-        F.col("domain").isin(*blocklist).alias("blocked")
-        if blocklist
-        else F.lit(False).alias("blocked"),
-    )
-    surv_rank = (
-        flagged.filter(~F.col("is_url_dup") & ~F.col("blocked"))
-        .withColumn(
-            "_rnk",
-            F.row_number().over(
-                W.partitionBy("domain").orderBy(id_col)
-            ),
-        )
-        .select(id_col, "_rnk")
-    )
-    return (
-        flagged.join(surv_rank, id_col, "left")
+    flagged = (
+        canon.join(keepers, "canon_url")
         .select(
             F.col(id_col),
             "canon_url",
             "domain",
-            "is_url_dup",
-            "blocked",
-            F.coalesce(F.col("_rnk") > domain_cap, F.lit(False)).alias(
-                "over_cap"
-            ),
-            F.coalesce(F.col("_rnk") <= domain_cap, F.lit(False)).alias(
-                "kept"
-            ),
+            (F.col(id_col) != F.col("_keep_id")).alias("is_url_dup"),
+            F.col("domain").isin(*blocklist).alias("blocked")
+            if blocklist
+            else F.lit(False).alias("blocked"),
         )
+        .localCheckpoint(eager=False)
+    )
+    surv = flagged.filter(~F.col("is_url_dup") & ~F.col("blocked"))
+    over_cap_domains = (
+        surv.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("_dn"))
+        .filter(F.col("_dn") > domain_cap)
+        .select("domain")
+    )
+    # only over-cap domains pay the rank sort; a row absent from this
+    # relation is a survivor in an under-cap domain (kept by definition)
+    capped = (
+        surv.join(over_cap_domains, "domain")
+        .withColumn(
+            "_rnk",
+            F.row_number().over(W.partitionBy("domain").orderBy(id_col)),
+        )
+        .filter(F.col("_rnk") > domain_cap)
+        .select(id_col, F.lit(True).alias("_over"))
+    )
+    survived = ~F.col("is_url_dup") & ~F.col("blocked")
+    over = F.coalesce(F.col("_over"), F.lit(False))
+    return flagged.join(capped, id_col, "left").select(
+        F.col(id_col),
+        "canon_url",
+        "domain",
+        "is_url_dup",
+        "blocked",
+        (survived & over).alias("over_cap"),
+        (survived & ~over).alias("kept"),
     )
