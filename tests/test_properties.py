@@ -244,3 +244,74 @@ def test_fuzzy_decontam_flags_every_exact_copy(spark, texts):
             assert out[i].contaminated and out[i].max_est_jaccard == 1.0
         else:
             assert not out[i].contaminated
+
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ09-._~%", min_size=0, max_size=8
+)
+
+
+@given(
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTTpS"]),
+    host=st.sampled_from(
+        ["A.example.COM", "www.E.org", "cdn.x.NET:443", "h.io:8080", "e.com:80"]
+    ),
+    path=st.lists(_URL_CHARS, max_size=3),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "B=Zz", "utm_source=x", "utm_medium=y", "fbclid=q",
+             "gclid=g", "ref=hn", "q=%20x"]
+        ),
+        max_size=4,
+    ),
+    fragment=st.sampled_from(["", "#frag", "#a?b&c"]),
+)
+@settings(**SETTINGS)
+def test_canonical_url_idempotent(spark, scheme, host, path, params, fragment):
+    """Canonicalization is IDEMPOTENT on its own output — the invariant
+    that makes URL dedup stable when a pipeline re-canonicalizes
+    already-clean URLs (e.g. a recrawl merging with a cleaned corpus).
+    Also: the canonical form never contains a fragment or a tracking
+    parameter."""
+    from tower_parse_spark.operators.urls import canonical_url
+
+    url = (
+        scheme + "://" + host + "".join("/" + p for p in path)
+        + ("?" + "&".join(params) if params else "")
+        + fragment
+    )
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(canonical_url(F.col("url")).alias("c"))
+    row = once.select(
+        "c", canonical_url(F.col("c")).alias("cc")
+    ).first()
+    assert row["c"] == row["cc"]
+    assert "#" not in row["c"]
+    assert "utm_" not in row["c"] and "fbclid" not in row["c"]
+
+
+@given(
+    n_vecs=st.integers(2, 14),
+    threshold=st.sampled_from([0.8, 0.9, 0.95]),
+)
+@settings(**SETTINGS)
+def test_semantic_dedup_partition_invariants(spark, n_vecs, threshold):
+    """Every input vector appears exactly once in the verdicts; keep and
+    is_semdup are complementary; at least one member of every cell
+    survives (the centroid-nearest can never be beaten)."""
+    from tower_parse_spark.operators.semdedup import semantic_dedup_flags
+
+    dim = 8
+    rows = [
+        (i, [float((i * 13 + j * 7) % 9 - 4 + (i % 3)) for j in range(dim)])
+        for i in range(n_vecs)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_flags(df, dim=dim, threshold=threshold).collect()
+    assert sorted(r.vec_id for r in out) == list(range(n_vecs))
+    assert all(r.keep != r.is_semdup for r in out)
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        assert any(m.keep for m in members), f"cell {cell} fully dropped"
