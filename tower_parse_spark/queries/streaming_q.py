@@ -480,32 +480,38 @@ WITH aug AS (
   SELECT doc_id + 3000000 AS doc_id, text
   FROM documents WHERE doc_id % 30 = 0 AND text IS NOT NULL
 ), {_sig_banded_ctes("aug", "s")},
-ab AS (
+-- MATERIALIZED: every relation below is referenced 2-4 times by the
+-- sequential batch stages; DuckDB inlines plain CTEs per reference,
+-- which re-ran the whole tokenize+md5+minhash chain combinatorially
+-- (measured 30.5 s -> ~2 s at sf0.01 with the hints)
+sb AS MATERIALIZED (
+  SELECT band_key, doc_id, mh FROM s_banded
+), ab AS MATERIALIZED (
   SELECT doc_id, doc_id % {N_ND_BATCHES} AS b FROM aug
 ), cand AS (
   SELECT DISTINCT l.doc_id AS x, r.doc_id AS y, l.mh AS mh1, r.mh AS mh2
-  FROM s_banded l JOIN s_banded r USING (band_key)
+  FROM sb l JOIN sb r USING (band_key)
   WHERE l.doc_id <> r.doc_id
-), hits AS (
-  SELECT x, y, est FROM (
-    SELECT x, y, {_EST_JACCARD_SQL} AS est FROM cand
-  ) WHERE est >= {ND_THRESHOLD}
-), hb AS (
+), hb AS MATERIALIZED (
   SELECT h.x, h.y, h.est, ax.b AS bx, ay.b AS byy
-  FROM hits h
+  FROM (
+    SELECT x, y, est FROM (
+      SELECT x, y, {_EST_JACCARD_SQL} AS est FROM cand
+    ) WHERE est >= {ND_THRESHOLD}
+  ) h
   JOIN ab ax ON ax.doc_id = h.x
   JOIN ab ay ON ay.doc_id = h.y
-), ib AS (
+), ib AS MATERIALIZED (
   -- in-batch dup: a same-batch, lower-id near-match (the min-id rule)
   SELECT DISTINCT y AS d FROM hb WHERE bx = byy AND x < y
-), s0 AS (
+), s0 AS MATERIALIZED (
   SELECT doc_id FROM ab WHERE b = 0
     AND doc_id NOT IN (SELECT d FROM ib)
-), d1 AS (
+), d1 AS MATERIALIZED (
   SELECT y AS d, count(*) AS n, max(est) AS m FROM hb
   WHERE byy = 1 AND bx = 0 AND x IN (SELECT doc_id FROM s0)
   GROUP BY y
-), s1 AS (
+), s1 AS MATERIALIZED (
   SELECT doc_id FROM ab WHERE b = 1
     AND doc_id NOT IN (SELECT d FROM ib)
     AND doc_id NOT IN (SELECT d FROM d1)
