@@ -125,3 +125,13 @@ def test_phash_real_with_pillow(spark):
     a, b, c = M.phash_real(png(grad)), M.phash_real(png(noisy)), M.phash_real(png(flat))
     assert bin(a ^ b).count("1") <= M.PHASH_MAX_HAMMING
     assert a != c
+
+
+def test_phash_vectorized_matches_scalar():
+    lens = [0, 1, 5, 97, 98, 1000, None, 31, 64]
+    vec = M._phash_stub_vectorized(lens)
+    for ln, v in zip(lens, vec):
+        if ln is None:
+            assert v is None
+        else:
+            assert v == M.phash_stub(b"x" * ln)

@@ -205,10 +205,106 @@ def main() -> int:
         )
         mh_probe_sec = round(time.time() - t0, 2)
 
+    # URL curation at scale (r7): 5M synthetic URLs over 50k domains
+    # with a 10x canonical-duplication factor, mixed-case schemes/hosts,
+    # default ports and tracking params. Everything but the cap rank is
+    # row-local or a hash agg; the count-prefilter keeps the rank window
+    # on over-cap domains only.
+    from tower_parse_spark.operators.urls import curate_urls
+
+    n_urls = 5_000_000
+    r = spark.range(0, n_urls, 1, 64)
+    uid = F.col("id")
+    k = uid % 500_000
+    host = F.concat(
+        F.lit("www.d"), (k % 50_000).cast("string"), F.lit(".example.com")
+    )
+    url = F.concat(
+        F.when(uid % 3 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(uid % 4 == 1, F.upper(host)).otherwise(host),
+        F.when(uid % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        k.cast("string"),
+        F.when(
+            uid % 3 == 2, F.concat(F.lit("/u"), uid.cast("string"))
+        ).otherwise(F.lit("")),
+        F.lit("?q=1"),
+        F.when(
+            uid % 3 == 1, F.lit("&utm_source=feed&fbclid=x")
+        ).otherwise(F.lit("")),
+    )
+    urls = r.select(uid.alias("id"), url.alias("url")).localCheckpoint(
+        eager=True
+    )
+    t0 = time.time()
+    cur = curate_urls(
+        urls, id_col="id", blocklist=("d7.example.com",), domain_cap=20
+    )
+    stats = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_url_dup").cast("long")).alias("dups"),
+        F.sum(F.col("blocked").cast("long")).alias("blocked"),
+        F.sum(F.col("over_cap").cast("long")).alias("over"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+    ).first()
+    url_sec = round(time.time() - t0, 2)
+    # self-checks: row preservation, and the blocklist hits exactly the
+    # k % 50000 == 7 groups (10 k-groups x 10 ids)
+    assert stats["n"] == n_urls, stats
+    assert stats["blocked"] == 100, stats
+
+    # Perceptual-hash near-dup at scale (r7): 500k payloads through the
+    # Arrow hashing stage, then the Hamming-band bucket join at the
+    # CORPUS-SCALE configuration — 64-bit hashes, 4x16-bit bands (the
+    # default 32/4 fixture bands saturate their 256 slot values past
+    # ~100k docs; see phash_near_dup_pairs). The oracle stub spreads
+    # only 97 hash classes (n % 97 arithmetic — a fixture artifact), so
+    # the smoke hashes CONTENT (md5-derived 64-bit) as a real dHash
+    # distribution stand-in; every id % 250000 value appears twice, so
+    # ground truth is exactly 250k Hamming-0 pairs — self-checked.
+    import hashlib
+
+    from tower_parse_spark.operators import multimodal as MM
+
+    def spread64(p: bytes) -> int:
+        return MM._signed64(
+            int.from_bytes(hashlib.md5(p).digest()[:8], "big")
+        )
+
+    n_pay = 500_000
+    pay = spark.range(0, n_pay, 1, 64).select(
+        F.col("id").alias("doc_id"),
+        F.encode(
+            F.concat(F.lit("img-"), (F.col("id") % 250_000).cast("string")),
+            "utf-8",
+        ).alias("payload"),
+    )
+    t0 = time.time()
+    ph = MM.with_phash(pay, hasher=spread64).localCheckpoint(eager=True)
+    phash_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    n_pairs_ph = MM.phash_near_dup_pairs(
+        ph, max_hamming=0, bits=64, bands=4
+    ).count()
+    phash_join_sec = round(time.time() - t0, 2)
+    assert n_pairs_ph == 250_000, n_pairs_ph
+
     print(
         json.dumps(
             {
                 "rows": n,
+                "url_rows": n_urls,
+                "url_curation_sec": url_sec,
+                "url_rows_per_sec": int(n_urls / url_sec),
+                "url_dups": int(stats["dups"]),
+                "url_kept": int(stats["kept"]),
+                "url_over_cap": int(stats["over"]),
+                "phash_rows": n_pay,
+                "phash_stage_sec": phash_sec,
+                "phash_rows_per_sec": int(n_pay / phash_sec),
+                "phash_join_sec": phash_join_sec,
+                "phash_h0_pairs": n_pairs_ph,
                 "extract_packed_sec": one_pass,
                 "extract_n_pass_sec": n_pass,
                 "extract_dispatched_sec": dispatched,

@@ -172,16 +172,28 @@ def process_payloads(df_with_payload: DataFrame) -> DataFrame:
 
 # ---- perceptual-hash near-duplicate detection (dHash family) --------------
 
-#: perceptual-hash width; 4 bands of 8 bits guarantee exact recall at
-#: Hamming distance <= 3 (pigeonhole: 3 flipped bits leave >= 1 band
-#: intact)
+#: perceptual-hash width; 4 bands guarantee exact recall at Hamming
+#: distance <= 3 (pigeonhole: 3 flipped bits leave >= 1 band intact).
+#: 32 bits / 8-bit bands is the oracle-checked fixture configuration;
+#: band BUCKETS number bands x 2^band_bits, so at corpus scale the
+#: band width must grow with n or buckets saturate into a candidate
+#: blowup (256 slot values hold ~n/256 docs each at 8 bits) — the
+#: 100 TB deployment is 64-bit hashes with 16-bit bands (65k slot
+#: values per band), exercised by tools/scale_smoke.py at 2M payloads.
 PHASH_BITS = 32
 PHASH_BANDS = 4
 PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS
 PHASH_MAX_HAMMING = 3
 
 
-def phash_stub(payload: bytes) -> int:
+def _signed64(h: int) -> int:
+    """Wrap an unsigned bit pattern into the signed int64 Spark longs
+    carry (bit 63 set -> negative); band extraction and bit_count(xor)
+    are sign-agnostic on both engines."""
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
+def phash_stub(payload: bytes, bits: int = PHASH_BITS) -> int:
     """Deterministic fake perceptual hash: bit j derived arithmetically
     from the byte length (stands in for dHash over the decoded,
     32x32-resized grayscale — :func:`phash_real`). Identical payloads
@@ -190,10 +202,10 @@ def phash_stub(payload: bytes) -> int:
     oracle, the same contract as :func:`decode_stub`."""
     n = len(payload)
     h = 0
-    for j in range(PHASH_BITS):
+    for j in range(bits):
         if ((n * (2 * j + 3)) % 97) % 2:
             h |= 1 << j
-    return h
+    return _signed64(h)
 
 
 def phash_real(payload: bytes) -> int:
@@ -222,11 +234,30 @@ def phash_real(payload: bytes) -> int:
         return h
 
 
-def with_phash(df_with_payload: DataFrame, hasher=phash_stub) -> DataFrame:
+def _phash_stub_vectorized(lens, bits: int = PHASH_BITS) -> list:
+    """The stub arithmetic over a WHOLE Arrow batch of byte lengths in
+    one numpy expression — bit-identical to per-row :func:`phash_stub`
+    (asserted in tests; int64 shifts wrap bit 63 into the sign exactly
+    like :func:`_signed64`), and what makes the stub path measure the
+    distributed plumbing instead of a Python inner loop. None lengths
+    (NULL payloads) pass through as None."""
+    import numpy as np
+
+    ln = np.array([0 if v is None else v for v in lens], dtype=np.int64)
+    j = np.arange(bits, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        h = ((((ln[:, None] * (2 * j + 3)) % 97) % 2) << j).sum(axis=1)
+    return [None if v is None else int(x) for v, x in zip(lens, h)]
+
+
+def with_phash(
+    df_with_payload: DataFrame, hasher=phash_stub, bits: int = PHASH_BITS
+) -> DataFrame:
     """Distributed perceptual hashing: decode -> resize -> hash per
     payload inside ONE Arrow-batched mapInPandas stage (the real path
     does all three in :func:`phash_real`; the stub derives the hash
-    from the bytes directly). Output: (doc_id, n_bytes, phash)."""
+    from the bytes directly — vectorized across the batch). Output:
+    (doc_id, n_bytes, phash)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NULL payloads (e.g. a NULL text encoded to a NULL binary) hash
@@ -234,16 +265,21 @@ def with_phash(df_with_payload: DataFrame, hasher=phash_stub) -> DataFrame:
         # NULL downstream and never join — the same drop the SQL twin's
         # NULL propagation produces
         for pdf in it:
+            lens = [
+                None if p is None else len(p) for p in pdf["payload"]
+            ]
+            if hasher is phash_stub:
+                ph = _phash_stub_vectorized(lens, bits)
+            else:
+                ph = [
+                    None if p is None else hasher(p)
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [
-                        None if p is None else len(p) for p in pdf["payload"]
-                    ],
-                    "phash": [
-                        None if p is None else hasher(p)
-                        for p in pdf["payload"]
-                    ],
+                    "n_bytes": lens,
+                    "phash": ph,
                 }
             )
 
@@ -256,14 +292,25 @@ def phash_near_dup_pairs(
     df_with_phash: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = PHASH_MAX_HAMMING,
+    bits: int = PHASH_BITS,
+    bands: int = PHASH_BANDS,
 ) -> DataFrame:
     """Image near-duplicate pairs via Hamming-band blocking on the
     perceptual hash (the SimHash band machinery applied to image
-    fingerprints — Manku et al. 2007): split the 32-bit hash into 4
-    8-bit bands, explode to (band slot, id, phash), self-join per band
-    bucket, score ``bit_count(xor)``. Candidate generation is linear in
-    |docs| x bands and recall is EXACT for Hamming <= 3 (pigeonhole on
-    the bands); the shuffle carries (id, 1 long), never payloads.
+    fingerprints — Manku et al. 2007): split the *bits*-wide hash into
+    *bands* equal bands, explode to (band slot, id, phash), self-join
+    per band bucket, score ``bit_count(xor)``. Candidate generation is
+    linear in |docs| x bands and recall is EXACT for Hamming <= bands-1
+    (pigeonhole); the shuffle carries (id, 1 long), never payloads.
+
+    SIZE THE BANDS TO THE CORPUS: buckets number bands x 2^(bits/bands),
+    and a bucket holds ~n / 2^(bits/bands) docs — at 8-bit bands that
+    saturates past ~100k docs (256 slot values) into a quadratic
+    candidate blowup. The default 32/4 matches the oracle fixture; the
+    corpus-scale configuration is bits=64, bands=4 (16-bit slots, 65k
+    values — measured in tools/scale_smoke.py at 2M payloads). Negative
+    longs (bit 63 set) band and score correctly: shift+mask and
+    bit_count(xor) are sign-agnostic on both engines.
 
     The phash relation comes out of a Python (Arrow) stage, so it is
     localCheckpointed before the two join legs — without the barrier
@@ -272,13 +319,14 @@ def phash_near_dup_pairs(
 
     Returns (id1, id2, hamming), id1 < id2.
     """
+    band_bits = bits // bands
     keys = F.array(
         *[
-            F.lit(b * (1 << PHASH_BAND_BITS))
-            + F.shiftright(F.col("phash"), b * PHASH_BAND_BITS).bitwiseAND(
-                F.lit((1 << PHASH_BAND_BITS) - 1)
+            F.lit(b * (1 << band_bits))
+            + F.shiftright(F.col("phash"), b * band_bits).bitwiseAND(
+                F.lit((1 << band_bits) - 1)
             )
-            for b in range(PHASH_BANDS)
+            for b in range(bands)
         ]
     )
     banded = (
