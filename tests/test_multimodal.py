@@ -135,3 +135,26 @@ def test_phash_vectorized_matches_scalar():
             assert v is None
         else:
             assert v == M.phash_stub(b"x" * ln)
+
+
+def test_phash_band_blocking_at_64_bits_with_sign_bit(spark):
+    """The corpus-scale configuration (64-bit hash, 4x16-bit bands):
+    banding and bit_count(xor) scoring must be sign-agnostic — a hash
+    with bit 63 set rides a negative long through shift/mask/xor on
+    both engines."""
+    base = M._signed64((1 << 63) | 0x1234_5678_9ABC_DEF0)
+    rows = [
+        (1, base),
+        (2, base),  # hamming 0, negative long
+        (3, M._signed64((base & ((1 << 64) - 1)) ^ 0b101)),  # hamming 2
+        (4, M._signed64((~base) & ((1 << 64) - 1))),  # complement
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    pairs = {
+        (r.id1, r.id2): r.hamming
+        for r in M.phash_near_dup_pairs(
+            df, max_hamming=3, bits=64, bands=4
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 2
+    assert (1, 4) not in pairs and (2, 4) not in pairs
