@@ -122,3 +122,22 @@ def test_curate_urls_dup_flag_is_agg_not_window(spark):
     out = U.curate_urls(df, domain_cap=10).collect()
     kept = [r.doc_id for r in out if not r.is_url_dup]
     assert kept == [1]
+
+
+def test_curate_urls_retains_malformed_rows(spark):
+    """NULL/unparseable URLs surface as malformed verdict rows instead
+    of silently vanishing (the ingest family's malformed-routing rule);
+    they never count as duplicates and never block other stages."""
+    rows = [
+        (1, "https://ok.com/x"),
+        (2, None),
+        (3, "not a url at all"),
+        (4, "https://ok.com/x?utm_source=s"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: r for r in U.curate_urls(df, domain_cap=5).collect()}
+    assert len(out) == 4
+    assert out[2].malformed and not out[2].kept and not out[2].is_url_dup
+    assert out[3].malformed and not out[3].kept
+    assert not out[1].malformed and out[1].kept
+    assert out[4].is_url_dup and not out[4].malformed

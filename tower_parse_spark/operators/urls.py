@@ -124,7 +124,12 @@ def curate_urls(
        a much smaller relation.
 
     ``kept`` = passed every stage. Returns one row per input row with
-    (id, canon_url, domain, is_url_dup, blocked, over_cap, kept).
+    (id, canon_url, domain, malformed, is_url_dup, blocked, over_cap,
+    kept) — INCLUDING rows whose URL is NULL/unparseable: those carry
+    ``malformed = true`` and ``kept = false`` instead of silently
+    vanishing (the malformed-record routing philosophy of the ingest
+    family, readport.py:353-364's skip-and-continue re-expressed as a
+    verdict row).
 
     Fan-out barriers (the passage_dedup rule): the canonical relation
     feeds the survivor agg and the join-back; the flagged relation
@@ -144,20 +149,33 @@ def curate_urls(
     keepers = canon.groupBy("canon_url").agg(
         F.min(id_col).alias("_keep_id")
     )
+    blocked_expr = (
+        F.coalesce(F.col("domain").isin(*blocklist), F.lit(False))
+        if blocklist
+        else F.lit(False)
+    )
     flagged = (
-        canon.join(keepers, "canon_url")
+        canon.join(keepers, "canon_url", "left")
         .select(
             F.col(id_col),
             "canon_url",
             "domain",
-            (F.col(id_col) != F.col("_keep_id")).alias("is_url_dup"),
-            F.col("domain").isin(*blocklist).alias("blocked")
-            if blocklist
-            else F.lit(False).alias("blocked"),
+            (
+                F.col("canon_url").isNull()
+                | ~F.col("canon_url").rlike(_SCHEME_RE)
+            ).alias("malformed"),
+            (
+                F.col("canon_url").isNotNull()
+                & F.col("canon_url").rlike(_SCHEME_RE)
+                & (F.col(id_col) != F.col("_keep_id"))
+            ).alias("is_url_dup"),
+            blocked_expr.alias("blocked"),
         )
         .localCheckpoint(eager=False)
     )
-    surv = flagged.filter(~F.col("is_url_dup") & ~F.col("blocked"))
+    surv = flagged.filter(
+        ~F.col("malformed") & ~F.col("is_url_dup") & ~F.col("blocked")
+    )
     over_cap_domains = (
         surv.groupBy("domain")
         .agg(F.count(F.lit(1)).alias("_dn"))
@@ -175,12 +193,15 @@ def curate_urls(
         .filter(F.col("_rnk") > domain_cap)
         .select(id_col, F.lit(True).alias("_over"))
     )
-    survived = ~F.col("is_url_dup") & ~F.col("blocked")
+    survived = (
+        ~F.col("malformed") & ~F.col("is_url_dup") & ~F.col("blocked")
+    )
     over = F.coalesce(F.col("_over"), F.lit(False))
     return flagged.join(capped, id_col, "left").select(
         F.col(id_col),
         "canon_url",
         "domain",
+        "malformed",
         "is_url_dup",
         "blocked",
         (survived & over).alias("over_cap"),

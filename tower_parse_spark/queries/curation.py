@@ -146,15 +146,20 @@ parts AS (
   SELECT canon_url, min(doc_id) AS keep_id FROM canon GROUP BY canon_url
 ), flags AS (
   SELECT c.doc_id, c.canon_url, c.domain,
-         c.doc_id <> k.keep_id AS is_url_dup,
-         c.domain IN {BLOCKLIST!r} AS blocked
-  FROM canon c JOIN keepers k USING (canon_url)
+         (c.canon_url IS NULL
+          OR NOT regexp_matches(c.canon_url, '{_SCHEME_RE}')) AS malformed,
+         (c.canon_url IS NOT NULL
+          AND regexp_matches(c.canon_url, '{_SCHEME_RE}')
+          AND c.doc_id <> k.keep_id) AS is_url_dup,
+         coalesce(c.domain IN {BLOCKLIST!r}, FALSE) AS blocked
+  FROM canon c LEFT JOIN keepers k USING (canon_url)
 ), surv AS (
   SELECT doc_id,
          row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rnk
-  FROM flags WHERE NOT is_url_dup AND NOT blocked
+  FROM flags WHERE NOT malformed AND NOT is_url_dup AND NOT blocked
 )
-SELECT f.doc_id, f.canon_url, f.domain, f.is_url_dup, f.blocked,
+SELECT f.doc_id, f.canon_url, f.domain, f.malformed, f.is_url_dup,
+       f.blocked,
        coalesce(s.rnk > {DOMAIN_CAP}, FALSE) AS over_cap,
        coalesce(s.rnk <= {DOMAIN_CAP}, FALSE) AS kept
 FROM flags f LEFT JOIN surv s USING (doc_id)
