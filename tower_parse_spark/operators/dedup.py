@@ -428,10 +428,12 @@ def append_minhash_index(
     the probe-side check samples one arbitrary row, a mixed index could
     still pass it. Guarding the only write path that could mix families
     keeps every stored index single-family by construction."""
+    from pyspark.errors import AnalysisException
+
     spark = survivors.sparkSession
     try:
         existing = spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         existing = None  # first append: nothing to validate against
     if existing is not None and "hash_fn" in existing.columns:
         fam_row = existing.select("hash_fn").first()

@@ -633,10 +633,12 @@ def _validate_index_meta(spark, path: str, expected: dict, op: str) -> None:
     probe of a residual-built index would silently return
     plausible-but-wrong neighbors. Pre-meta indexes (no sidecar) skip
     validation for back-compat — rebuild to opt in."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(os.path.join(path, "meta")).first()
-    except Exception:
-        return  # index predates the meta sidecar
+    except AnalysisException:
+        return  # index predates the meta sidecar (no meta dir)
     if row is None:
         return
     mismatches = {

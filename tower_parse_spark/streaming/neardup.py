@@ -30,6 +30,7 @@ dedup viable on an unbounded stream.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -60,7 +61,9 @@ def _read_index(spark, index_path: str, before_batch: int) -> DataFrame:
     nothing has been indexed yet."""
     try:
         idx = spark.read.option("basePath", index_path).parquet(index_path)
-    except Exception:
+    except AnalysisException:
+        # nothing indexed yet (PATH_NOT_FOUND); a CORRUPT index is not
+        # swallowed here — scan-time failures surface in the probe job
         return spark.createDataFrame([], _INDEX_SCHEMA)
     return idx.filter(F.col("batch").cast("long") < before_batch).drop(
         "batch"
