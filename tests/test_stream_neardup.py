@@ -141,3 +141,46 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     # batch 0 only (its own epoch's partition is never probed)
     r10 = out.filter("doc_id = 10").collect()
     assert len(r10) == 1 and r10[0].is_dup and r10[0].n_hist_matches == 1
+
+
+def test_compact_minhash_index_preserves_probes(spark, tmp_path):
+    """Compaction rearranges rows among partitions <= through_batch
+    without changing any later epoch's view: probe verdicts are
+    identical, partition count shrinks, and the loop (including a
+    replayed epoch) keeps working on the compacted index."""
+    idx, ver, _ = _paths(tmp_path)
+    b = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ND.process_epoch(b([(1, T_A)]), 0, idx, ver)
+    ND.process_epoch(b([(2, T_B)]), 1, idx, ver)
+    ND.process_epoch(b([(3, T_C)]), 2, idx, ver)
+
+    def probe():
+        out = ND._read_index(spark, idx, before_batch=3)
+        from tower_parse_spark.operators.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        probe_df = b([(10, T_A), (11, T_B), (12, "novel words only here")])
+        return sorted(
+            (r.doc_id, r.is_dup, r.n_hist_matches)
+            for r in incremental_minhash_dedup(probe_df, out).collect()
+        )
+
+    before = probe()
+    report = ND.compact_minhash_index(spark, idx, through_batch=1)
+    assert report["n_partitions_removed"] == 2
+    import glob
+
+    parts = sorted(
+        p.rsplit("=", 1)[-1] for p in glob.glob(f"{idx}/batch=*")
+    )
+    assert parts == ["0", "2"]
+    assert probe() == before
+    # the loop continues: epoch 3 indexes a survivor, replay still clean
+    ND.process_epoch(b([(4, "entirely different text four")]), 3, idx, ver)
+    ND.process_epoch(b([(4, "entirely different text four")]), 3, idx, ver)
+    idx_df = spark.read.option("basePath", idx).parquet(idx)
+    assert (
+        idx_df.groupBy("doc_id", "band_key").count().filter("count > 1").count()
+        == 0
+    )

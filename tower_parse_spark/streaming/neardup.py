@@ -107,6 +107,59 @@ def stream_minhash_dedup(
     )
 
 
+def compact_minhash_index(
+    spark,
+    index_path: str,
+    through_batch: int,
+    files: int = 1,
+) -> dict:
+    """Coalesce the ``batch=0..through_batch`` partitions into a single
+    consolidated ``batch=0`` partition — the small-file maintenance a
+    long-running ingest needs: one partition per epoch is exactly-once
+    gold but after months of micro-batches the index is thousands of
+    tiny files (the packstore compaction rationale applied to the
+    signature index).
+
+    Correctness under the streaming loop's replay rule: an in-flight
+    epoch N reads partitions ``batch < N``; compaction only REARRANGES
+    rows among partitions numbered <= *through_batch*, so any probe
+    with N > through_batch sees identical content. Run it between
+    epochs (or from a maintenance job) with through_batch strictly
+    below the next epoch id; compacting the CURRENT epoch's partition
+    while it may still replay would merge rows the replay is about to
+    overwrite.
+
+    Crash safety: the consolidated rows are fully written to an
+    underscore-prefixed staging dir (invisible to partition discovery)
+    BEFORE any source partition is deleted; a crash mid-compaction
+    leaves either the original partitions or the staging dir on disk,
+    never neither (recovery: move staging to ``batch=0``).
+
+    Returns {"n_rows", "n_partitions_removed"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    staging = os.path.join(index_path, "_compact_staging")
+    src = (
+        spark.read.option("basePath", index_path)
+        .parquet(index_path)
+        .filter(F.col("batch").cast("long") <= through_batch)
+        .drop("batch")
+    )
+    src.coalesce(files).write.mode("overwrite").parquet(staging)
+    n_rows = spark.read.parquet(staging).count()
+    removed = 0
+    for d in glob.glob(os.path.join(index_path, "batch=*")):
+        b = d.rsplit("=", 1)[-1]
+        if b.isdigit() and int(b) <= through_batch:
+            shutil.rmtree(d)
+            removed += 1
+    os.replace(staging, os.path.join(index_path, "batch=0"))
+    return {"n_rows": n_rows, "n_partitions_removed": removed}
+
+
 def process_epoch(
     batch_df: DataFrame,
     batch_id: int,
