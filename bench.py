@@ -102,6 +102,10 @@ HEADLINE = [
     "semantic_dedup",
     "multimodal_near_dup",
     "streaming_minhash_dedup",
+    "gopher_quality",
+    "line_cleaning",
+    "domain_reweight",
+    "decontaminate_semantic",
 ]
 
 

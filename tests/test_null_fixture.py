@@ -36,6 +36,8 @@ EMBEDDING_QUERIES = [
     "dedup_embedding_cosine",
     "embedding_cluster_stats",
     "semantic_dedup",  # r7: NULL/empty/zero vectors kept but never paired
+    "decontaminate_semantic",  # late-r7: degenerate vectors get verdict
+    # rows (left join) but can never match (nv > 0 guard on both sides)
 ]
 
 
@@ -119,6 +121,12 @@ DOCS_QUERIES = [
     "domain_curation",
     "multimodal_near_dup",
     "streaming_minhash_dedup",
+    # late-r7 filtering family: NULL/empty text must render as an empty
+    # line array (verdict 'words', zero kept lines) and a NULL source
+    # must form its own reweight group on both engines
+    "gopher_quality",
+    "line_cleaning",
+    "domain_reweight",
 ]
 
 

@@ -40,6 +40,7 @@ NESTED_LOOP_OK = {
     "wealthy_inactive_customers",  # Q22 one-row scalar-threshold join
     "q11_important_parts",  # Q11 one-row global-share-threshold join
     "text_tfidf_topterms",  # one-row broadcast N (corpus doc count) for the idf
+    "domain_reweight",  # two one-row broadcasts (total tokens; normalizer+max-rate)
 }
 
 #: Arrow-batched Python is the designed path for binary decode only

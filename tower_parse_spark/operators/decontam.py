@@ -203,3 +203,88 @@ def flag_contaminated_fuzzy(
             ),
         )
     )
+
+
+def flag_contaminated_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    planes: int = 6,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus items whose embedding is
+    cosine-similar (>= *threshold*) to some benchmark/eval item —
+    catches paraphrased benchmark leakage that survives both the exact
+    n-gram filter and the MinHash fuzzy filter (the embedding-similarity
+    decontamination pass of recent open-data pipelines; public
+    methodology — same signal family as SemDeDup, Abbas et al. 2023,
+    pointed at a held-out set instead of the corpus itself).
+
+    Scale shape (benchmark ≪ corpus, the decontamination asymmetry):
+    both sides are blocked by the seedless sign-LSH hyperplane lattice
+    (operators/similarity.py::bucket_expr — the same blocking the
+    embedding near-dup dedup uses, same documented recall tradeoff);
+    the BENCHMARK side (|bench| rows of (bucket, id, vector)) is
+    explicitly broadcast, so candidate generation is a broadcast hash
+    join on the bucket key and the corpus is NEVER shuffled. Per-row
+    work is (matching bench vectors) x one fused dot product. The only
+    shuffles are the per-id aggregate over surviving candidates and the
+    verdict join-back — the same two-shuffle tail as
+    :func:`flag_contaminated_fuzzy`.
+
+    Cosines are compared at pround(4) (both engines round identically,
+    functions/rounding.py) so the threshold can never split on
+    last-bit float drift. Zero-norm / NULL vectors never match (nv > 0
+    guard) but still receive a verdict row via the left join.
+    """
+    from tower_parse_spark.functions import vectors as V
+    from tower_parse_spark.functions.rounding import pround
+    from tower_parse_spark.operators.similarity import bucket_expr
+
+    def blocked(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = V.as_double(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(out_vec),
+            bucket_expr(v, dim, planes).alias("blk"),
+            V.norm(v).alias(f"_nv_{out_id}"),
+        )
+
+    cand = (
+        blocked(corpus, "cid", "cvec")
+        .join(F.broadcast(blocked(benchmark, "bid", "bvec")), "blk")
+        .filter((F.col("_nv_cid") > 0) & (F.col("_nv_bid") > 0))
+        .withColumn(
+            "cos_r",
+            pround(
+                V.dot(F.col("cvec"), F.col("bvec"))
+                / (F.col("_nv_cid") * F.col("_nv_bid")),
+                4,
+            ),
+        )
+        .filter(F.col("cos_r") >= threshold)
+        # no dedup needed: each vector lands in exactly ONE bucket
+        # (bucket_expr is single-probe), so a (cid, bid) pair can only
+        # arise once — adding dropDuplicates here would be a pure extra
+        # shuffle over the candidate relation
+    )
+    hits = cand.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("cos_r").alias("max_cos"),
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(F.broadcast(hits.withColumnRenamed("cid", id_col)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_eval_matches"), F.lit(0).cast("long")).alias(
+                "n_eval_matches"
+            ),
+            F.coalesce(F.col("max_cos"), F.lit(0.0)).alias("max_cos"),
+            (F.coalesce(F.col("n_eval_matches"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

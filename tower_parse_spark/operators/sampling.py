@@ -100,3 +100,97 @@ def sql_hash_bucket(key_expr: str, salt: str = "split") -> str:
         f"CAST('0x' || substr(md5('{salt}' || '|' || CAST({key_expr} AS VARCHAR)), 1, 15) "
         f"AS BIGINT) % {N_BUCKETS}"
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-based domain reweighting
+# --------------------------------------------------------------------------
+
+#: weight quantization scale: sqrt(share) is quantized to an integer
+#: BEFORE the normalizing sum so the sum is associative (exact under any
+#: partial-aggregation order — the quantized-integer-sum pattern of
+#: queries/llm.py::quality_filter_funnel) and the DuckDB oracle matches
+#: bit-for-bit.
+WEIGHT_SCALE = 1_000_000_000
+
+
+def temperature_weights(
+    df: DataFrame,
+    stratum_col: str = "source",
+    size_col: str = "n_tokens",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Static domain-mixture reweighting by temperature sampling
+    (public methodology: the alpha-smoothed sampling of multilingual
+    BERT / XLM-R, the static mixture-weight shape DoReMi optimizes):
+    target weight_s proportional to share_s^alpha, realized as a
+    DOWNSAMPLING rate per domain (rate <= 1 everywhere, rate = 1 for the
+    most-upweighted domain) suitable for
+    :func:`stratified_downsample`.
+
+    Input: one row per stratum with a size column (token counts).
+    Output adds ``share`` (raw corpus fraction), ``weight`` (normalized
+    target fraction) and ``sampling_rate``.
+
+    Scale shape: the input relation is the OUTPUT of a per-domain
+    aggregate, i.e. |domains| rows, orders of magnitude smaller than the
+    corpus. The two global reductions (total size; normalizer + max
+    rate) are one-row aggregates broadcast back via nested-loop joins of
+    a single row each — the allowlisted one-row-broadcast pattern
+    (queries/llm.py tf-idf N) — so there is never a single-partition
+    window over all domains.
+
+    Only alpha = 0.5 is cross-engine exact (sqrt is IEEE-correctly
+    rounded in both engines; pow is not): other alphas are accepted but
+    the oracle-checked registry query pins 0.5.
+    """
+    if alpha != 0.5:
+        raise ValueError("temperature_weights: only alpha=0.5 is oracle-exact")
+    # the per-domain input feeds TWO consumers (the total and the join)
+    # and j1 feeds two more — materialize both tiny relations so the
+    # upstream corpus scan + aggregate runs ONCE, not once per consumer
+    # (the checkpoint-before-fan-out rule, cf. operators/dedup.py's
+    # passage relation)
+    df = df.localCheckpoint(eager=True)
+    tot = df.agg(F.sum(size_col).alias("_tot"))
+    # zero-size domains (and an all-empty corpus) get share/weight/rate
+    # 0.0 instead of an ANSI divide-by-zero; every division below is
+    # CASE-guarded identically in the SQL oracle twin
+    share = F.when(
+        F.col("_tot") > 0, F.col(size_col) / F.col("_tot")
+    ).otherwise(F.lit(0.0))
+    j1 = (
+        df.crossJoin(F.broadcast(tot))
+        .withColumn("_share", share)
+        .withColumn(
+            "_wq", F.floor(F.sqrt(F.col("_share")) * WEIGHT_SCALE + F.lit(0.5))
+        )
+        .withColumn(
+            "_rate_raw",
+            F.when(
+                F.col("_share") > 0,
+                (F.col("_wq") / F.lit(float(WEIGHT_SCALE))) / F.col("_share"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    j1 = j1.localCheckpoint(eager=True)
+    g = j1.agg(
+        F.sum("_wq").alias("_wsum"), F.max("_rate_raw").alias("_rmax")
+    )
+    return (
+        j1.crossJoin(F.broadcast(g))
+        .withColumn("share", F.col("_share"))
+        .withColumn(
+            "weight",
+            F.when(F.col("_wsum") > 0, F.col("_wq") / F.col("_wsum")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .withColumn(
+            "sampling_rate",
+            F.when(
+                F.col("_rmax") > 0, F.col("_rate_raw") / F.col("_rmax")
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_tot", "_share", "_wq", "_rate_raw", "_wsum", "_rmax")
+    )

@@ -1,0 +1,468 @@
+"""Quality-filtering / mixture queries: Gopher rules, C4 line cleaning,
+temperature domain reweighting, semantic decontamination.
+
+Round-8 surface. Same portability contract as queries/llm.py — every
+DuckDB oracle is generated from the engine's own constants
+(operators/quality.py thresholds, the shared lines fixture, the sign-LSH
+lattice) so the two sides cannot drift, and every float aggregate is
+pround-ed identically on both engines.
+
+The raw ``documents`` fixture is single-line word salad, so the
+line-level families run over a deterministic multi-line rendering
+(:func:`_docs_with_lines`) — the established fixture-augmentation
+pattern (cf. queries/curation.py::_docs_with_urls): each document is
+re-wrapped into 6-token lines decorated with every pathology the rules
+must handle (bullet lines, heading lines, ellipsis / terminal-punct
+endings, injected boilerplate lines), keyed only on (doc_id, line_no)
+so both engines synthesize byte-identical lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions import text as T
+from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.functions.vectors import SQL_NORM, sql_cosine
+from tower_parse_spark.operators import decontam as DC
+from tower_parse_spark.operators import quality as Q
+from tower_parse_spark.operators import sampling as SP
+from tower_parse_spark.queries import Query
+from tower_parse_spark.session import load_table
+
+SQL_TOKS = T.SQL_TOKENS.format(x="text")
+
+# --------------------------------------------------------------------------
+# The shared multi-line document rendering
+# --------------------------------------------------------------------------
+
+#: injected boilerplate lines (each trips a different C4 marker)
+BOILERPLATE_LINES = (
+    "Please enable JavaScript and cookies to continue.",
+    "lorem ipsum dolor sit amet",
+    '{ "cookieConsent": true }',
+)
+#: tokens per rendered line
+LINE_WIDTH = 6
+
+#: per-doc pathological modes (doc_id % prime == residue) that push one
+#: Gopher rule each over its threshold, so every rule demonstrably
+#: fires somewhere in the corpus (the signals alone are hash-verified
+#: regardless; the modes make the VERDICT column exercise all branches)
+MODE_ELLIPSIS = (41, 5)  # "..." on every 3rd line -> ellipsis_frac > 0.3
+MODE_BULLET = (43, 6)  # "- " on every line -> bullet_frac > 0.9
+MODE_SYMBOL = (47, 8)  # "#### " on every line -> symbol ratio > 0.1
+MODE_DIGITS = (53, 9)  # 4 digit words per line -> alpha_frac < 0.8
+
+
+def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as an array of decorated lines.
+
+    Line i (1-based) of doc d:
+    - every 13th (d + 7i) slot: a boilerplate line (rotating through
+      BOILERPLATE_LINES on (d + i) % 3),
+    - otherwise tokens [6(i-1)+1 .. 6i] joined by spaces, with
+      "- " bullet prefix when (d + i) % 7 = 0,
+      "# " heading prefix when (d + i) % 17 = 4,
+      "..." suffix when (3d + i) % 11 = 0, else "." when (d + i) % 3 = 0,
+    - plus the per-doc pathological MODE_* decorations above.
+
+    Pure row-local projection (sequence + transform — no explode, no
+    shuffle); NULL/empty text renders as an EMPTY line array in both
+    engines (the strict `size > 0` guard mirrors the oracle's
+    `len(toks) > 0` CASE, which sends NULL to the ELSE branch too).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    d = F.col("doc_id")
+    boiler = F.array(*[F.lit(b) for b in BOILERPLATE_LINES])
+
+    def mk(i):
+        base = F.concat_ws(
+            " ", F.slice(toks, (i - 1) * LINE_WIDTH + 1, LINE_WIDTH)
+        )
+        base = F.when(
+            d % MODE_DIGITS[0] == MODE_DIGITS[1],
+            F.concat(base, F.lit(" 0 1 22 333")),
+        ).otherwise(base)
+        deco = F.concat(
+            F.when((d + i) % 7 == 0, F.lit("- "))
+            .when((d + i) % 17 == 4, F.lit("# "))
+            .otherwise(F.lit("")),
+            base,
+            F.when(
+                (d % MODE_ELLIPSIS[0] == MODE_ELLIPSIS[1]) & (i % 3 == 0),
+                F.lit("..."),
+            )
+            .when((d * 3 + i) % 11 == 0, F.lit("..."))
+            .when((d + i) % 3 == 0, F.lit("."))
+            .otherwise(F.lit("")),
+        )
+        inner = F.when(
+            (d + i * 7) % 13 == 0,
+            F.element_at(boiler, ((d + i) % 3 + 1).cast("int")),
+        ).otherwise(deco)
+        return (
+            F.when(
+                d % MODE_BULLET[0] == MODE_BULLET[1],
+                F.concat(F.lit("- "), inner),
+            )
+            .when(
+                d % MODE_SYMBOL[0] == MODE_SYMBOL[1],
+                F.concat(F.lit("#### "), inner),
+            )
+            .otherwise(inner)
+        )
+
+    n_lines = F.ceil(F.size(toks) / F.lit(float(LINE_WIDTH))).cast("int")
+    lines = F.when(
+        F.size(toks) > 0, F.transform(F.sequence(F.lit(1), n_lines), mk)
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", lines.alias("lines"))
+
+
+def _sql_boiler_list() -> str:
+    quoted = ", ".join("'" + b.replace("'", "''") + "'" for b in BOILERPLATE_LINES)
+    return f"[{quoted}]"
+
+
+#: the inner (pre-mode) line expression of the DuckDB twin, over lambda
+#: var `i` in the `lined` CTE
+_SQL_INNER_LINE = f"""
+        CASE WHEN (doc_id + i * 7) % 13 = 0 THEN
+          list_extract({_sql_boiler_list()}, CAST((doc_id + i) % 3 + 1 AS BIGINT))
+        ELSE
+          (CASE WHEN (doc_id + i) % 7 = 0 THEN '- '
+                WHEN (doc_id + i) % 17 = 4 THEN '# '
+                ELSE '' END) ||
+          array_to_string(list_slice(toks, (i - 1) * {LINE_WIDTH} + 1, i * {LINE_WIDTH}), ' ') ||
+          (CASE WHEN doc_id % {MODE_DIGITS[0]} = {MODE_DIGITS[1]} THEN ' 0 1 22 333' ELSE '' END) ||
+          (CASE WHEN doc_id % {MODE_ELLIPSIS[0]} = {MODE_ELLIPSIS[1]} AND i % 3 = 0 THEN '...'
+                WHEN (doc_id * 3 + i) % 11 = 0 THEN '...'
+                WHEN (doc_id + i) % 3 = 0 THEN '.'
+                ELSE '' END)
+        END"""
+
+#: the DuckDB twin of :func:`_docs_with_lines` — CTEs `tok` and `lined`
+_LINES_SQL = f"""
+tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), lined AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(range(1, CAST(ceil(len(toks) / {float(LINE_WIDTH)}) AS BIGINT) + 1), i ->
+        CASE WHEN doc_id % {MODE_BULLET[0]} = {MODE_BULLET[1]} THEN '- ' || ({_SQL_INNER_LINE})
+             WHEN doc_id % {MODE_SYMBOL[0]} = {MODE_SYMBOL[1]} THEN '#### ' || ({_SQL_INNER_LINE})
+             ELSE ({_SQL_INNER_LINE})
+        END)
+    ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM tok
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules
+# --------------------------------------------------------------------------
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule report (Rae et al. 2021) over the rendered
+    multi-line documents: per-doc signals + first-failing-rule verdict
+    (operators/quality.py::gopher_signals — one scan projection, zero
+    shuffles before the final sort)."""
+    return Q.gopher_signals(_docs_with_lines(spark, sf_dir)).orderBy("doc_id")
+
+
+_SQL_RTOKS = T.SQL_TOKENS.format(x="rendered")
+
+GOPHER_QUALITY_ORACLE = f"""
+WITH {_LINES_SQL},
+rend AS (
+  -- DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
+  -- — coalesce so zero-line docs tokenize to [] (n_words 0), not NULL
+  SELECT doc_id, lines,
+         coalesce(array_to_string(lines, chr(10)), '') AS rendered
+  FROM lined
+), rt AS (
+  SELECT doc_id, lines, rendered, {_SQL_RTOKS} AS rtoks FROM rend
+), sig AS (
+  SELECT doc_id,
+    len(lines) AS n_lines,
+    len(rtoks) AS n_words,
+    CASE WHEN len(rtoks) > 0
+         THEN length(array_to_string(rtoks, '')) / CAST(len(rtoks) AS DOUBLE)
+         ELSE 0.0 END AS mean_wl,
+    CASE WHEN len(rtoks) > 0
+         THEN (CAST((length(rendered) - length(regexp_replace(rendered, '#', '', 'g'))) AS BIGINT)
+               + CAST((length(rendered) - length(regexp_replace(rendered, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT))
+              / CAST(len(rtoks) AS DOUBLE)
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, x -> starts_with(x, '- '))) / CAST(len(lines) AS DOUBLE)
+         ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(lines) > 0
+         THEN len(list_filter(lines, x -> ends_with(x, '...'))) / CAST(len(lines) AS DOUBLE)
+         ELSE 0.0 END AS ellipsis_frac,
+    CASE WHEN len(rtoks) > 0
+         THEN len(list_filter(rtoks, w -> regexp_matches(w, '[a-z]'))) / CAST(len(rtoks) AS DOUBLE)
+         ELSE 0.0 END AS alpha_frac,
+    len(list_intersect(list_distinct(rtoks),
+        [{", ".join("'" + w + "'" for w in Q.GOPHER_REQUIRED_STOPWORDS)}])) AS stop_hits
+  FROM rt
+), verdict AS (
+  SELECT *,
+    CASE WHEN n_words < {Q.GOPHER_MIN_WORDS} OR n_words > {Q.GOPHER_MAX_WORDS} THEN 'words'
+         WHEN mean_wl < {Q.GOPHER_MIN_MEAN_WORD_LEN} OR mean_wl > {Q.GOPHER_MAX_MEAN_WORD_LEN} THEN 'word_len'
+         WHEN symbol_ratio > {Q.GOPHER_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
+         WHEN bullet_frac > {Q.GOPHER_MAX_BULLET_FRAC} THEN 'bullet'
+         WHEN ellipsis_frac > {Q.GOPHER_MAX_ELLIPSIS_FRAC} THEN 'ellipsis'
+         WHEN alpha_frac < {Q.GOPHER_MIN_ALPHA_FRAC} THEN 'alpha'
+         WHEN stop_hits < {Q.GOPHER_MIN_STOP_HITS} THEN 'stopwords'
+         ELSE 'pass' END AS fail_reason
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_words AS INT) AS n_words,
+       {sql_pround("mean_wl", 4)} AS mean_word_len,
+       {sql_pround("symbol_ratio", 4)} AS symbol_ratio,
+       {sql_pround("bullet_frac", 4)} AS bullet_frac,
+       {sql_pround("ellipsis_frac", 4)} AS ellipsis_frac,
+       {sql_pround("alpha_frac", 4)} AS alpha_frac,
+       CAST(stop_hits AS INT) AS stop_hits,
+       fail_reason,
+       fail_reason = 'pass' AS passes
+FROM verdict
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# C4 line cleaning
+# --------------------------------------------------------------------------
+
+
+def line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning report over the rendered documents
+    (operators/quality.py::line_cleaning_stats): per-doc lines
+    in/kept/dropped, surviving chars, document keep verdict. One scan
+    projection, zero shuffles before the final sort."""
+    return Q.line_cleaning_stats(_docs_with_lines(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _sql_line_kept(var: str) -> str:
+    """DuckDB twin of operators/quality.py::_line_kept for lambda var *var*."""
+    toks = T.SQL_TOKENS.format(x=var)
+    terms = [f"len({toks}) >= {Q.C4_MIN_LINE_WORDS}"]
+    chars = ", ".join("'" + c.replace("'", "''") + "'" for c in Q.C4_TERMINAL_CHARS)
+    terms.append(f"substr({var}, -1, 1) IN ({chars})")
+    for s in Q.C4_BAD_SUBSTRINGS:
+        terms.append(f"NOT contains(lower({var}), '{s}')")
+    return " AND ".join(terms)
+
+
+LINE_CLEANING_ORACLE = f"""
+WITH {_LINES_SQL},
+cleaned AS (
+  SELECT doc_id, lines,
+         list_filter(lines, x -> {_sql_line_kept("x")}) AS kept
+  FROM lined
+)
+SELECT doc_id,
+       CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(len(lines) - len(kept) AS INT) AS n_dropped,
+       -- DuckDB's array_to_string([]) is NULL where Spark's array_join
+       -- is '' — coalesce to keep the zero-survivor rows at 0 chars
+       CAST(coalesce(length(array_to_string(kept, chr(10))), 0) AS INT) AS kept_chars,
+       {sql_pround(
+           "CASE WHEN len(lines) > 0"
+           " THEN len(kept) / CAST(len(lines) AS DOUBLE) ELSE 0.0 END", 4)}
+         AS kept_frac,
+       len(kept) >= {Q.C4_MIN_KEPT_LINES} AS doc_kept
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Temperature domain reweighting
+# --------------------------------------------------------------------------
+
+
+def domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static domain-mixture reweighting: per-source token shares ->
+    alpha=0.5 temperature weights -> per-domain downsampling rates
+    (operators/sampling.py::temperature_weights). The per-domain sizes
+    come from ONE scan + one map-side-combinable agg; the two global
+    reductions are one-row broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        # NULL text counts 0 tokens (not NULL) so an all-NULL domain
+        # lands at share 0.0 instead of a NULL-propagating row
+        F.sum(F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0))).alias(
+            "n_tokens"
+        ),
+    )
+    w = SP.temperature_weights(per, stratum_col="source", size_col="n_tokens")
+    return w.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("share"), 6).alias("share"),
+        pround(F.col("weight"), 6).alias("weight"),
+        pround(F.col("sampling_rate"), 6).alias("sampling_rate"),
+    ).orderBy("source")
+
+
+DOMAIN_REWEIGHT_ORACLE = f"""
+WITH tok AS (
+  SELECT source, {SQL_TOKS} AS toks FROM documents
+), per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(coalesce(len(toks), 0)) AS n_tokens
+  FROM tok GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens FROM per
+), j AS (
+  SELECT p.source, p.n_docs, p.n_tokens,
+         CASE WHEN t.tot_tokens > 0
+              THEN p.n_tokens / CAST(t.tot_tokens AS DOUBLE)
+              ELSE 0.0 END AS share
+  FROM per p CROSS JOIN tot t
+), j2 AS (
+  SELECT *,
+         CAST(floor(sqrt(share) * {SP.WEIGHT_SCALE} + 0.5) AS BIGINT) AS wq,
+         CASE WHEN share > 0
+              THEN (CAST(floor(sqrt(share) * {SP.WEIGHT_SCALE} + 0.5) AS BIGINT)
+                    / {float(SP.WEIGHT_SCALE)}) / share
+              ELSE 0.0 END AS rate_raw
+  FROM j
+), g AS (
+  SELECT sum(wq) AS wsum, max(rate_raw) AS rmax FROM j2
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       {sql_pround("share", 6)} AS share,
+       {sql_pround(
+           "CASE WHEN wsum > 0 THEN wq / CAST(wsum AS DOUBLE) ELSE 0.0 END", 6)}
+         AS weight,
+       {sql_pround(
+           "CASE WHEN rmax > 0 THEN rate_raw / rmax ELSE 0.0 END", 6)}
+         AS sampling_rate
+FROM j2 CROSS JOIN g
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Semantic decontamination
+# --------------------------------------------------------------------------
+
+SEMANTIC_DECONTAM_THRESHOLD = 0.95
+#: eval-set fixture: every (vec_id % 10 = 7) embedding, lightly
+#: perturbed so the cosine to its origin stays near 1
+_EVAL_ID_OFFSET = 2_000_000
+
+
+def _eval_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized benchmark/eval embeddings: a 10% slice of the corpus,
+    deterministically perturbed (scale x0.8 + small index-keyed additive
+    term — cosine to the origin vector stays ~0.99+). The fixture
+    carries no eval table, so one is derived the same way the
+    near-copies dedup fixture is (queries/llm.py::_emb_with_near_copies,
+    different constants so the two sets are distinct)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") % 10 == 7).select(
+        (F.col("vec_id") + F.lit(_EVAL_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double") * 0.8 + 0.015 * (i % 4).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-similarity decontamination of the corpus against the
+    synthesized eval set (operators/decontam.py::
+    flag_contaminated_semantic): sign-LSH-blocked broadcast join, corpus
+    never shuffled; planted eval vectors flag their origin corpus rows,
+    unrelated corpus rows pass (random pairwise cos < the threshold)."""
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return DC.flag_contaminated_semantic(
+        corpus,
+        _eval_embeddings(spark, sf_dir),
+        threshold=SEMANTIC_DECONTAM_THRESHOLD,
+    ).orderBy("vec_id")
+
+
+def _semantic_decontam_oracle() -> str:
+    from tower_parse_spark.queries.llm import _sql_lsh_bucket
+
+    cos = sql_cosine("c.embedding", "e.embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), ev AS (
+  SELECT vec_id + {_EVAL_ID_OFFSET} AS vec_id,
+         list_transform(list_zip(embedding, range(1, len(embedding) + 1)),
+                        p -> CAST(p[1] AS DOUBLE) * 0.8 + 0.015 * ((p[2] - 1) % 4))
+           AS embedding
+  FROM embeddings WHERE vec_id % 10 = 7
+), cb AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket()} AS blk,
+         {SQL_NORM.format(a="embedding")} AS nv
+  FROM corpus
+), eb AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket()} AS blk,
+         {SQL_NORM.format(a="embedding")} AS nv
+  FROM ev
+), cand AS (
+  SELECT c.vec_id AS cid, {sql_pround(cos, 4)} AS cos_r
+  FROM cb c JOIN eb e USING (blk)
+  WHERE c.nv > 0 AND e.nv > 0
+), hits AS (
+  SELECT cid, count(*) AS n_eval_matches, max(cos_r) AS max_cos
+  FROM cand WHERE cos_r >= {SEMANTIC_DECONTAM_THRESHOLD}
+  GROUP BY cid
+)
+SELECT c.vec_id,
+       CAST(coalesce(h.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+       coalesce(h.max_cos, 0.0) AS max_cos,
+       coalesce(h.n_eval_matches, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.vec_id = h.cid
+ORDER BY c.vec_id
+"""
+
+
+QUERIES = {
+    "gopher_quality": Query(
+        gopher_quality,
+        GOPHER_QUALITY_ORACLE,
+        "Gopher quality rules: signals + first-failing-rule verdict",
+    ),
+    "line_cleaning": Query(
+        line_cleaning,
+        LINE_CLEANING_ORACLE,
+        "C4 line-level cleaning: kept lines/chars + doc keep verdict",
+    ),
+    "domain_reweight": Query(
+        domain_reweight,
+        DOMAIN_REWEIGHT_ORACLE,
+        "temperature (alpha=0.5) domain mixture weights + sampling rates",
+    ),
+    "decontaminate_semantic": Query(
+        decontaminate_semantic,
+        _semantic_decontam_oracle(),
+        "embedding-cosine decontamination vs synthesized eval set",
+    ),
+}
