@@ -106,6 +106,7 @@ HEADLINE = [
     "line_cleaning",
     "domain_reweight",
     "decontaminate_semantic",
+    "perplexity_filter",
 ]
 
 
@@ -122,10 +123,15 @@ COMPACT_LINE_BUDGET = 1900
 def compact_line(times: dict[str, float], total: float, sf: float) -> str:
     """The driver-contract line: {"metric","value","unit","queries","sf"}.
     When the full per-query dict would overflow the driver's ~2 kB tail
-    capture (the r5 artifact loss), degrade to the slowest 40 queries
-    plus a ``queries_truncated`` marker — the headline total stays
-    exact. Unit-tested against a 100+-query registry so growth can't
-    silently break the contract again (VERDICT r6 item 7)."""
+    capture (the r5 artifact loss), degrade GRADUALLY (VERDICT r6 item
+    7): first re-round every timing to 2 decimals (keeps every query —
+    10 ms resolution is far inside the ~20% run-to-run noise), then, if
+    still over, drop the FASTEST queries one at a time with a
+    ``queries_truncated`` marker (a regression on a sub-0.1 s query is
+    indistinguishable from noise anyway; the slow queries are the perf
+    evidence). The headline total stays the exact full-set total in
+    every form. Unit-tested against a 100+-query registry so growth
+    can't silently break the contract again."""
     compact = {
         "metric": "headline_queries_total",
         "value": total,
@@ -134,10 +140,16 @@ def compact_line(times: dict[str, float], total: float, sf: float) -> str:
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > COMPACT_LINE_BUDGET:
-        worst = dict(sorted(times.items(), key=lambda kv: -kv[1])[:40])
-        compact["queries"] = worst
-        compact["queries_truncated"] = len(times) - len(worst)
+    if len(line) <= COMPACT_LINE_BUDGET:
+        return line
+    kept = {k: round(v, 2) for k, v in times.items()}
+    compact["queries"] = kept
+    line = json.dumps(compact, separators=(",", ":"))
+    items = sorted(kept.items(), key=lambda kv: -kv[1])
+    while items and len(line) > COMPACT_LINE_BUDGET:
+        items.pop()  # shed the fastest remaining query
+        compact["queries"] = dict(items)
+        compact["queries_truncated"] = len(times) - len(items)
         line = json.dumps(compact, separators=(",", ":"))
     return line
 

@@ -40,15 +40,43 @@ def test_oversize_registry_truncates_within_budget():
     line = bench.compact_line(times, total, 0.1)
     assert len(line) <= bench.COMPACT_LINE_BUDGET
     parsed = json.loads(line)
-    assert parsed["queries_truncated"] == 120 - 40
-    assert len(parsed["queries"]) == 40
-    # slowest 40 kept; total stays the FULL total, not the kept subset's
+    # graceful degradation: marker counts exactly the shed queries, and
+    # only the FASTEST were shed — every kept timing >= every dropped one
+    assert parsed["queries_truncated"] == 120 - len(parsed["queries"])
+    assert len(parsed["queries"]) >= 40
+    # total stays the FULL total, not the kept subset's
     assert parsed["value"] == total
     kept_min = min(parsed["queries"].values())
     dropped_max = max(
-        v for k, v in times.items() if k not in parsed["queries"]
+        round(v, 2) for k, v in times.items() if k not in parsed["queries"]
     )
     assert kept_min >= dropped_max
+
+
+def test_moderate_overflow_keeps_every_query_at_2dp():
+    """Just past the budget, the 2-decimal re-round must absorb the
+    overflow WITHOUT dropping any query — the current ~67-query registry
+    shape (names ~18 chars, 3dp timings)."""
+    times = {f"realistic_name_{i:04d}": 3.141 for i in range(66)}
+    full_3dp = len(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": 207.3,
+                "unit": "sec",
+                "queries": times,
+                "sf": 0.1,
+            },
+            separators=(",", ":"),
+        )
+    )
+    assert full_3dp > bench.COMPACT_LINE_BUDGET  # the case under test
+    line = bench.compact_line(times, 207.306, 0.1)
+    parsed = json.loads(line)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    assert "queries_truncated" not in parsed
+    assert len(parsed["queries"]) == 66
+    assert all(v == 3.14 for v in parsed["queries"].values())
 
 
 def test_current_headline_set_fits_untruncated():

@@ -1,0 +1,127 @@
+"""CCNet-style bigram-LM perplexity filter (operators/lm.py,
+queries/filtering.py::perplexity_filter)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators import lm as LM
+from tower_parse_spark.queries.filtering import PPL_REF_MOD, perplexity_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_table(spark, rows):
+    """rows: list of (doc_id, text)"""
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --------------------------------------------------------------------------
+# bigram expression
+# --------------------------------------------------------------------------
+
+
+def test_bigrams_basic_and_short_guard(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["solo"]), (3, [])],
+        "i long, toks array<string>",
+    )
+    rows = {
+        r.i: r.bg
+        for r in df.select("i", LM.bigrams(F.col("toks")).alias("bg")).collect()
+    }
+    assert rows[1] == ["a b", "b c"]
+    assert rows[2] == []  # sequence(1, 0) guard: no ANSI error
+    assert rows[3] == []
+
+
+# --------------------------------------------------------------------------
+# LM training + scoring semantics
+# --------------------------------------------------------------------------
+
+
+def _model(spark):
+    # reference corpus: "the cat sat", repeated — V = 3, all bigrams seen
+    ref = docs_table(spark, [(1, "the cat sat"), (2, "the cat sat")])
+    return LM.train_bigram_lm(ref)
+
+
+def test_known_backoff_unk_partition(spark):
+    model = _model(spark)
+    docs = docs_table(
+        spark,
+        [
+            (10, "the cat sat"),  # both bigrams known
+            (11, "cat the"),  # w1 'cat' known, bigram unseen -> backoff
+            (12, "zebra yak"),  # unknown first word -> unk penalty
+            (13, "x"),  # <2 tokens -> empty bucket, verdict row kept
+            (14, None),  # NULL text -> same
+        ],
+    )
+    out = {r.doc_id: r for r in LM.score_perplexity(docs, model).collect()}
+    assert (out[10].n_known, out[10].n_backoff, out[10].n_unk) == (2, 0, 0)
+    assert (out[11].n_known, out[11].n_backoff, out[11].n_unk) == (0, 1, 0)
+    assert (out[12].n_known, out[12].n_backoff, out[12].n_unk) == (0, 0, 1)
+    # degenerate docs are never silently dropped
+    for d in (13, 14):
+        assert out[d].n_bigrams == 0
+        assert out[d].cross_entropy == 0.0
+        assert out[d].ppl_bucket == "empty"
+
+
+def test_cross_entropy_matches_hand_laplace(spark):
+    """ce of a fully-known doc equals the hand-computed Laplace value
+    through the exact micro-nat quantization."""
+    model = _model(spark)
+    out = LM.score_perplexity(docs_table(spark, [(1, "the cat sat")]), model)
+    row = out.collect()[0]
+    # counts over the 2x reference: c(the)=2, c(cat)=2, V=3
+    # p(cat|the) = (2+1)/(2+3); p(sat|cat) = (2+1)/(2+3)
+    q = math.floor(math.log(5.0 / 3.0) * LM.NLL_SCALE + 0.5)
+    expected = (2 * q / LM.NLL_SCALE) / 2
+    assert abs(row.cross_entropy - expected) < 1e-12
+    # known text scores strictly better than an unknown-word doc
+    unk = LM.score_perplexity(docs_table(spark, [(2, "zebra yak")]), model)
+    assert row.cross_entropy < unk.collect()[0].cross_entropy
+
+
+def test_scores_are_integer_micronat_sums(spark):
+    """The per-doc score is an integer sum: repeating a document's text
+    k times scales the bigram count linearly and leaves ce within one
+    quantization step (no float-order drift)."""
+    model = _model(spark)
+    one = LM.score_perplexity(docs_table(spark, [(1, "the cat sat")]), model)
+    many = LM.score_perplexity(
+        docs_table(spark, [(1, " ".join(["the cat sat"] * 50))]), model
+    )
+    ce1 = one.collect()[0].cross_entropy
+    ceN = many.collect()[0].cross_entropy
+    # the joined copies add 49 cross-boundary bigrams ("sat the" backoff)
+    # so ceN != ce1 exactly, but both are exact rationals over NLL_SCALE
+    assert abs(ce1 * LM.NLL_SCALE - round(ce1 * LM.NLL_SCALE)) < 1e-6
+    assert abs(ceN * LM.NLL_SCALE * 149 - round(ceN * LM.NLL_SCALE * 149)) < 1e-3
+
+
+def test_all_buckets_fire_on_fixture(spark):
+    """head/middle/tail all fire at the registry's own sf — the pinned
+    cutoffs are the fixture's terciles; 'empty' is covered by the
+    degenerate-doc unit case above (the sf0.001 fixture has no <2-token
+    docs)."""
+    out = perplexity_filter(spark, SF)
+    buckets = {r.ppl_bucket for r in out.select("ppl_bucket").distinct().collect()}
+    assert {"head", "middle", "tail"} <= buckets
+
+
+def test_reference_slice_scores_lower_than_average(spark):
+    """Documents the LM was trained on must score systematically lower
+    cross-entropy than unseen ones — the signal CCNet filters by."""
+    out = perplexity_filter(spark, SF).withColumn(
+        "in_ref", (F.col("doc_id") % PPL_REF_MOD == 0)
+    )
+    avg = {
+        r.in_ref: r.ce
+        for r in out.groupBy("in_ref").agg(F.avg("cross_entropy").alias("ce")).collect()
+    }
+    assert avg[True] < avg[False]

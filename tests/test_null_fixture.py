@@ -127,6 +127,9 @@ DOCS_QUERIES = [
     "gopher_quality",
     "line_cleaning",
     "domain_reweight",
+    # NULL/short text yields zero bigrams -> 'empty' bucket verdict row
+    # (never silently dropped), and NULL ref text trains a smaller LM
+    "perplexity_filter",
 ]
 
 

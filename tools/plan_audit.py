@@ -41,6 +41,7 @@ NESTED_LOOP_OK = {
     "q11_important_parts",  # Q11 one-row global-share-threshold join
     "text_tfidf_topterms",  # one-row broadcast N (corpus doc count) for the idf
     "domain_reweight",  # two one-row broadcasts (total tokens; normalizer+max-rate)
+    "perplexity_filter",  # one-row broadcasts: vocab V (LM build) + unk penalty
 }
 
 #: Arrow-batched Python is the designed path for binary decode only

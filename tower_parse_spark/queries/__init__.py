@@ -107,6 +107,12 @@ _DEFER_TO_TAIL = [
     "events_asof_order",  # as-of join — r6-green, re-enters r8
     "events_order_range_join",  # range join — r6-green, re-enters r8
     "ingest_echo",  # A4 echo sink — r6-green + live pytest, re-enters r8
+    # fifth late-r7 deferral, making room for perplexity_filter (the
+    # CCNet LM family's first driver evidence): r6-green, and the ANN
+    # family keeps three in-window representatives (ann_cosine_topk,
+    # ann_lsh_topk, ann_ivf_topk) while tests/test_pq.py pins the
+    # IVF-PQ recall floors; re-enters r8
+    "ann_ivfpq_topk",
 ]
 
 

@@ -1,7 +1,8 @@
 """Quality-filtering / mixture queries: Gopher rules, C4 line cleaning,
-temperature domain reweighting, semantic decontamination.
+temperature domain reweighting, semantic decontamination, CCNet
+perplexity scoring.
 
-Round-8 surface. Same portability contract as queries/llm.py — every
+Late-round-7 surface. Same portability contract as queries/llm.py — every
 DuckDB oracle is generated from the engine's own constants
 (operators/quality.py thresholds, the shared lines fixture, the sign-LSH
 lattice) so the two sides cannot drift, and every float aggregate is
@@ -26,6 +27,7 @@ from tower_parse_spark.functions import text as T
 from tower_parse_spark.functions.rounding import pround, sql_pround
 from tower_parse_spark.functions.vectors import SQL_NORM, sql_cosine
 from tower_parse_spark.operators import decontam as DC
+from tower_parse_spark.operators import lm as LM
 from tower_parse_spark.operators import quality as Q
 from tower_parse_spark.operators import sampling as SP
 from tower_parse_spark.queries import Query
@@ -444,6 +446,108 @@ ORDER BY c.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# CCNet-style perplexity filter
+# --------------------------------------------------------------------------
+
+#: reference-corpus slice: every 5th document plays "Wikipedia" — the
+#: clean corpus CCNet trains its scoring LM on
+PPL_REF_MOD = 5
+
+
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style model-based quality scoring (operators/lm.py): a
+    Laplace bigram LM is trained on the reference slice (doc_id %
+    PPL_REF_MOD = 0), then every document is scored by integer-quantized
+    cross-entropy and bucketed head/middle/tail. LM tables broadcast,
+    corpus never shuffled for the joins; one map-side-combinable
+    per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(docs.filter(F.col("doc_id") % PPL_REF_MOD == 0))
+    out = LM.score_perplexity(docs, model)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "n_known",
+        "n_backoff",
+        "n_unk",
+        pround(F.col("cross_entropy"), 4).alias("cross_entropy"),
+        "ppl_bucket",
+    ).orderBy("doc_id")
+
+
+#: DuckDB twin of operators/lm.py::bigrams — range() is end-exclusive
+#: where Spark's sequence() is inclusive, so range(1, len) matches
+#: sequence(1, len - 1)
+_SQL_BIGRAMS = (
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+)
+
+_SQL_CE_RAW = (
+    "CASE WHEN coalesce(p.n_bigrams, 0) > 0"
+    f" THEN (CAST(p.sq AS BIGINT) / {float(LM.NLL_SCALE)}) / p.n_bigrams"
+    " ELSE 0.0 END"
+)
+
+PERPLEXITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), ref AS (
+  SELECT doc_id, toks FROM tok WHERE doc_id % {PPL_REF_MOD} = 0
+), uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY w1
+), v AS (
+  SELECT count(*) AS vv FROM uni
+), refbg AS (
+  SELECT unnest({_SQL_BIGRAMS}) AS bg FROM ref WHERE len(toks) >= 2
+), bi AS (
+  SELECT bg, count(*) AS c2 FROM refbg GROUP BY bg
+), lm AS (
+  SELECT bg,
+         CAST(floor(ln((c1 + vv) / (c2 + 1.0)) * {LM.NLL_SCALE} + 0.5) AS BIGINT) AS nll_q
+  FROM bi JOIN uni ON split_part(bg, ' ', 1) = w1 CROSS JOIN v
+), uq AS (
+  SELECT w1,
+         CAST(floor(ln((c1 + vv) / 1.0) * {LM.NLL_SCALE} + 0.5) AS BIGINT) AS nll1_q
+  FROM uni CROSS JOIN v
+), unk AS (
+  SELECT CAST(floor(ln(vv / 1.0) * {LM.NLL_SCALE} + 0.5) AS BIGINT) AS nll_unk_q
+  FROM v
+), docbg AS (
+  SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bg FROM tok WHERE len(toks) >= 2
+), sc AS (
+  SELECT d.doc_id,
+         coalesce(l.nll_q, u.nll1_q, k.nll_unk_q) AS q,
+         l.nll_q IS NOT NULL AS known,
+         l.nll_q IS NULL AND u.nll1_q IS NOT NULL AS backoff
+  FROM docbg d
+  LEFT JOIN lm l ON d.bg = l.bg
+  LEFT JOIN uq u ON split_part(d.bg, ' ', 1) = u.w1
+  CROSS JOIN unk k
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         sum(CASE WHEN known THEN 1 ELSE 0 END) AS n_known,
+         sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
+         sum(q) AS sq
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(p.n_known, 0) AS BIGINT) AS n_known,
+       CAST(coalesce(p.n_backoff, 0) AS BIGINT) AS n_backoff,
+       CAST(coalesce(p.n_bigrams, 0) - coalesce(p.n_known, 0)
+            - coalesce(p.n_backoff, 0) AS BIGINT) AS n_unk,
+       {sql_pround(_SQL_CE_RAW, 4)} AS cross_entropy,
+       CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 'empty'
+            WHEN {_SQL_CE_RAW} <= {LM.CE_HEAD} THEN 'head'
+            WHEN {_SQL_CE_RAW} <= {LM.CE_MIDDLE} THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM tok t LEFT JOIN per p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "gopher_quality": Query(
         gopher_quality,
@@ -464,5 +568,10 @@ QUERIES = {
         decontaminate_semantic,
         _semantic_decontam_oracle(),
         "embedding-cosine decontamination vs synthesized eval set",
+    ),
+    "perplexity_filter": Query(
+        perplexity_filter,
+        PERPLEXITY_ORACLE,
+        "CCNet bigram-LM cross-entropy scoring + head/middle/tail buckets",
     ),
 }
