@@ -784,7 +784,15 @@ def ngram_jaccard_pairs(
     intersection/union via array ops inside the joined row (no second
     shuffle). Verification-stage semantics for MinHash candidates.
     """
-    toks = tokens(F.col(text_col))
+    # stage the token array BEFORE the shingle transform: passing the
+    # tokenizer EXPRESSION into shingles() would inline it inside the
+    # per-element lambda via element_at and re-run the full regexp
+    # tokenization O(n) times per document (the HOF-lambda pathology
+    # measured 14x on the perplexity bigram path, operators/lm.py)
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     sh = F.array_distinct(shingles(toks, n))
     prefix = F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens)))
     # materialize the (id, block, shingles) relation once: both join legs
@@ -796,7 +804,7 @@ def ngram_jaccard_pairs(
     # sits AFTER the checkpoint barrier, or pushdown re-inlines the
     # shingle expression into the Filter (the minhash 50x lesson above).
     base = (
-        ensure_parallelism(df)
+        staged
         .select(F.col(id_col), prefix.alias("block_key"), sh.alias("sh"))
         .localCheckpoint(eager=True)
         .filter(F.size(F.col("sh")) > 0)

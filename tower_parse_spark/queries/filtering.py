@@ -74,9 +74,17 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle); NULL/empty text renders as an EMPTY line array in both
     engines (the strict `size > 0` guard mirrors the oracle's
     `len(toks) > 0` CASE, which sends NULL to the ELSE branch too).
+
+    The token array is STAGED as its own projection before the
+    line-building lambda: referencing the tokenizer EXPRESSION inside
+    the per-line `transform` would inline and re-run the full regexp
+    tokenization once per line per consumer (the element_at/HOF-lambda
+    pathology found on the perplexity bigram path, operators/lm.py::
+    bigrams — staging cut gopher_quality/line_cleaning ~10x at sf0.1).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
+    staged = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
     d = F.col("doc_id")
     boiler = F.array(*[F.lit(b) for b in BOILERPLATE_LINES])
 
@@ -121,7 +129,7 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.when(
         F.size(toks) > 0, F.transform(F.sequence(F.lit(1), n_lines), mk)
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", lines.alias("lines"))
+    return staged.select("doc_id", lines.alias("lines"))
 
 
 def _sql_boiler_list() -> str:
