@@ -315,3 +315,21 @@ def test_semantic_dedup_partition_invariants(spark, n_vecs, threshold):
         by_cell.setdefault(r.cell, []).append(r)
     for cell, members in by_cell.items():
         assert any(m.keep for m in members), f"cell {cell} fully dropped"
+
+
+@given(text=st.text(max_size=120))
+@settings(**SETTINGS)
+def test_bigrams_match_python_reference(spark, text):
+    """operators/lm.py::bigrams (zip_with over two slices) equals the
+    obvious python pairing of the tokenizer output for arbitrary text —
+    pins the slice-boundary arithmetic and the <2-token guard."""
+    from tower_parse_spark.operators.lm import bigrams
+
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        T.tokens(F.col("text")).alias("toks"),
+        bigrams(T.tokens(F.col("text"))).alias("bg"),
+    ).collect()[0]
+    toks = row["toks"]
+    expected = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    assert row["bg"] == expected
