@@ -8,7 +8,13 @@ import math
 from pyspark.sql import functions as F
 
 from tower_parse_spark.operators import lm as LM
-from tower_parse_spark.queries.filtering import PPL_REF_MOD, perplexity_filter
+from tower_parse_spark.queries.filtering import (
+    PPL_REF_MOD,
+    PPL_UNK_MOD,
+    PPL_UNK_OFFSET,
+    PPL_UNK_RES,
+    perplexity_filter,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -114,10 +120,43 @@ def test_all_buckets_fire_on_fixture(spark):
     assert {"head", "middle", "tail"} <= buckets
 
 
+def test_planted_oov_docs_hit_unk_path(spark):
+    """The planted out-of-vocabulary copies are the only rows where the
+    unknown-first-word penalty fires — every raw fixture word is covered
+    by the 20% reference slice, so without planting n_unk would be 0
+    in the whole oracle-checked distribution."""
+    out = perplexity_filter(spark, SF)
+    planted = out.filter(F.col("doc_id") >= PPL_UNK_OFFSET).collect()
+    assert planted, "fixture has no doc_id % 97 == 3 rows?"
+    assert all(r.n_unk >= 2 for r in planted)  # 2 all-unk leading bigrams
+    raw_unk = out.filter(
+        (F.col("doc_id") < PPL_UNK_OFFSET) & (F.col("n_unk") > 0)
+    ).count()
+    assert raw_unk == 0
+    # NOTE deliberately NOT asserted: "planted copy scores worse than
+    # its origin". On this fixture the vocabulary is tiny (V ~ 31), so
+    # the unknown penalty ln(V) ~ 3.43 nats sits BELOW the average
+    # bigram NLL — a fixture artifact, not an operator property. At
+    # real vocabulary sizes (10^5+) ln(V) dominates and the copies do
+    # score worse; the cross-engine hash parity is what the oracle
+    # checks here.
+    offsets = {r.doc_id - PPL_UNK_OFFSET for r in planted}
+    origins = {
+        r.doc_id
+        for r in out.filter(
+            (F.col("doc_id") % PPL_UNK_MOD == PPL_UNK_RES)
+            & (F.col("doc_id") < PPL_UNK_OFFSET)
+        ).collect()
+    }
+    assert offsets == origins  # every planted copy traces to an origin
+
+
 def test_reference_slice_scores_lower_than_average(spark):
     """Documents the LM was trained on must score systematically lower
     cross-entropy than unseen ones — the signal CCNet filters by."""
-    out = perplexity_filter(spark, SF).withColumn(
+    out = perplexity_filter(spark, SF).filter(
+        F.col("doc_id") < PPL_UNK_OFFSET
+    ).withColumn(
         "in_ref", (F.col("doc_id") % PPL_REF_MOD == 0)
     )
     avg = {

@@ -461,18 +461,37 @@ ORDER BY c.vec_id
 #: reference-corpus slice: every 5th document plays "Wikipedia" — the
 #: clean corpus CCNet trains its scoring LM on
 PPL_REF_MOD = 5
+#: planted out-of-vocabulary docs (id + PPL_UNK_OFFSET for doc_id %
+#: PPL_UNK_MOD = PPL_UNK_RES): three words no fixture tokenizer output
+#: contains, prepended to the original text, so the UNKNOWN-first-word
+#: penalty path demonstrably fires in the oracle-checked distribution
+#: (the fixture vocabulary is fully covered by the 20% reference slice,
+#: so without planting n_unk would be 0 everywhere — same rationale as
+#: the Gopher pathological modes above)
+PPL_UNK_OFFSET = 4_000_000
+PPL_UNK_MOD, PPL_UNK_RES = 97, 3
+PPL_UNK_WORDS = "zzqunka zzqunkb zzqunkc"
 
 
 def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style model-based quality scoring (operators/lm.py): a
     Laplace bigram LM is trained on the reference slice (doc_id %
-    PPL_REF_MOD = 0), then every document is scored by integer-quantized
+    PPL_REF_MOD = 0 of the RAW corpus), then every document — plus the
+    planted out-of-vocabulary copies — is scored by integer-quantized
     cross-entropy and bucketed head/middle/tail. LM tables broadcast,
     corpus never shuffled for the joins; one map-side-combinable
     per-doc aggregate."""
     docs = load_table(spark, sf_dir, "documents")
-    model = LM.train_bigram_lm(docs.filter(F.col("doc_id") % PPL_REF_MOD == 0))
-    out = LM.score_perplexity(docs, model)
+    d = F.col("doc_id")
+    planted = docs.filter(d % PPL_UNK_MOD == PPL_UNK_RES).select(
+        (d + PPL_UNK_OFFSET).alias("doc_id"),
+        F.concat(
+            F.lit(PPL_UNK_WORDS + " "), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionAll(planted)
+    model = LM.train_bigram_lm(docs.filter(d % PPL_REF_MOD == 0))
+    out = LM.score_perplexity(corpus, model)
     return out.select(
         "doc_id",
         "n_bigrams",
@@ -498,10 +517,20 @@ _SQL_CE_RAW = (
 )
 
 PERPLEXITY_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PPL_UNK_OFFSET} AS doc_id,
+         '{PPL_UNK_WORDS} ' || coalesce(text, '') AS text
+  FROM documents WHERE doc_id % {PPL_UNK_MOD} = {PPL_UNK_RES}
+), tok AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM aug
 ), ref AS (
-  SELECT doc_id, toks FROM tok WHERE doc_id % {PPL_REF_MOD} = 0
+  -- the LM trains on the RAW corpus slice only: planted ids can be
+  -- divisible by {PPL_REF_MOD} too (the offset is a multiple), so the
+  -- < offset guard keeps the out-of-vocabulary words out of the model
+  SELECT doc_id, toks FROM tok
+  WHERE doc_id % {PPL_REF_MOD} = 0 AND doc_id < {PPL_UNK_OFFSET}
 ), uni AS (
   SELECT w1, count(*) AS c1
   FROM (SELECT unnest(toks) AS w1 FROM ref) GROUP BY w1
