@@ -91,3 +91,28 @@ def test_downsample_is_subset_and_deterministic(spark, docs):
     assert ids1 == ids2
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert set(ids1) <= all_ids
+
+
+def test_null_key_buckets_to_null_on_both_engines(spark):
+    """NULL keys must bucket to NULL exactly like the SQL twin's
+    null-propagating || — concat_ws would silently collapse them all
+    into the md5(salt) bucket on the Spark side only (code review r7)."""
+    import duckdb
+
+    from tower_parse_spark.operators.sampling import sql_hash_bucket
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    rows = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id")).alias("b")
+        ).collect()
+    }
+    assert rows[1] is not None
+    assert rows[None] is None
+    oracle = duckdb.sql(
+        "SELECT " + sql_hash_bucket("doc_id")
+        + " AS b FROM (VALUES (1), (NULL)) t(doc_id) ORDER BY doc_id NULLS LAST"
+    ).fetchall()
+    assert oracle[0][0] == rows[1]
+    assert oracle[1][0] is None

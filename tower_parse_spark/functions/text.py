@@ -127,10 +127,18 @@ def combine_shingle_hashes(th: Column, n: int = 3) -> Column:
     )
 
 
+def wordlist_hits(toks: Column, words) -> Column:
+    """Count of distinct tokens appearing in *words* — the
+    distinct-intersect idiom shared by language-ID stopword scoring and
+    the Gopher required-stopword rule (one definition, one SQL twin, so
+    the engines cannot drift)."""
+    sw = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(toks), sw))
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     """Count of distinct tokens that are stopwords of *lang*."""
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.array_intersect(F.array_distinct(toks), sw))
+    return wordlist_hits(toks, STOPWORDS[lang])
 
 
 def predicted_lang(toks: Column) -> Column:
@@ -223,6 +231,10 @@ SQL_TOKENS = (
 SQL_TOKEN_HASH = "CAST('0x' || substr(md5({t}), 1, 15) AS BIGINT)"
 
 
+def sql_wordlist_hits(toks_expr: str, words) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_intersect(list_distinct({toks_expr}), [{quoted}]))"
+
+
 def sql_stopword_hits(toks_expr: str, lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"len(list_intersect(list_distinct({toks_expr}), [{words}]))"
+    return sql_wordlist_hits(toks_expr, STOPWORDS[lang])

@@ -116,14 +116,7 @@ def gopher_signals(
         n_words > 0,
         F.size(F.filter(F.col("_rtoks"), lambda w: w.rlike("[a-z]"))) / n_words,
     ).otherwise(F.lit(0.0))
-    # same distinct-intersect shape as functions/text.py::stopword_hits,
-    # over the paper's required list
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(F.col("_rtoks")),
-            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS]),
-        )
-    )
+    stop_hits = T.wordlist_hits(F.col("_rtoks"), GOPHER_REQUIRED_STOPWORDS)
     sig = d.select(
         id_col,
         n_lines.alias("n_lines"),

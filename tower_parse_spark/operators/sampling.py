@@ -36,8 +36,16 @@ def hash_bucket(key: Column, salt: str = "split") -> Column:
     Twin: CAST('0x' || substr(md5('salt|' || key), 1, 15) AS BIGINT)
     % N_BUCKETS. The salt decorrelates independent sampling decisions
     made on the same key (split vs downsample vs sharding).
+
+    NULL keys bucket to NULL on BOTH engines: the hash input is built
+    with ``concat`` (null-propagating, matching SQL ``||``), NOT
+    ``concat_ws`` (null-skipping) — concat_ws would silently collapse
+    every NULL key into the single md5(salt) bucket on the Spark side
+    while the twin yields NULL, breaking the bit-identical contract and
+    deterministically dumping all NULL-id rows into the first split.
+    For non-NULL keys the bytes are identical either way.
     """
-    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    h = F.md5(F.concat(F.lit(salt + "|"), key.cast("string")))
     return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_BUCKETS
 
 

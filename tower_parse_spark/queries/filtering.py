@@ -218,8 +218,7 @@ rend AS (
     CASE WHEN len(rtoks) > 0
          THEN len(list_filter(rtoks, w -> regexp_matches(w, '[a-z]'))) / CAST(len(rtoks) AS DOUBLE)
          ELSE 0.0 END AS alpha_frac,
-    len(list_intersect(list_distinct(rtoks),
-        [{", ".join("'" + w + "'" for w in Q.GOPHER_REQUIRED_STOPWORDS)}])) AS stop_hits
+    {T.sql_wordlist_hits("rtoks", Q.GOPHER_REQUIRED_STOPWORDS)} AS stop_hits
   FROM rt
 ), verdict AS (
   SELECT *,
