@@ -120,3 +120,47 @@ def test_fixture_contract(spark, name):
                 "session.load_table normalization"
             )
     assert df.count() > 0, f"{name} fixture is empty"
+
+
+def test_fixture_ids_below_synthesis_offsets(spark):
+    """The synthetic-augmentation offsets assume raw fixture ids never
+    reach them (ADVICE r7): queries/filtering.py plants OOV documents at
+    doc_id + PPL_UNK_OFFSET and eval embeddings at vec_id +
+    _EVAL_ID_OFFSET, and the oracles split raw-vs-planted rows with
+    `id < offset` predicates over the augmented union — an id at or
+    above an offset would silently diverge the two engines (and a
+    planted id could collide with a raw one). Pin the headroom at every
+    on-disk sf so a regenerated fixture that breaks the assumption
+    fails HERE with a named constant, not as a hash mismatch.
+    """
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from tower_parse_spark.queries import filtering as FL
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no testdata fixtures on disk"
+    for sf_dir in sf_dirs:
+        docs_max = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max("doc_id"))
+            .collect()[0][0]
+        )
+        vec_max = (
+            load_table(spark, sf_dir, "embeddings")
+            .agg(F.max("vec_id"))
+            .collect()[0][0]
+        )
+        # strict headroom: even doc_id + offset (the planted id) must not
+        # collide with another planted id's raw origin, which holds as
+        # long as raw ids stay below the SMALLEST offset in play
+        assert docs_max < FL._EVAL_ID_OFFSET, (
+            f"{sf_dir}: max doc_id {docs_max} >= _EVAL_ID_OFFSET"
+        )
+        assert docs_max < FL.PPL_UNK_OFFSET, (
+            f"{sf_dir}: max doc_id {docs_max} >= PPL_UNK_OFFSET"
+        )
+        assert vec_max < FL._EVAL_ID_OFFSET, (
+            f"{sf_dir}: max vec_id {vec_max} >= _EVAL_ID_OFFSET"
+        )

@@ -75,6 +75,15 @@ def test_gopher_empty_lines(spark):
     assert row.mean_word_len == 0.0 and row.alpha_frac == 0.0
 
 
+def test_gopher_null_lines_fails_closed(spark):
+    # a NULL lines column NULLs every signal and every rule condition;
+    # without the leading malformed rule the verdict would fall through
+    # to 'pass' (fail-open — ADVICE r7). Malformed docs must FAIL.
+    row = Q.gopher_signals(lines_table(spark, [(1, None)])).collect()[0]
+    assert row.fail_reason == "malformed"
+    assert row.passes is False
+
+
 # --------------------------------------------------------------------------
 # C4 line cleaning
 # --------------------------------------------------------------------------
@@ -202,10 +211,13 @@ def test_semantic_decontam_broadcasts_eval_side(spark):
         .executedPlan()
         .toString()
     )
-    # candidate generation and the verdict join-back are both broadcast
-    # hash joins: the corpus is never shuffled for a join
+    # candidate generation is a broadcast hash join — the vector-bearing
+    # corpus is never shuffled for it. The verdict join-back is UNhinted
+    # (ADVICE r7: |hits| is unbounded), so the static plan may carry one
+    # SMJ over the id-only corpus projection; AQE broadcasts it at
+    # runtime when hits is small.
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1
 
 
 # --------------------------------------------------------------------------

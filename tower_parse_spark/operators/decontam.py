@@ -17,10 +17,13 @@ Scale design (100 TB corpus, benchmark ≪ corpus — the realistic shape):
 - The corpus side explodes to (id, gram) and hits the broadcast set with
   a **broadcast semi-ish inner join**: the corpus is never shuffled; the
   only shuffle is the per-doc match count over the (tiny) matching rows.
-- The final flag join broadcasts the match-count relation back onto the
-  corpus (bounded by the number of contaminated docs).
+- The final flag join-back of the match-count relation onto the corpus
+  carries NO hint: |hits| is bounded only by the number of contaminated
+  docs, which is unbounded in the worst case, so the decision is left
+  to AQE — it broadcasts at runtime when the relation is in fact small
+  (the common case) and falls back to a shuffle join when it is not.
 
-So: zero corpus shuffles, two broadcasts, one small-aggregate shuffle —
+So: zero corpus shuffles, one forced broadcast, one small-aggregate shuffle —
 the plan survives a 1000-executor scan. Reference context: the reference
 has no corpus tooling at all (it stops at ingest, readport.py:1-50);
 this family is part of the BASELINE.json extension surface.
@@ -102,9 +105,14 @@ def flag_contaminated(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+    # join-back carries NO broadcast hint: |hits| scales with the number
+    # of contaminated corpus rows, which is unbounded — a heavily
+    # contaminated corpus would blow a forced broadcast. AQE promotes it
+    # to broadcast at runtime when it IS small (the common case); only
+    # the benchmark side is hinted.
     return (
         corpus.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_shared_grams"), F.lit(0).cast("long")).alias(
@@ -185,11 +193,10 @@ def flag_contaminated_fuzzy(
             F.max("est").alias("max_est"),
         )
     )
+    # unhinted join-back (unbounded |hits| — see flag_contaminated_ngram)
     return (
         corpus.select(id_col)
-        .join(
-            F.broadcast(hits.withColumnRenamed("cid", id_col)), id_col, "left"
-        )
+        .join(hits.withColumnRenamed("cid", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_bench_matches"), F.lit(0).cast("long")).alias(
@@ -274,9 +281,10 @@ def flag_contaminated_semantic(
         F.count(F.lit(1)).alias("n_eval_matches"),
         F.max("cos_r").alias("max_cos"),
     )
+    # unhinted join-back (unbounded |hits| — see flag_contaminated_ngram)
     return (
         corpus.select(F.col(id_col))
-        .join(F.broadcast(hits.withColumnRenamed("cid", id_col)), id_col, "left")
+        .join(hits.withColumnRenamed("cid", id_col), id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("n_eval_matches"), F.lit(0).cast("long")).alias(

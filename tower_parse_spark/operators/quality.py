@@ -129,7 +129,16 @@ def gopher_signals(
         stop_hits.alias("stop_hits"),
     )
     fail = (
+        # fail CLOSED on malformed input: a NULL lines column (operator
+        # called directly, not via a guarded fixture rendering) makes
+        # every signal and every when-condition NULL, which would fall
+        # through to 'pass' — a malformed document must never pass
+        # quality filtering (mirrored in the oracle CASE)
         F.when(
+            F.col("n_lines").isNull() | F.col("n_words").isNull(),
+            F.lit("malformed"),
+        )
+        .when(
             (F.col("n_words") < GOPHER_MIN_WORDS)
             | (F.col("n_words") > GOPHER_MAX_WORDS),
             F.lit("words"),

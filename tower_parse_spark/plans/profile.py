@@ -184,6 +184,14 @@ class DeviceProfile:
             device = cp["device"]
             parser = cp["parser"]
             raw = cp.get("parser", "regex", raw=True)
+            # literal-eval interprets \n/\t/\xhh like the reference's
+            # eval does, but regex atoms like \d or \S are INVALID bytes
+            # escapes — Python keeps them verbatim while emitting a
+            # DeprecationWarning per compile. Pre-double exactly those
+            # backslashes: byte-identical result, no warning, and the
+            # behavior survives the planned py3.x hard error for
+            # invalid escapes.
+            raw = re.sub(r"\\(?![\\'\"abfnrtv0-7x\n])", r"\\\\", raw)
             raw_regex = ast.literal_eval("b'{}'".format(raw)).decode(
                 "utf-8", errors="replace"
             )

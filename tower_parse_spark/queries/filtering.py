@@ -222,7 +222,12 @@ rend AS (
   FROM rt
 ), verdict AS (
   SELECT *,
-    CASE WHEN n_words < {Q.GOPHER_MIN_WORDS} OR n_words > {Q.GOPHER_MAX_WORDS} THEN 'words'
+    -- fail-closed malformed rule mirrored from gopher_signals: the
+    -- lined CTE never yields NULL here (the len(toks) guard), so this
+    -- branch is dormant in the oracle, but the CASE must match the
+    -- Spark verdict expression branch-for-branch
+    CASE WHEN n_lines IS NULL OR n_words IS NULL THEN 'malformed'
+         WHEN n_words < {Q.GOPHER_MIN_WORDS} OR n_words > {Q.GOPHER_MAX_WORDS} THEN 'words'
          WHEN mean_wl < {Q.GOPHER_MIN_MEAN_WORD_LEN} OR mean_wl > {Q.GOPHER_MAX_MEAN_WORD_LEN} THEN 'word_len'
          WHEN symbol_ratio > {Q.GOPHER_MAX_SYMBOL_RATIO} THEN 'symbol_ratio'
          WHEN bullet_frac > {Q.GOPHER_MAX_BULLET_FRAC} THEN 'bullet'
@@ -467,6 +472,11 @@ PPL_REF_MOD = 5
 #: (the fixture vocabulary is fully covered by the 20% reference slice,
 #: so without planting n_unk would be 0 everywhere — same rationale as
 #: the Gopher pathological modes above)
+#: both offsets assume raw fixture ids stay strictly below them — the
+#: oracles split raw-vs-planted rows with `id < offset` predicates over
+#: the augmented union. tests/test_fixture_contract.py::
+#: test_fixture_ids_below_synthesis_offsets pins the headroom at every
+#: on-disk sf (ADVICE r7).
 PPL_UNK_OFFSET = 4_000_000
 PPL_UNK_MOD, PPL_UNK_RES = 97, 3
 PPL_UNK_WORDS = "zzqunka zzqunkb zzqunkc"
