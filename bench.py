@@ -120,35 +120,61 @@ def materialize(df) -> None:
 COMPACT_LINE_BUDGET = 1900
 
 
-def compact_line(times: dict[str, float], total: float, sf: float) -> str:
-    """The driver-contract line: {"metric","value","unit","queries","sf"}.
-    When the full per-query dict would overflow the driver's ~2 kB tail
-    capture (the r5 artifact loss), degrade GRADUALLY (VERDICT r6 item
-    7): first re-round every timing to 2 decimals (keeps every query —
-    10 ms resolution is far inside the ~20% run-to-run noise), then, if
-    still over, drop the FASTEST queries one at a time with a
-    ``queries_truncated`` marker (a regression on a sub-0.1 s query is
-    indistinguishable from noise anyway; the slow queries are the perf
-    evidence). The headline total stays the exact full-set total in
-    every form. Unit-tested against a 100+-query registry so growth
-    can't silently break the contract again."""
+def compact_line(
+    times: dict[str, float],
+    total: float,
+    sf: float,
+    spread_pct: dict[str, float] | None = None,
+) -> str:
+    """The driver-contract line: {"metric","value","unit","queries","sf"}
+    plus ``sp`` — per-query run-to-run spread as an INTEGER-percent array
+    aligned with the ``queries`` key order (VERDICT r7 item 2: a
+    name-keyed spread dict costs ~20 chars/query and cannot fit the
+    driver's ~2 kB tail next to the timings; the aligned array costs
+    ~3). ``tools/bench_regress.py`` reconstructs spread_pct from it, so
+    driver-to-driver comparisons carry a real noise gate instead of the
+    bare 1.3x bar that let 13 load-noise flags stand unfalsifiable in r7.
+
+    When the line would overflow the tail capture (the r5 artifact
+    loss), degrade GRADUALLY (VERDICT r6 item 7): first re-round every
+    timing to 2 decimals (keeps every query — 10 ms resolution is far
+    inside the ~20% run-to-run noise), then, if still over, drop the
+    FASTEST queries one at a time — timing and spread together, keeping
+    the alignment — with a ``queries_truncated`` marker (a regression on
+    a sub-0.1 s query is indistinguishable from noise anyway; the slow
+    queries are the perf evidence). The headline total stays the exact
+    full-set total in every form. Unit-tested against a 100+-query
+    registry so growth can't silently break the contract again."""
+    spread_pct = spread_pct or {}
+
+    def sp_for(names) -> list[int]:
+        # integers, capped at 999 (a 10x spread is already "unusable
+        # sample" — precision past that buys nothing)
+        return [
+            min(999, int(round(spread_pct.get(n, 0.0)))) for n in names
+        ]
+
     compact = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "sp": sp_for(times),
         "sf": sf,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
-    kept = {k: round(v, 2) for k, v in times.items()}
-    compact["queries"] = kept
+    items = sorted(
+        ((k, round(v, 2)) for k, v in times.items()), key=lambda kv: -kv[1]
+    )
+    compact["queries"] = dict(items)
+    compact["sp"] = sp_for(compact["queries"])
     line = json.dumps(compact, separators=(",", ":"))
-    items = sorted(kept.items(), key=lambda kv: -kv[1])
     while items and len(line) > COMPACT_LINE_BUDGET:
-        items.pop()  # shed the fastest remaining query
+        items.pop()  # shed the fastest remaining query (and its spread)
         compact["queries"] = dict(items)
+        compact["sp"] = sp_for(compact["queries"])
         compact["queries_truncated"] = len(times) - len(items)
         line = json.dumps(compact, separators=(",", ":"))
     return line
@@ -236,7 +262,7 @@ def main() -> int:
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
-    print(compact_line(times, total, sf))
+    print(compact_line(times, total, sf, spread_pct))
     return 0
 
 

@@ -3,9 +3,11 @@
 The driver's stdout tail keeps ~2 kB and parses the FINAL line; round 5
 lost its external perf artifact when the line overflowed. These tests
 pin the budget against registry growth: at 100+ queries the line must
-truncate to the slowest-40 form, stay parseable, keep the exact total,
-and carry the queries_truncated marker (VERDICT r6 item 7). No Spark
-session involved.
+truncate to the slowest-N form, stay parseable, keep the exact total,
+and carry the queries_truncated marker (VERDICT r6 item 7). Since r8 the
+line also carries ``sp`` — per-query spread as an integer-percent array
+aligned with the queries key order (VERDICT r7 item 2) — which must stay
+aligned through every degradation rung. No Spark session involved.
 """
 
 from __future__ import annotations
@@ -24,26 +26,35 @@ def _times(n: int) -> dict[str, float]:
     }
 
 
+def _spreads(times: dict[str, float]) -> dict[str, float]:
+    # realistic two-digit spreads (r7 driver noise median was 27.1%)
+    return {k: 7.0 + (i * 13) % 60 for i, k in enumerate(times)}
+
+
 def test_small_registry_line_is_complete_and_parseable():
     times = _times(40)
-    line = bench.compact_line(times, sum(times.values()), 0.1)
+    sp = _spreads(times)
+    line = bench.compact_line(times, sum(times.values()), 0.1, sp)
     assert len(line) <= bench.COMPACT_LINE_BUDGET
     parsed = json.loads(line)
     assert parsed["queries"] == times
     assert "queries_truncated" not in parsed
     assert parsed["metric"] == "headline_queries_total"
+    # sp aligns with the queries key order, integer percents
+    assert parsed["sp"] == [int(round(sp[k])) for k in parsed["queries"]]
 
 
 def test_oversize_registry_truncates_within_budget():
     times = _times(120)
+    sp = _spreads(times)
     total = round(sum(times.values()), 3)
-    line = bench.compact_line(times, total, 0.1)
+    line = bench.compact_line(times, total, 0.1, sp)
     assert len(line) <= bench.COMPACT_LINE_BUDGET
     parsed = json.loads(line)
     # graceful degradation: marker counts exactly the shed queries, and
     # only the FASTEST were shed — every kept timing >= every dropped one
     assert parsed["queries_truncated"] == 120 - len(parsed["queries"])
-    assert len(parsed["queries"]) >= 40
+    assert len(parsed["queries"]) >= 30
     # total stays the FULL total, not the kept subset's
     assert parsed["value"] == total
     kept_min = min(parsed["queries"].values())
@@ -51,13 +62,16 @@ def test_oversize_registry_truncates_within_budget():
         round(v, 2) for k, v in times.items() if k not in parsed["queries"]
     )
     assert kept_min >= dropped_max
+    # spread stays aligned with the SURVIVING queries
+    assert parsed["sp"] == [int(round(sp[k])) for k in parsed["queries"]]
 
 
 def test_moderate_overflow_keeps_every_query_at_2dp():
     """Just past the budget, the 2-decimal re-round must absorb the
-    overflow WITHOUT dropping any query — the current ~67-query registry
-    shape (names ~18 chars, 3dp timings)."""
-    times = {f"realistic_name_{i:04d}": 3.141 for i in range(66)}
+    overflow WITHOUT dropping any query (the graduated-degradation
+    rung). The band is narrower with sp on board, so the case pins it
+    exactly: 62 queries x 19-char names, zero spreads."""
+    times = {f"realistic_name_{i:04d}": 3.141 for i in range(62)}
     full_3dp = len(
         json.dumps(
             {
@@ -65,26 +79,79 @@ def test_moderate_overflow_keeps_every_query_at_2dp():
                 "value": 207.3,
                 "unit": "sec",
                 "queries": times,
+                "sp": [0] * len(times),
                 "sf": 0.1,
             },
             separators=(",", ":"),
         )
     )
     assert full_3dp > bench.COMPACT_LINE_BUDGET  # the case under test
-    line = bench.compact_line(times, 207.306, 0.1)
+    line = bench.compact_line(times, 207.306, 0.1, {})
     parsed = json.loads(line)
     assert len(line) <= bench.COMPACT_LINE_BUDGET
     assert "queries_truncated" not in parsed
-    assert len(parsed["queries"]) == 66
+    assert len(parsed["queries"]) == 62
     assert all(v == 3.14 for v in parsed["queries"].values())
+    assert parsed["sp"] == [0] * 62
 
 
-def test_current_headline_set_fits_untruncated():
-    """The real headline list at realistic timings must not need the
-    degraded form — if this starts failing, trim HEADLINE or widen the
-    driver contract deliberately, not by accident."""
-    times = {name: 3.141 for name in bench.HEADLINE}
-    line = bench.compact_line(times, sum(times.values()), 0.1)
+def test_current_headline_set_sheds_only_subsecond_queries():
+    """The real headline list at realistic timings and spreads may need
+    the degraded form, but it must never shed a query slow enough to be
+    perf evidence: everything >= 0.5 s stays on the line. (The shed
+    sub-0.5 s queries are below/near bench_regress's MIN_BASE_SEC gate
+    and inside run-to-run noise anyway.)"""
+    # realistic sf0.1 shape: most queries ~0.3-1.5 s, a slow tail
+    times = {
+        name: round(0.25 + (i * 37 % 100) / 40.0, 3)
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    sp = {name: 27.0 for name in times}
+    line = bench.compact_line(times, sum(times.values()), 0.1, sp)
     parsed = json.loads(line)
     assert len(line) <= bench.COMPACT_LINE_BUDGET
-    assert "queries_truncated" not in parsed
+    kept = parsed["queries"]
+    shed = [k for k in times if k not in kept]
+    assert all(times[k] < 0.5 for k in shed), shed
+    assert parsed["sp"] == [27] * len(kept)
+
+
+def test_compact_line_without_spread_still_emits_sp():
+    # omitted spread dict (a caller that only has timings) degrades to
+    # zeros, never to a missing/misaligned field
+    times = _times(10)
+    parsed = json.loads(bench.compact_line(times, 1.0, 0.01))
+    assert parsed["sp"] == [0] * 10
+
+
+def test_bench_regress_reconstructs_spread_from_sp(tmp_path):
+    """End-to-end through tools/bench_regress.py: two driver-style
+    artifacts whose final compact line carries sp must gate on the
+    reconstructed per-query spread — a delta inside the measured spread
+    is NOT a regression even past the 1.3x structural bar, and a delta
+    outside it IS."""
+    import subprocess
+    import sys
+
+    def artifact(path, noisy_sec, quiet_sec, noisy_sp):
+        times = {"noisy_query_name_x": noisy_sec, "quiet_query_name_y": quiet_sec}
+        sp = {"noisy_query_name_x": noisy_sp, "quiet_query_name_y": 2.0}
+        line = bench.compact_line(times, sum(times.values()), 0.1, sp)
+        # driver shape: wraps the parsed final line
+        path.write_text(json.dumps({"n": 8, "parsed": json.loads(line)}))
+
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    artifact(old, 1.0, 1.0, 60.0)
+    # noisy query 1.5x slower but within its 60% spread -> not flagged;
+    # quiet query 1.5x slower with 2% spread -> flagged
+    artifact(new, 1.5, 1.5, 60.0)
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    flagged = {r["query"] for r in out["regressions"]}
+    assert flagged == {"quiet_query_name_y"}, out
+    assert proc.returncode == 1

@@ -29,6 +29,16 @@ def main() -> int:
     if len(sys.argv) != 3:
         print(__doc__)
         return 2
+    def expand_sp(d: dict) -> dict:
+        # r8+ compact lines carry per-query spread as the integer array
+        # "sp", aligned with the queries key order (the name-keyed dict
+        # doesn't fit the driver's ~2 kB tail) — expand it so driver
+        # artifacts gate on real measured noise, not the bare 1.3x bar
+        if "sp" in d and "spread_pct" not in d and "queries" in d:
+            d = dict(d)
+            d["spread_pct"] = dict(zip(d["queries"], d["sp"]))
+        return d
+
     def load(path: str) -> dict:
         text = open(path).read()
         try:
@@ -41,12 +51,16 @@ def main() -> int:
             for ln in text.splitlines():
                 ln = ln.strip()
                 if ln.startswith("{"):
-                    part = json.loads(ln)
+                    # expand sp per-line, BEFORE the merge can swap in the
+                    # enriched line's (larger) queries dict and break the
+                    # positional alignment
+                    part = expand_sp(json.loads(ln))
                     if len(part.get("queries", {})) < len(d.get("queries", {})):
                         part.pop("queries", None)
                     d.update(part)
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
-        return d.get("parsed", d) or d
+        d = d.get("parsed", d) or d
+        return expand_sp(d)
 
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
