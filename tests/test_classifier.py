@@ -1,0 +1,115 @@
+"""Hashed-feature Naive Bayes quality classifier
+(operators/classifier.py, queries/filtering.py::quality_classifier)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators import classifier as CL
+
+CLEAN = "the committee published the annual report with detailed findings"
+SPAM = "click here buy now free casino winner bonus offer deal"
+
+
+def _labeled(spark):
+    rows = [(True, CLEAN + " today"), (True, CLEAN + " yesterday")] + [
+        (False, SPAM + " now"),
+        (False, SPAM + " again"),
+    ]
+    return spark.createDataFrame(rows, "label boolean, text string")
+
+
+def test_directional_scoring(spark):
+    model = CL.train_quality_nb(_labeled(spark))
+    corpus = spark.createDataFrame(
+        [
+            (1, CLEAN),  # pure positive vocabulary
+            (2, SPAM),  # pure negative vocabulary
+            (3, CLEAN + " " + SPAM + " " + SPAM),  # spam-dominated mix
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CL.score_quality(corpus, model).collect()}
+    assert out[1].is_quality and out[1].score_q > 0
+    assert not out[2].is_quality and out[2].score_q < 0
+    assert not out[3].is_quality
+    # log_odds is the nat value of the quantized integer score
+    assert abs(out[1].log_odds - round(out[1].score_q / 1e6, 4)) < 1e-9
+
+
+def test_empty_and_null_docs_keep_verdict_rows(spark):
+    model = CL.train_quality_nb(_labeled(spark))
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "...!!!")],  # tokenizer yields [] for all
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in CL.score_quality(corpus, model).collect()}
+    assert set(rows) == {1, 2, 3}
+    prior = model.consts.collect()[0].prior_q
+    for r in rows.values():
+        assert r.n_tokens == 0
+        # scored on the prior alone (equal class sizes here -> 0)
+        assert r.score_q == prior == 0
+
+
+def test_unseen_tokens_get_default_weight(spark):
+    model = CL.train_quality_nb(_labeled(spark))
+    w0 = model.consts.collect()[0].w0_q
+    # tokens chosen to hash AWAY from every bucket the fixed training
+    # slice observes (feature-hash collisions are part of the method;
+    # this test wants the pure-unseen path)
+    corpus = spark.createDataFrame(
+        [(1, "qqunseen0 qqunseen1")], "doc_id long, text string"
+    )
+    r = CL.score_quality(corpus, model).collect()[0]
+    # both tokens hash to unobserved buckets -> exactly 2 * w0 + prior
+    assert r.score_q == 2 * w0
+    assert r.n_tokens == 2
+
+
+def test_weight_table_bounded_by_construction(spark):
+    # many distinct tokens still produce <= N_FEATURES weight rows —
+    # the broadcast-safety argument for the scoring join
+    rows = [(i % 2 == 0, f"tokn{i} tokm{i * 7} tokz{i * 13}") for i in range(400)]
+    labeled = spark.createDataFrame(rows, "label boolean, text string")
+    model = CL.train_quality_nb(labeled)
+    assert model.weights.count() <= CL.N_FEATURES
+
+
+def test_scoring_plan_shape(spark):
+    model = CL.train_quality_nb(_labeled(spark))
+    corpus = spark.createDataFrame(
+        [(1, CLEAN)], "doc_id long, text string"
+    )
+    plan = (
+        CL.score_quality(corpus, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # the corpus token stream reaches the weight table via broadcast
+    # (bounded at N_FEATURES rows by construction) and is shuffled
+    # exactly once — the per-document aggregate
+    assert "BroadcastHashJoin" in plan
+    corpus_shuffles = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert corpus_shuffles.count("doc_id") == 1, plan
+
+
+def test_quality_classifier_query_plants_fire(spark):
+    from tower_parse_spark.queries.filtering import (
+        QC_SPAM_OFFSET,
+        quality_classifier,
+    )
+
+    out = quality_classifier(spark, "/root/testdata/sf0.001")
+    planted = out.filter(F.col("doc_id") >= QC_SPAM_OFFSET)
+    n_planted = planted.count()
+    assert n_planted > 0
+    # every planted junk copy is classified not-quality
+    assert planted.filter(F.col("is_quality")).count() == 0
+    # the bulk of the raw corpus classifies as quality
+    raw = out.filter(F.col("doc_id") < QC_SPAM_OFFSET)
+    kept = raw.filter(F.col("is_quality")).count()
+    assert kept / raw.count() > 0.9

@@ -161,6 +161,9 @@ def test_fixture_ids_below_synthesis_offsets(spark):
         assert docs_max < FL.PPL_UNK_OFFSET, (
             f"{sf_dir}: max doc_id {docs_max} >= PPL_UNK_OFFSET"
         )
+        assert docs_max < FL.QC_SPAM_OFFSET, (
+            f"{sf_dir}: max doc_id {docs_max} >= QC_SPAM_OFFSET"
+        )
         assert vec_max < FL._EVAL_ID_OFFSET, (
             f"{sf_dir}: max vec_id {vec_max} >= _EVAL_ID_OFFSET"
         )

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from tower_parse_spark.functions import text as T  # noqa: E402
+from tower_parse_spark.operators import classifier as CL  # noqa: E402
 from tower_parse_spark.operators import lm as LM  # noqa: E402
 from tower_parse_spark.operators import quality as Q  # noqa: E402
 from tower_parse_spark.operators.sampling import temperature_weights  # noqa: E402
@@ -114,6 +115,34 @@ def main() -> int:
     )
     t = noop(temperature_weights(per, size_col="n_tokens"))
     out["reweight_1000_domains_s"] = t
+
+    # NB quality classifier (r8): train on a 20% labeled slice (half of
+    # it spam-decorated), then score the full corpus — the weight table
+    # is materialized once like a deployment would (the model is an
+    # artifact, not a per-query subplan)
+    t0 = time.time()
+    spam = F.concat(
+        F.col("text"), F.lit(" zzclicka zzbuyb zzfreec zzcasinod")
+    )
+    labeled = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.lit(True).alias("label"), F.col("text"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 10 == 1).select(
+                F.lit(False).alias("label"), spam.alias("text")
+            )
+        )
+    )
+    nb = CL.train_quality_nb(labeled)
+    nb = CL.NBModel(
+        weights=nb.weights.localCheckpoint(eager=True),
+        consts=nb.consts.localCheckpoint(eager=True),
+    )
+    out["nb_train_s"] = round(time.time() - t0, 2)
+    out["nb_weight_rows"] = nb.weights.count()
+    t = noop(CL.score_quality(docs, nb))
+    out["nb_score_s"] = t
+    out["nb_docs_per_s"] = round(n / t)
 
     print(json.dumps(out))
     return 0

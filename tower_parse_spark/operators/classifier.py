@@ -1,0 +1,228 @@
+"""Model-based document quality classifier for LLM corpus curation.
+
+Public methodology: the big public pipelines pair the CCNet perplexity
+filter (operators/lm.py) with a TRAINED quality classifier — GPT-3
+(Brown et al. 2020, Appendix A) trains a logistic classifier over
+hashed features to score Common Crawl against a WebText-positive class;
+LLaMA (Touvron et al. 2023) keeps a Wikipedia-reference classifier;
+CCNet itself (Wenzek et al. 2019) describes the same head/tail split
+driven by a learned model. This module is the relational re-expression
+with a multinomial Naive Bayes head instead of logistic regression:
+NB's maximum-likelihood "training" is two counting aggregations in
+closed form — no gradient loop — which is what makes the trainer a
+pure DataFrame job and the scorer a broadcast join, with zero Python
+in either path.
+
+Model = hashed bag-of-words features (feature hashing, Weinberger et
+al. 2009: token -> md5 bucket in [0, N_FEATURES) — the repo's portable
+md5 machinery, so DuckDB reproduces every bucket bit-for-bit) + per-
+bucket log-odds weights:
+
+    w(b)   = ln P(b | pos) - ln P(b | neg)        (Laplace-smoothed)
+    score  = prior + sum over doc tokens of w(bucket(token))
+    prior  = ln(n_pos_docs / n_neg_docs)
+
+Cross-engine exactness (the quantize-then-sum rule, cf. operators/
+lm.py::NLL_SCALE): every weight is quantized to integer MICRO-NATS once
+on the tiny model side — each ln sees a ratio of exact small integers
+(one IEEE division, identical bits on both engines) — so per-document
+scores are INTEGER sums, associative and exact under any partial-
+aggregation order.
+
+Scale shape (the decisive part at 100 TB):
+
+- Training touches only the LABELED slice (thousands-to-millions of
+  docs, never the crawl): two map-side-combinable aggregations (per-
+  bucket class counts, one-row class totals). Offline, once.
+- The weight table is bounded BY CONSTRUCTION at N_FEATURES rows — the
+  whole point of feature hashing is that the model size is fixed no
+  matter how large the training vocabulary grows — so its broadcast
+  hint is safe at any corpus size (unlike an unbounded hits relation,
+  cf. the decontam join-backs).
+- Scoring streams the corpus: tokenization + bucketing are row-local
+  scan expressions, the weights broadcast, and the per-document sum is
+  map-side combinable on doc_id because a document's exploded tokens
+  are co-located with their source row. ONE corpus shuffle total (the
+  per-doc aggregate).
+- The prior/default-weight terms are one-row aggregates broadcast back
+  as single-row cross joins (the allowlisted tf-idf-N pattern).
+
+Reference context: the reference has no quality filtering at all
+(readport.py is a fixed-format ingest pipeline); this module extends
+the LLM-curation surface BASELINE.json directs, alongside
+operators/quality.py (rule-based) and operators/lm.py (perplexity).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from tower_parse_spark.functions import text as T
+
+#: hashed feature space. 1024 buckets keeps the weight table broadcast-
+#: trivial while leaving collisions rare at fixture vocabulary sizes;
+#: production would raise it (2^18 is the GPT-3-era default) — the plan
+#: shape is unchanged, the table stays bounded by construction.
+N_FEATURES = 1024
+
+#: weight quantization scale: micro-nats (cf. operators/lm.py::NLL_SCALE)
+W_SCALE = 1_000_000
+
+#: salt decorrelating the feature hash from the sampling/split hashes
+#: that share the md5 machinery (cf. operators/sampling.py::hash_bucket)
+FEATURE_SALT = "qc"
+
+
+def feature_bucket(tok: Column) -> Column:
+    """Portable hashed-feature bucket in [0, N_FEATURES): first 15 hex
+    chars of md5(salt || '|' || token) as bigint, mod N_FEATURES.
+    Twin: :func:`sql_feature_bucket`. NULL tokens bucket to NULL (concat
+    is null-propagating, matching SQL ``||``)."""
+    h = F.md5(F.concat(F.lit(FEATURE_SALT + "|"), tok))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_FEATURES
+
+
+def sql_feature_bucket(tok_expr: str) -> str:
+    """DuckDB twin of :func:`feature_bucket`."""
+    return (
+        f"CAST('0x' || substr(md5('{FEATURE_SALT}' || '|' || {tok_expr}), 1, 15)"
+        f" AS BIGINT) % {N_FEATURES}"
+    )
+
+
+def _quant_ln(num: Column, den: Column) -> Column:
+    """floor(ln(num/den) * W_SCALE + 0.5) as a long — num/den are exact
+    small-integer doubles, so both engines see identical ln inputs."""
+    return F.floor(
+        F.log(num / den) * F.lit(float(W_SCALE)) + F.lit(0.5)
+    ).cast("long")
+
+
+class NBModel(NamedTuple):
+    """A trained Naive Bayes quality model as two relations.
+
+    weights: (bucket, w_q) — quantized log-odds of each OBSERVED bucket
+    consts:  one row (w0_q, prior_q) — the unseen-bucket default weight
+             ln(1/(N_pos+B)) - ln(1/(N_neg+B)) and the class prior
+             ln(n_pos_docs / n_neg_docs), both quantized
+    """
+
+    weights: DataFrame
+    consts: DataFrame
+
+
+def train_quality_nb(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+) -> NBModel:
+    """Train the NB model on *labeled* (boolean *label_col*: True =
+    quality/positive class). Two aggregations over the labeled slice;
+    every weight quantized once, model-side."""
+    toks = labeled.select(
+        F.col(label_col).alias("_pos"),
+        F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
+    ).filter(F.col("_tok").isNotNull())
+    per_bucket = toks.groupBy(
+        feature_bucket(F.col("_tok")).alias("bucket")
+    ).agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("n_neg"),
+    )
+    # one-row totals: token mass per class + doc counts for the prior
+    # (token count STAGED so the tokenizer runs once per row, not once
+    # per consuming aggregate — the established staging rule)
+    totals = labeled.select(
+        F.col(label_col).alias("_pos"),
+        F.coalesce(F.size(T.tokens(F.col(text_col))), F.lit(0)).alias("_n"),
+    ).agg(
+        F.sum(F.when(F.col("_pos"), F.col("_n")).otherwise(0)).alias("tot_pos"),
+        F.sum(F.when(~F.col("_pos"), F.col("_n")).otherwise(0)).alias("tot_neg"),
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("docs_pos"),
+        F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("docs_neg"),
+    )
+    b = F.lit(float(N_FEATURES))
+    # per-bucket log-odds: quantize each class term separately so the
+    # difference is a difference of two independently-exact integers
+    weights = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            _quant_ln(F.col("n_pos") + 1.0, F.col("tot_pos") + b)
+            - _quant_ln(F.col("n_neg") + 1.0, F.col("tot_neg") + b)
+        ).alias("w_q"),
+    )
+    consts = totals.select(
+        (
+            _quant_ln(F.lit(1.0), F.col("tot_pos") + b)
+            - _quant_ln(F.lit(1.0), F.col("tot_neg") + b)
+        ).alias("w0_q"),
+        _quant_ln(
+            F.col("docs_pos").cast("double"), F.col("docs_neg").cast("double")
+        ).alias("prior_q"),
+    )
+    return NBModel(weights=weights, consts=consts)
+
+
+def score_quality(
+    corpus: DataFrame,
+    model: NBModel,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score *corpus* under *model*: per document, the integer micro-nat
+    log-odds sum ``score_q``, its nat value ``log_odds`` (pround 4), and
+    the boolean quality verdict (score > 0 — the equal-cost decision
+    boundary).
+
+    Plan: tokens explode row-locally, hit the broadcast weight table,
+    and re-aggregate on *id_col* (map-side combinable). Zero-token and
+    NULL-text documents keep a verdict row via explode_outer (scored on
+    the prior alone, ``n_tokens = 0``)."""
+    from tower_parse_spark.functions.rounding import pround
+
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("bucket", feature_bucket(F.col("_tok")))
+    scored = (
+        exploded.join(F.broadcast(model.weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("_tok")).alias("n_tokens"),
+            # sum skips NULL w_q rows (unseen buckets and the null-token
+            # sentinel of an empty doc); NULL when nothing summed
+            F.sum(F.col("w_q")).alias("_w_sum"),
+            F.sum(
+                F.when(
+                    F.col("_tok").isNotNull() & F.col("w_q").isNull(), 1
+                ).otherwise(0)
+            ).alias("_n_unseen"),
+        )
+    )
+    # unseen-bucket tokens contribute the default weight w0_q; folding
+    # it in per-GROUP (count * w0_q) instead of per-row keeps the sum an
+    # exact integer while letting the weights join stay a plain left join
+    return (
+        scored.crossJoin(F.broadcast(model.consts))
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.col("prior_q")
+                + F.coalesce(F.col("_w_sum"), F.lit(0))
+                + F.col("_n_unseen") * F.col("w0_q")
+            ).alias("score_q"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("score_q"),
+            pround(F.col("score_q") / F.lit(float(W_SCALE)), 4).alias(
+                "log_odds"
+            ),
+            (F.col("score_q") > 0).alias("is_quality"),
+        )
+    )

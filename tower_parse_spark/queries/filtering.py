@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from tower_parse_spark.functions import text as T
 from tower_parse_spark.functions.rounding import pround, sql_pround
 from tower_parse_spark.functions.vectors import SQL_NORM, sql_cosine
+from tower_parse_spark.operators import classifier as CL
 from tower_parse_spark.operators import decontam as DC
 from tower_parse_spark.operators import lm as LM
 from tower_parse_spark.operators import quality as Q
@@ -594,6 +595,130 @@ ORDER BY t.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Model-based quality classifier (hashed-feature Naive Bayes)
+# --------------------------------------------------------------------------
+
+#: labeled-slice fixture: doc_id % 5 == 0 plays the clean/positive class
+#: (same residue the CCNet LM's reference slice uses — the "Wikipedia"
+#: role), doc_id % 5 == 1 plays the junk/negative class with a spam
+#: suffix appended so the negative vocabulary is demonstrably distinct
+QC_POS_RES, QC_NEG_RES = 0, 1
+QC_LABEL_MOD = 5
+#: deterministic low-quality decoration — tokens no fixture tokenizer
+#: output contains, so their feature buckets are pure-negative evidence
+QC_SPAM_WORDS = "zzclicka zzbuyb zzfreec zzcasinod zzwinnere zzbonusf"
+#: planted junk copies in the SCORED corpus (doc_id + offset for
+#: doc_id % QC_SPAM_MOD == QC_SPAM_RES) — the verdict's negative branch
+#: demonstrably fires in the oracle-checked distribution (the planting
+#: rationale of PPL_UNK_OFFSET above; the offset headroom is pinned by
+#: tests/test_fixture_contract.py)
+QC_SPAM_OFFSET = 8_000_000
+QC_SPAM_MOD, QC_SPAM_RES = 11, 4
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality classification (operators/classifier.py): a
+    hashed bag-of-words Naive Bayes model is trained in closed form on
+    the labeled slices (two aggregations), then every document — plus
+    the planted junk copies — is scored by an integer-quantized log-odds
+    sum and given a boolean quality verdict. Weight table broadcast
+    (bounded at N_FEATURES by construction), corpus shuffled once (the
+    per-doc aggregate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    spam = F.concat(text, F.lit(" " + QC_SPAM_WORDS))
+    labeled = (
+        docs.filter(d % QC_LABEL_MOD == QC_POS_RES)
+        .select(F.lit(True).alias("label"), F.col("text"))
+        .unionAll(
+            docs.filter(d % QC_LABEL_MOD == QC_NEG_RES).select(
+                F.lit(False).alias("label"), spam.alias("text")
+            )
+        )
+    )
+    planted = docs.filter(d % QC_SPAM_MOD == QC_SPAM_RES).select(
+        (d + QC_SPAM_OFFSET).alias("doc_id"), spam.alias("text")
+    )
+    corpus = docs.select("doc_id", "text").unionAll(planted)
+    model = CL.train_quality_nb(labeled)
+    return CL.score_quality(corpus, model).orderBy("doc_id")
+
+
+def _quality_classifier_oracle() -> str:
+    from tower_parse_spark.operators.classifier import (
+        N_FEATURES,
+        W_SCALE,
+        sql_feature_bucket,
+    )
+
+    b = float(N_FEATURES)
+    quant = "CAST(floor(ln({x}) * {s} + 0.5) AS BIGINT)"
+
+    def q(x: str) -> str:
+        return quant.format(x=x, s=W_SCALE)
+
+    return f"""
+WITH lab AS (
+  SELECT TRUE AS pos, text FROM documents WHERE doc_id % {QC_LABEL_MOD} = {QC_POS_RES}
+  UNION ALL
+  SELECT FALSE AS pos, coalesce(text, '') || ' {QC_SPAM_WORDS}' AS text
+  FROM documents WHERE doc_id % {QC_LABEL_MOD} = {QC_NEG_RES}
+), labtok AS (
+  SELECT pos, {SQL_TOKS} AS toks FROM lab
+), tok_exploded AS (
+  SELECT pos, unnest(toks) AS tok FROM labtok
+), pb AS (
+  SELECT {sql_feature_bucket("tok")} AS bucket,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_neg
+  FROM tok_exploded GROUP BY 1
+), tot AS (
+  SELECT sum(CASE WHEN pos THEN coalesce(len(toks), 0) ELSE 0 END) AS tot_pos,
+         sum(CASE WHEN NOT pos THEN coalesce(len(toks), 0) ELSE 0 END) AS tot_neg,
+         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS docs_pos,
+         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS docs_neg
+  FROM labtok
+), w AS (
+  SELECT bucket,
+         {q(f"(n_pos + 1.0) / (tot_pos + {b})")}
+         - {q(f"(n_neg + 1.0) / (tot_neg + {b})")} AS w_q
+  FROM pb CROSS JOIN tot
+), consts AS (
+  SELECT {q(f"1.0 / (tot_pos + {b})")} - {q(f"1.0 / (tot_neg + {b})")} AS w0_q,
+         {q("docs_pos / CAST(docs_neg AS DOUBLE)")} AS prior_q
+  FROM tot
+), aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {QC_SPAM_OFFSET} AS doc_id,
+         coalesce(text, '') || ' {QC_SPAM_WORDS}' AS text
+  FROM documents WHERE doc_id % {QC_SPAM_MOD} = {QC_SPAM_RES}
+), doctok AS (
+  SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM aug
+), sc AS (
+  SELECT d.doc_id, w.w_q
+  FROM doctok d LEFT JOIN w ON {sql_feature_bucket("d.tok")} = w.bucket
+), per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(w_q) AS w_sum,
+         sum(CASE WHEN w_q IS NULL THEN 1 ELSE 0 END) AS n_unseen
+  FROM sc GROUP BY doc_id
+), scored AS (
+  SELECT a.doc_id,
+         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(c.prior_q + coalesce(p.w_sum, 0)
+              + coalesce(p.n_unseen, 0) * c.w0_q AS BIGINT) AS score_q
+  FROM aug a LEFT JOIN per p ON a.doc_id = p.doc_id CROSS JOIN consts c
+)
+SELECT doc_id, n_tokens, score_q,
+       {sql_pround(f"score_q / {float(W_SCALE)}", 4)} AS log_odds,
+       score_q > 0 AS is_quality
+FROM scored
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "gopher_quality": Query(
         gopher_quality,
@@ -619,5 +744,10 @@ QUERIES = {
         perplexity_filter,
         PERPLEXITY_ORACLE,
         "CCNet bigram-LM cross-entropy scoring + head/middle/tail buckets",
+    ),
+    "quality_classifier": Query(
+        quality_classifier,
+        _quality_classifier_oracle(),
+        "hashed-feature Naive Bayes quality scoring + boolean verdict",
     ),
 }
