@@ -1,0 +1,100 @@
+"""Greedy longest-match subword accounting (operators/subword.py,
+queries/llm.py::token_count_bpe)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators import subword as SW
+
+
+def _counts(spark, words, vocab=SW.SUBWORD_VOCAB):
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    return {
+        r.w: r.n
+        for r in df.select(
+            "w", SW.subword_count(F.col("w"), vocab).alias("n")
+        ).collect()
+    }
+
+
+def test_known_segmentations(spark):
+    got = _counts(
+        spark, ["customer", "window", "stream", "a", "sort", "column"]
+    )
+    # cust|om|er, window, st|r?.. str|eam, a, sort, col|umn
+    assert got == {
+        "customer": 3,
+        "window": 1,
+        "stream": 2,
+        "a": 1,
+        "sort": 1,
+        "column": 2,
+    }
+
+
+def test_longest_match_wins(spark):
+    # with both 'wind' and 'window' in vocab, greedy takes the longer
+    got = _counts(spark, ["window", "windy"], vocab=("wind", "window", "y"))
+    assert got["window"] == 1  # window, not wind|o|w
+    assert got["windy"] == 2  # wind|y
+
+
+def test_fallback_consumes_single_chars(spark):
+    got = _counts(spark, ["x9z", ""], vocab=("ab",))
+    assert got["x9z"] == 3  # three 1-char fallbacks
+    assert got[""] == 0
+
+
+def test_doc_counts_and_null_rows(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "customer window customer"),
+            (2, None),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in SW.doc_subword_counts(docs).collect()}
+    assert rows[1].n_words == 3
+    assert rows[1].n_subwords == 3 + 1 + 3  # cust|om|er twice + window
+    assert abs(rows[1].subwords_per_word - round(7 / 3, 4)) < 1e-9
+    for d in (2, 3):
+        assert rows[d].n_words == 0 and rows[d].n_subwords == 0
+        assert rows[d].subwords_per_word == 0.0
+
+
+def test_subword_vs_whitespace_expansion(spark):
+    """The budget-relevant property: subword counts are >= whitespace
+    counts (every word is at least one piece) and strictly larger on a
+    corpus with multi-piece words — packing to a whitespace budget
+    under-bills the sequence length."""
+    from tower_parse_spark.functions import text as T
+    from tower_parse_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = SW.doc_subword_counts(docs)
+    assert out.filter(F.col("n_subwords") < F.col("n_words")).count() == 0
+    agg = out.agg(
+        F.sum("n_subwords").alias("s"), F.sum("n_words").alias("w")
+    ).collect()[0]
+    assert agg.s > agg.w  # the fixture vocabulary splits
+
+
+def test_fold_runs_on_distinct_words_only(spark):
+    # the expensive fold must sit ABOVE the distinct aggregate, never in
+    # the per-token stream: the executed plan's substring sites appear
+    # after HashAggregate(keys=[_tok...]), and the exploded relation
+    # carries no fold expressions
+    docs = spark.createDataFrame(
+        [(1, "customer window")], "doc_id long, text string"
+    )
+    plan = (
+        SW.doc_subword_counts(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one Aggregate on _tok (the distinct) feeds the single projection
+    # holding the fold; 'aggregate(sequence' is the fold's fingerprint
+    assert plan.count("aggregate(sequence") == 1, plan

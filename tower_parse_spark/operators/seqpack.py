@@ -28,6 +28,14 @@ Tokenless documents (NULL/empty/whitespace text) are excluded before
 offsets are assigned — identically in the DuckDB oracle, where
 ``len(toks)`` is NULL for NULL text — so they can never shift another
 document's offsets.
+
+Token unit: offsets here count WHITESPACE tokens (functions/text.py::
+tokens). Production packing budgets bill in SUBWORD tokens; the
+vocabulary-driven count lives in operators/subword.py (r8,
+``token_count_bpe``) and slots in by swapping the per-doc token-count
+expression — the offset/cumsum machinery is unit-agnostic. The fixture
+queries keep the whitespace unit so the two packing oracles stay
+independent of the piece vocabulary.
 """
 
 from __future__ import annotations

@@ -29,6 +29,7 @@ from tower_parse_spark.operators import pq as PQ
 from tower_parse_spark.operators import sampling as SP
 from tower_parse_spark.operators import seqpack as SQ
 from tower_parse_spark.operators import similarity as S
+from tower_parse_spark.operators import subword as SW
 from tower_parse_spark.queries import Query
 from tower_parse_spark.session import load_table
 
@@ -911,6 +912,47 @@ SELECT source,
 FROM tok
 GROUP BY source
 ORDER BY source
+"""
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SUBWORD token accounting (operators/subword.py):
+    greedy longest-match segmentation against the pinned piece
+    vocabulary, evaluated once per DISTINCT word and joined back
+    (AQE-decided), then one map-side-combinable per-doc aggregate —
+    the unit sequence-packing budgets actually bill in, vs the
+    whitespace counts of text_token_stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SW.doc_subword_counts(docs).orderBy("doc_id")
+
+
+def _token_count_bpe_oracle() -> str:
+    from tower_parse_spark.operators.subword import sql_subword_walk
+
+    ratio = (
+        "CASE WHEN coalesce(p.n_words, 0) > 0"
+        " THEN coalesce(p.n_subwords, 0) / CAST(p.n_words AS DOUBLE)"
+        " ELSE 0.0 END"
+    )
+    return f"""
+WITH RECURSIVE tokd AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), doctok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tokd
+), words AS (
+  SELECT DISTINCT tok FROM doctok
+), {sql_subword_walk("words")},
+per AS (
+  SELECT d.doc_id, count(*) AS n_words, sum(s.n_sub) AS n_subwords
+  FROM doctok d JOIN subcnt s ON d.tok = s.tok
+  GROUP BY d.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+       {sql_pround(ratio, 4)} AS subwords_per_word
+FROM tokd t LEFT JOIN per p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id
 """
 
 
@@ -2180,6 +2222,11 @@ QUERIES = {
     "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
     "text_token_stats": Query(
         text_token_stats, TEXT_TOKEN_STATS_ORACLE, "token counting"
+    ),
+    "token_count_bpe": Query(
+        token_count_bpe,
+        _token_count_bpe_oracle(),
+        "greedy longest-match subword token accounting per document",
     ),
     "text_fingerprint": Query(
         text_fingerprint, TEXT_FINGERPRINT_ORACLE, "rolling-hash fingerprint"
