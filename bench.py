@@ -107,6 +107,8 @@ HEADLINE = [
     "domain_reweight",
     "decontaminate_semantic",
     "perplexity_filter",
+    "quality_classifier",
+    "token_count_bpe",
 ]
 
 

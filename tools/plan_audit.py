@@ -42,6 +42,7 @@ NESTED_LOOP_OK = {
     "text_tfidf_topterms",  # one-row broadcast N (corpus doc count) for the idf
     "domain_reweight",  # two one-row broadcasts (total tokens; normalizer+max-rate)
     "perplexity_filter",  # one-row broadcasts: vocab V (LM build) + unk penalty
+    "quality_classifier",  # one-row broadcasts: class totals (NB train) + consts row
 }
 
 #: Arrow-batched Python is the designed path for binary decode only

@@ -25,94 +25,83 @@ class Query:
 
 
 # The driver checks exactly the first 50 registry entries (observed cap:
-# CORRECTNESS_r01..r06.json each have 50 rows cut in registry order).
-# Queries listed here rotate to the registry tail. Round-7 rotation goal
-# (VERDICT r6 #1): all 39 queries whose latest driver-green row is r5
-# (the r6 tail) re-enter the window; 43 r6-green queries defer. After
-# the r7 driver run every registry entry's latest driver-green row is
-# r6 or r7. Each deferred query's category keeps a sibling in the
-# window (noted per entry; see COVERAGE.md rotation table). Kept
-# in-window despite being r6-green: ann_ivfpq_topk (its cost/recall
-# stance changes this round, VERDICT r6 #5), the sole-representative
-# queries (text_pii_redact — PII; events_asof_order — as-of join;
-# events_order_range_join — range join; ingest_extract_probe —
-# A6/A8/A11; ingest_echo — A4), and the flagship
-# training_data_pipeline. The 4 NEW r7 queries (domain_curation,
-# semantic_dedup, multimodal_near_dup, streaming_minhash_dedup) need
-# first driver evidence and stay in; part_string_functions defers to
-# the string-heavy NEW domain_curation, streaming_late_data to the NEW
-# watermark-bounded streaming_minhash_dedup, lineitem_math_functions
-# and events_json_props to the re-entering customer_order_arrays +
-# events_map_functions (one math/array/map/JSON family), and
-# orders_date_functions to the re-entering events_tumbling_window.
+# CORRECTNESS_r01..r07.json each have 50 rows cut in registry order).
+# Queries listed here rotate to the registry tail.
+#
+# Round-8 rotation (VERDICT r7 #1): all 48 tail queries whose latest
+# driver-green row is r6 re-enter the window, joined by the 2 NEW r8
+# queries (quality_classifier — the model-based NB quality family's
+# first driver evidence; token_count_bpe — subword accounting) = exactly
+# 50. Consequently ALL 50 r7-green window queries defer — at a
+# 100-entry registry and a 50-slot window the two-round invariant
+# (every entry driver-green within the last two rounds) admits NO
+# slack: the window and tail must alternate wholesale, so the former
+# per-category sibling rule is now best-effort (most families keep a
+# re-entering sibling, noted per entry; sole-representative r7-green
+# queries — e.g. the 4 streaming/filtering ones — rely on their pytest
+# suites for the off round, exactly as the late-r7 deferrals did).
+# 100 is the registry's HARD CEILING under this invariant (COVERAGE.md
+# late-r7 amendment): r9+ additions must retire or merge an entry.
 _DEFER_TO_TAIL = [
-    # --- relational, all r6-green (CORRECTNESS_r06) ---
-    "q5_local_supplier",  # snowflake join — q3/q21 re-enter
-    "running_revenue_by_nation",  # window frames — top_customers_per_nation + order_gaps_quartiles re-enter
-    "customers_without_urgent_orders",  # anti join — q21 + wealthy_inactive_customers re-enter
-    "part_supplier_overlap",  # set ops — segment_set_ops re-enters
-    "orders_with_returns",  # semi join — q21 (exists) re-enters
-    "customer_order_distribution",  # outer join + distribution — q16 re-enters
-    "part_string_functions",  # strings — NEW domain_curation (URL string surface) takes the slot
-    "orders_date_functions",  # date/time — events_tumbling_window re-enters
-    "lineitem_math_functions",  # math — customer_order_arrays + events_map_functions re-enter
-    "min_cost_parts",  # correlated subq — wealthy_inactive_customers re-enters
-    "top_return_customers",  # top-k — q3_shipping_priority re-enters
-    "promo_revenue_pct",  # conditional-ratio agg — priority_ship_stats re-enters
-    "disjunctive_filter_revenue",  # disjunctive filters — q1/q6 re-enter
-    "revenue_cube",  # grouping sets — revenue_rollup re-enters
-    "part_measures_unpivot",  # unpivot — order_priority_pivot re-enters
-    "nation_volume_shipping",  # multi-join pair disjunction — q21/q3 re-enter
-    "market_share_by_year",  # conditional ratio — priority_ship_stats re-enters
-    "top_revenue_supplier",  # argmax agg — q11/q16 re-enter
-    "big_basket_orders",  # HAVING + join-back — q3 re-enters
-    "q6_forecast_revenue",  # pushdown agg — q1 re-enters
-    "q9_product_profit",  # profit rollup — q1 re-enters
-    "q17_small_quantity_revenue",  # correlated avg — wealthy_inactive_customers + q11 re-enter
-    # --- ingest, r6-green ---
-    "ingest_pack_scalable",  # count packs — ingest_pack_assign re-enters
-    # --- llm families, r6-green ---
-    "dedup_passages",  # passage dedup — dedup_exact + dedup_minhash_lsh re-enter
-    "boilerplate_removal",  # boilerplate — same dedup family re-enters
-    "incremental_exact_dedup",  # incremental exact — dedup_exact re-enters
-    "incremental_minhash_dedup",  # incremental near-dup — dedup_minhash_lsh re-enters;
-    # NEW streaming_minhash_dedup runs the same probe machinery in-window
-    "dedup_simhash",  # simhash — NEW multimodal_near_dup (same banding) + dedup family
-    "dedup_ngram_jaccard",  # jaccard verify — dedup_minhash_lsh re-enters
-    "embedding_cluster_stats",  # cluster stats — NEW semantic_dedup (same quantizer) takes the slot
-    "text_langid",  # text — text_quality/text_token_stats/text_repetition re-enter
-    "text_fingerprint",  # text — same
-    "multimodal_pipeline",  # multimodal — multimodal_decode re-enters + NEW multimodal_near_dup
-    "decontaminate_fuzzy",  # fuzzy decontam — decontaminate_ngram re-enters
-    "split_leakage_check",  # split QA — train_val_split re-enters
-    "sequence_packing",  # seq packing — doc_chunking re-enters
-    # --- streaming / temporal, r6-green ---
-    "streaming_pack_carry",  # stateful packs — ingest_pack_assign (A17) + streaming_generator re-enter
-    "streaming_late_data",  # watermarks — NEW streaming_minhash_dedup (watermark-bounded streaming)
-    "events_time_rollup",  # multi-resolution rollup — revenue_rollup + events_tumbling_window re-enter
-    "events_sliding_window",  # event-time windows — events_tumbling_window re-enters
-    "events_sessionize",  # sessionization — events_session_window re-enters
-    "events_json_props",  # JSON — events_map_functions re-enters (one family with arrays/math)
-    "events_value_distribution",  # percentiles — order_gaps_quartiles re-enters
-    # --- r6-green keepers deferred late-r7 to make room for the 4 NEW
-    # filtering-family queries (gopher_quality, line_cleaning,
-    # domain_reweight, decontaminate_semantic), which need first driver
-    # evidence. These four are sole-representative queries normally kept
-    # in-window, but each is r6-green (CORRECTNESS_r06) so the rotation
-    # invariant — every registry entry driver-green within the last two
-    # rounds — still holds after r7; they re-enter in r8. Their families
-    # keep pytest coverage meanwhile (test_pii, test_asof, test_rangejoin,
-    # test_streaming's echo cases).
-    "text_pii_redact",  # PII — r6-green, re-enters r8
-    "events_asof_order",  # as-of join — r6-green, re-enters r8
-    "events_order_range_join",  # range join — r6-green, re-enters r8
-    "ingest_echo",  # A4 echo sink — r6-green + live pytest, re-enters r8
-    # fifth late-r7 deferral, making room for perplexity_filter (the
-    # CCNet LM family's first driver evidence): r6-green, and the ANN
-    # family keeps three in-window representatives (ann_cosine_topk,
-    # ann_lsh_topk, ann_ivf_topk) while tests/test_pq.py pins the
-    # IVF-PQ recall floors; re-enters r8
-    "ann_ivfpq_topk",
+    # --- relational, all r7-green (CORRECTNESS_r07) ---
+    "q1_pricing_summary",  # scan agg — q6/q9 re-enter
+    "q3_shipping_priority",  # join+topk — top_return_customers + big_basket_orders re-enter
+    "top_customers_per_nation",  # window rank — running_revenue_by_nation re-enters
+    "revenue_rollup",  # grouping sets — revenue_cube re-enters
+    "order_priority_pivot",  # pivot — part_measures_unpivot re-enters
+    "wealthy_inactive_customers",  # correlated+anti — min_cost_parts + customers_without_urgent_orders re-enter
+    "segment_set_ops",  # set ops — part_supplier_overlap re-enters
+    "customer_order_arrays",  # arrays — lineitem_math_functions + events_json_props re-enter
+    "priority_ship_stats",  # conditional agg — promo_revenue_pct + market_share_by_year re-enter
+    "order_gaps_quartiles",  # percentiles — events_value_distribution re-enters
+    "q11_important_parts",  # HAVING agg — top_revenue_supplier re-enters
+    "q16_supplier_counts",  # distinct agg — customer_order_distribution re-enters
+    "q21_blame_suppliers",  # multi-semi/anti — orders_with_returns + nation_volume_shipping re-enter
+    # --- ingest, r7-green; regex-extract coverage (A6/A8/A10-A12) rides
+    # tests/test_extraction.py + the re-entering pack/echo queries for
+    # the off round ---
+    "ingest_extract_probe",
+    "ingest_sentinel_stats",
+    "ingest_pack_assign",  # ingest_pack_scalable re-enters (A15/A17)
+    "ingest_multiformat",
+    "ingest_malformed_routing",
+    # --- llm families, r7-green ---
+    "dedup_exact",  # incremental_exact_dedup re-enters
+    "dedup_minhash_lsh",  # incremental_minhash_dedup + dedup_ngram_jaccard re-enter
+    "source_overlap_minhash",  # sketch family — dedup siblings re-enter
+    "dedup_embedding_cosine",  # embedding_cluster_stats re-enters
+    "dedup_cluster_resolution",  # components — dedup_passages/boilerplate_removal re-enter
+    "ann_cosine_topk",  # ANN — ann_ivfpq_topk re-enters
+    "ann_lsh_topk",  # ANN — same
+    "ann_ivf_topk",  # ANN — same
+    "text_quality",  # text — text_langid/text_fingerprint/text_pii_redact re-enter
+    "text_token_stats",  # NEW token_count_bpe keeps token accounting in-window
+    "multimodal_decode",  # multimodal_pipeline re-enters
+    "training_data_pipeline",  # flagship — split_leakage_check + sequence_packing re-enter
+    "decontaminate_ngram",  # decontaminate_fuzzy re-enters
+    "train_val_split",  # split_leakage_check re-enters
+    "domain_mix_sample",  # sampling — split/packing siblings re-enter
+    "doc_chunking",  # sequence_packing re-enters
+    "text_repetition",  # text family re-entrants cover
+    "text_tfidf_topterms",  # same
+    "quality_filter_funnel",  # funnel — NEW quality_classifier (same family) in-window
+    # --- streaming / temporal, r7-green ---
+    "streaming_generator",  # streaming_pack_carry + streaming_late_data re-enter
+    "streaming_minhash_dedup",  # sole-rep streaming near-dup; test_stream_neardup.py covers the off round
+    "events_tumbling_window",  # events_sliding_window + events_time_rollup re-enter
+    "events_session_window",  # events_sessionize re-enters
+    "events_map_functions",  # events_json_props re-enters
+    # --- r7 debut queries, r7-green; their pytest suites (test_urls,
+    # test_semdedup, test_multimodal, test_quality, test_lm) carry the
+    # off round ---
+    "domain_curation",  # part_string_functions re-enters (strings)
+    "semantic_dedup",  # dedup siblings re-enter
+    "multimodal_near_dup",  # multimodal_pipeline re-enters
+    "gopher_quality",  # NEW quality_classifier keeps the quality family in-window
+    "line_cleaning",  # same
+    "domain_reweight",  # sampling siblings re-enter
+    "decontaminate_semantic",  # decontaminate_fuzzy re-enters
+    "perplexity_filter",  # NEW quality_classifier (model-based family) in-window
 ]
 
 
