@@ -98,3 +98,68 @@ def test_fold_runs_on_distinct_words_only(spark):
     # one Aggregate on _tok (the distinct) feeds the single projection
     # holding the fold; 'aggregate(sequence' is the fold's fingerprint
     assert plan.count("aggregate(sequence") == 1, plan
+
+
+# --------------------------------------------------------------------------
+# BPE merge training
+# --------------------------------------------------------------------------
+
+
+def test_bpe_train_textbook_example(spark):
+    # Sennrich-style hand-check: {"abab": 2, "ab": 1}
+    # round 1 pair counts: (a,b) = 2*2 + 1 = 5, (b,a) = 1*2 = 2 -> merge (a,b)
+    # round 2: "abab" -> [ab, ab], "ab" -> [ab]; (ab,ab) = 2 -> merge (ab,ab)
+    words = spark.createDataFrame(
+        [("abab", 2), ("ab", 1)], "word string, count long"
+    )
+    merges = SW.bpe_train_merges(words, 2)
+    assert merges == [("a", "b"), ("ab", "ab")]
+
+
+def test_bpe_train_tie_break_deterministic(spark):
+    # (a,b) and (c,d) both appear once -> lexicographic pair wins
+    words = spark.createDataFrame(
+        [("ab", 1), ("cd", 1)], "word string, count long"
+    )
+    assert SW.bpe_train_merges(words, 1) == [("a", "b")]
+
+
+def test_bpe_train_greedy_left_to_right_application(spark):
+    # "aaa" x1: round 1 counts (a,a)=2 -> merge (a,a); application is
+    # greedy left-to-right, so "aaa" -> [aa, a] and round 2's top pair
+    # is (aa, a), never (a, aa)
+    words = spark.createDataFrame([("aaa", 1)], "word string, count long")
+    merges = SW.bpe_train_merges(words, 2)
+    assert merges == [("a", "a"), ("aa", "a")]
+
+
+def test_bpe_train_exhausts_and_stops(spark):
+    # a single 2-char word supports exactly one merge; further rounds
+    # find no pairs and stop early instead of erroring
+    words = spark.createDataFrame([("xy", 3)], "word string, count long")
+    assert SW.bpe_train_merges(words, 5) == [("x", "y")]
+
+
+def test_trained_vocab_reduces_subword_counts(spark):
+    # closing the loop: merges learned from the corpus' own word
+    # frequencies shrink the corpus' subword totals under the
+    # longest-match fold
+    from tower_parse_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    freqs = SW.word_frequencies(docs.limit(50))
+    merges = SW.bpe_train_merges(freqs, 8)
+    assert len(merges) == 8
+    vocab = SW.merges_to_vocab(merges)
+    sample = docs.limit(50)
+    base = (
+        SW.doc_subword_counts(sample, vocab=("zzz_nomatch",))
+        .agg(F.sum("n_subwords"))
+        .collect()[0][0]
+    )
+    trained = (
+        SW.doc_subword_counts(sample, vocab=vocab)
+        .agg(F.sum("n_subwords"))
+        .collect()[0][0]
+    )
+    assert trained < base  # learned pieces compress vs char-fallback

@@ -175,3 +175,109 @@ def sql_subword_walk(
 ), subcnt AS (
   SELECT tok, max(cnt) AS n_sub FROM walk GROUP BY tok
 )"""
+
+
+# --------------------------------------------------------------------------
+# BPE merge training (Sennrich et al. 2016)
+# --------------------------------------------------------------------------
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The (word, count) relation BPE trains on: one corpus pass, one
+    map-side-combinable aggregate collapsing to the vocabulary — the
+    same shape every public BPE trainer uses (training never touches
+    the corpus again)."""
+    return (
+        df.select(F.explode_outer(T.tokens(F.col(text_col))).alias("word"))
+        .filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def bpe_train_merges(
+    words: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn *n_merges* BPE merge rules from a (word, count) relation.
+
+    The textbook algorithm (Sennrich et al. 2016 §3.2), re-expressed
+    relationally: words start as character-symbol arrays; each round
+    counts adjacent symbol pairs weighted by word frequency (ONE
+    aggregation over the vocabulary-sized relation), picks the most
+    frequent pair (deterministic tie-break: count desc, then pair
+    lexicographic — a one-row driver read, the components.py
+    convergence-check pattern), and applies the merge to every word by
+    a row-local greedy left-to-right fold. Rounds touch only the
+    vocabulary relation — corpus-sized work ended at
+    :func:`word_frequencies` — and the symbol relation is
+    localCheckpointed per round to truncate the iterative lineage
+    (the pointer-jumping precedent).
+
+    Returns the merge list in learned order; feed
+    ``merges_to_vocab(merges)`` into :func:`subword_count` for
+    longest-match inference over the learned pieces (the
+    WordPiece-style inference discipline; exact merge-ORDER replay is a
+    trainer-side concern, and the greedy fold here IS the exact
+    per-round application)."""
+    # char split via regexp_extract_all: F.split(w, "(?!^)") keeps a
+    # trailing '' element (split's limit=-1 semantics), which would
+    # poison pair counts with ('x', '') rows
+    syms = words.select(
+        "count",
+        F.regexp_extract_all(F.col("word"), F.lit("."), 0).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        n = F.size(F.col("syms"))
+        pairs = syms.filter(n >= 2).select(
+            "count",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, n - 1),
+                    F.slice(F.col("syms"), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair.a", "pair.b")
+            .agg(F.sum("count").alias("freq"))
+            .orderBy(F.desc("freq"), "a", "b")
+            .first()
+        )
+        if top is None:
+            break
+        a, b = top["a"], top["b"]
+        merges.append((a, b))
+        merged = F.concat(F.lit(a), F.lit(b))
+
+        def apply_merge(arr: Column) -> Column:
+            # greedy left-to-right: append, or replace the tail when it
+            # closes the (a, b) pair — merged symbols have a different
+            # string value than `a`, so a fresh merge can never chain
+            return F.aggregate(
+                arr,
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (s == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            )
+
+        syms = syms.select(
+            "count", apply_merge(F.col("syms")).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def merges_to_vocab(merges: list[tuple[str, str]]) -> tuple[str, ...]:
+    """The learned piece vocabulary: every merge's product (single
+    characters need no entry — the fold's 1-char fallback covers them).
+    Deduplicated, deterministic order."""
+    return tuple(sorted({a + b for a, b in merges}))
