@@ -1,0 +1,89 @@
+"""Expression-level Bloom filter + incremental-dedup fast path
+(operators/bloom.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators import bloom as B
+from tower_parse_spark.operators.dedup import incremental_exact_dedup
+
+BITS, K = 1 << 14, 5  # small geometry keeps the tests quick
+
+
+def _history(spark, n=200):
+    return spark.range(n).select(
+        F.md5(F.format_string("hist-%d", F.col("id"))).alias("text_hash")
+    )
+
+
+def test_no_false_negatives(spark):
+    hist = _history(spark)
+    bloom = B.bloom_build(hist, "text_hash", BITS, K)
+    probed = hist.crossJoin(F.broadcast(bloom)).select(
+        B.might_contain(F.col("text_hash"), F.col("bloom"), BITS, K).alias(
+            "hit"
+        )
+    )
+    # every inserted key MUST test positive — the property the dedup
+    # fast path's correctness rests on
+    assert probed.filter(~F.col("hit")).count() == 0
+
+
+def test_false_positive_rate_bounded(spark):
+    hist = _history(spark, 200)
+    bloom = B.bloom_build(hist, "text_hash", BITS, K)
+    novel = spark.range(5000).select(
+        F.md5(F.format_string("novel-%d", F.col("id"))).alias("h")
+    )
+    fp = (
+        novel.crossJoin(F.broadcast(bloom))
+        .filter(B.might_contain(F.col("h"), F.col("bloom"), BITS, K))
+        .count()
+    )
+    # 200 keys in 2^14 bits, k=5 -> theoretical FP ~1e-6; allow slack
+    assert fp / 5000 < 0.01, fp
+
+
+def test_filter_is_one_dense_row(spark):
+    rows = B.bloom_build(_history(spark), "text_hash", BITS, K).collect()
+    assert len(rows) == 1
+    arr = rows[0].bloom
+    assert len(arr) == BITS // 64
+    assert any(w != 0 for w in arr)
+
+
+def test_dedup_fast_path_verdict_identical(spark):
+    # batch: 30 in-batch dup pairs, 20 history dups, 50 novel
+    batch_rows = (
+        [(i, f"doc {i % 30}") for i in range(60)]  # in-batch dups
+        + [(100 + i, f"hist text {i}") for i in range(20)]  # vs history
+        + [(200 + i, f"fresh text {i}") for i in range(50)]
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    history = spark.createDataFrame(
+        [(f"hist text {i}",) for i in range(20)], "t string"
+    ).select(F.md5(F.col("t")).alias("text_hash"))
+
+    plain = incremental_exact_dedup(batch, history)
+    fast = B.incremental_exact_dedup_bloom(
+        batch, history, n_bits=BITS, n_hashes=K
+    )
+    key = lambda rows: sorted((r.doc_id, r.text_hash) for r in rows)
+    assert key(fast.collect()) == key(plain.collect())
+    # sanity on the shape: 30 in-batch survivors + 50 novel, 0 history dups
+    assert fast.count() == 80
+
+
+def test_null_text_and_empty_history(spark):
+    batch = spark.createDataFrame(
+        [(1, None), (2, "x")], "doc_id long, text string"
+    )
+    empty_hist = spark.createDataFrame([], "text_hash string")
+    out = B.incremental_exact_dedup_bloom(
+        batch, empty_hist, n_bits=BITS, n_hashes=K
+    )
+    plain = incremental_exact_dedup(batch, empty_hist)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
