@@ -333,3 +333,74 @@ def test_bigrams_match_python_reference(spark, text):
     toks = row["toks"]
     expected = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     assert row["bg"] == expected
+
+
+# --------------------------------------------------------------------------
+# Subword fold (r8) — count algebra over random words and vocabularies
+# --------------------------------------------------------------------------
+
+_word_st = st.text(alphabet="abcdef", min_size=0, max_size=12)
+
+
+def _py_greedy(word: str, vocab: tuple[str, ...]) -> int:
+    """Reference implementation: greedy longest-match, 1-char fallback."""
+    pieces = sorted(vocab, key=lambda s: (-len(s), s))
+    pos, cnt = 0, 0
+    while pos < len(word):
+        step = 1
+        for p in pieces:
+            if word.startswith(p, pos):
+                step = len(p)
+                break
+        pos += step
+        cnt += 1
+    return cnt
+
+
+@given(
+    words=st.lists(_word_st, min_size=1, max_size=8),
+    vocab=st.sets(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=8
+    ),
+)
+@settings(**SETTINGS)
+def test_subword_count_matches_reference_greedy(spark, words, vocab):
+    from tower_parse_spark.operators.subword import subword_count
+
+    vocab = tuple(sorted(vocab))
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        i: r.n
+        for i, r in enumerate(
+            df.select(subword_count(F.col("w"), vocab).alias("n")).collect()
+        )
+    }
+    for i, w in enumerate(words):
+        expect = _py_greedy(w, vocab)
+        assert got[i] == expect, (w, vocab, got[i], expect)
+        # count algebra: between ceil(len/maxpiece) and len
+        if w:
+            assert 1 <= got[i] <= len(w)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (r8) — no-false-negative invariant over random key sets
+# --------------------------------------------------------------------------
+
+
+@given(
+    keys=st.sets(st.text(alphabet="xyz01", min_size=1, max_size=10), min_size=1, max_size=40),
+)
+@settings(**SETTINGS)
+def test_bloom_never_forgets_an_inserted_key(spark, keys):
+    from tower_parse_spark.operators import bloom as B
+
+    bits, k = 1 << 12, 4
+    df = spark.createDataFrame([(w,) for w in sorted(keys)], "h string")
+    bloom = B.bloom_build(df, "h", bits, k)
+    misses = (
+        df.crossJoin(F.broadcast(bloom))
+        .filter(~B.might_contain(F.col("h"), F.col("bloom"), bits, k))
+        .count()
+    )
+    assert misses == 0
