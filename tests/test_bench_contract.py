@@ -157,3 +157,35 @@ def test_bench_regress_reconstructs_spread_from_sp(tmp_path):
     flagged = {r["query"] for r in out["regressions"]}
     assert flagged == {"quiet_query_name_y"}, out
     assert proc.returncode == 1
+
+
+def test_driver_tail_capture_end_to_end():
+    """The actual driver contract: it keeps the LAST ~2000 bytes of
+    bench.py stdout and json-parses the FINAL line. Simulate the whole
+    two-line output at the real headline size and prove the final line
+    survives the tail cut intact, with sp on board."""
+    times = {
+        name: round(0.25 + (i * 37 % 100) / 40.0, 3)
+        for i, name in enumerate(bench.HEADLINE)
+    }
+    sp = {name: float((i * 13) % 60) for i, name in enumerate(times)}
+    runs = {k: [v, round(v * 1.27, 3)] for k, v in times.items()}
+    enriched = json.dumps(
+        {
+            "detail": "runs_and_spread",
+            "queries": times,
+            "runs": runs,
+            "spread_pct": sp,
+            "noise_median_pct": 27.0,
+        }
+    )
+    compact = bench.compact_line(times, sum(times.values()), 0.1, sp)
+    stdout = enriched + "\n" + compact + "\n"
+    tail = stdout[-2000:]
+    final = tail.strip().splitlines()[-1]
+    parsed = json.loads(final)  # must be whole inside the tail
+    assert parsed["metric"] == "headline_queries_total"
+    assert len(parsed["sp"]) == len(parsed["queries"])
+    # and the regress tool's reconstruction sees per-query spread
+    recon = dict(zip(parsed["queries"], parsed["sp"]))
+    assert all(recon[k] == int(round(sp[k])) for k in parsed["queries"])
