@@ -53,10 +53,14 @@ def main() -> int:
                 if ln.startswith("{"):
                     # expand sp per-line, BEFORE the merge can swap in the
                     # enriched line's (larger) queries dict and break the
-                    # positional alignment
+                    # positional alignment; keep the LARGER dict for both
+                    # queries and spread_pct (the compact line truncates,
+                    # and its sp-derived spread must not clobber the
+                    # enriched line's full spread_pct)
                     part = expand_sp(json.loads(ln))
-                    if len(part.get("queries", {})) < len(d.get("queries", {})):
-                        part.pop("queries", None)
+                    for k in ("queries", "spread_pct"):
+                        if len(part.get(k, {})) < len(d.get(k, {})):
+                            part.pop(k, None)
                     d.update(part)
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
         d = d.get("parsed", d) or d
