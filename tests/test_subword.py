@@ -163,3 +163,10 @@ def test_trained_vocab_reduces_subword_counts(spark):
         .collect()[0][0]
     )
     assert trained < base  # learned pieces compress vs char-fallback
+
+
+def test_empty_piece_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="must not contain ''"):
+        _counts(spark, ["abc"], vocab=("ab", ""))

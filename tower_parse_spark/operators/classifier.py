@@ -121,7 +121,15 @@ def train_quality_nb(
 ) -> NBModel:
     """Train the NB model on *labeled* (boolean *label_col*: True =
     quality/positive class). Two aggregations over the labeled slice;
-    every weight quantized once, model-side."""
+    every weight quantized once, model-side.
+
+    BOTH classes must be non-empty: the prior is ln(docs_pos/docs_neg),
+    and a zero count sends the double division to +/-Infinity, which
+    the ANSI long cast inside the quantizer rejects at consts
+    materialization — a loud failure (by design: a one-class "training
+    set" has no decision boundary to learn), but a downstream one, so
+    callers assembling labeled slices dynamically should validate
+    counts first."""
     toks = labeled.select(
         F.col(label_col).alias("_pos"),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),

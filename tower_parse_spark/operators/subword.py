@@ -63,7 +63,13 @@ SUBWORD_VOCAB = (
 
 
 def _pieces_desc(vocab: tuple[str, ...]) -> list[str]:
-    """Longest-first (ties lexicographic) — the greedy probe order."""
+    """Longest-first (ties lexicographic) — the greedy probe order.
+    Empty pieces are rejected: '' matches at every position with
+    length 0, so the fold's position would never advance (every step
+    would count a zero-width piece — silently wrong, bounded only by
+    the step cap)."""
+    if any(p == "" for p in vocab):
+        raise ValueError("subword vocabulary must not contain ''")
     return sorted(vocab, key=lambda s: (-len(s), s))
 
 
