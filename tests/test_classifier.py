@@ -113,3 +113,81 @@ def test_quality_classifier_query_plants_fire(spark):
     raw = out.filter(F.col("doc_id") < QC_SPAM_OFFSET)
     kept = raw.filter(F.col("is_quality")).count()
     assert kept / raw.count() > 0.9
+
+
+# --------------------------------------------------------------------------
+# Multiclass NB langid (char n-grams)
+# --------------------------------------------------------------------------
+
+# three synthetic "languages" with disjoint character distributions
+_LANG_TEXT = {
+    "aa": "aaab aabb abab baaa abba babb aaba",
+    "zz": "zzzy zyzy yzzz zzyy yzyz zyyz zzzz",
+    "mm": "mnmn nmnm mmnn nnmm mnnm nmmn mmmm",
+}
+
+
+def _langid_labeled(spark, reps=4):
+    rows = [
+        (lang, t + f" {t.split()[i % 7]}")
+        for lang, t in _LANG_TEXT.items()
+        for i in range(reps)
+    ]
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def test_langid_train_and_classify_heldout(spark):
+    model = CL.train_langid_nb(_langid_labeled(spark))
+    assert model.classes == ("aa", "mm", "zz")
+    held = spark.createDataFrame(
+        [
+            (1, "abab aaba baab"),  # aa-ish
+            (2, "zyzy zzzy yzzy"),  # zz-ish
+            (3, "mnmm nmnn mmnm"),  # mm-ish
+        ],
+        "doc_id long, text string",
+    )
+    pred = {r.doc_id: r for r in CL.classify_lang(held, model).collect()}
+    assert pred[1].lang_pred == "aa"
+    assert pred[2].lang_pred == "zz"
+    assert pred[3].lang_pred == "mm"
+    # confident: the margin to the runner-up is strictly positive
+    assert all(r.nll_margin_q > 0 for r in pred.values())
+
+
+def test_langid_empty_doc_predicts_prior(spark):
+    # skew the priors: 6 aa docs vs 2 each of the others -> an empty
+    # doc scores on priors alone and lands on the majority class
+    rows = [("aa", _LANG_TEXT["aa"])] * 6 + [
+        ("zz", _LANG_TEXT["zz"]),
+        ("zz", _LANG_TEXT["zz"]),
+        ("mm", _LANG_TEXT["mm"]),
+        ("mm", _LANG_TEXT["mm"]),
+    ]
+    model = CL.train_langid_nb(
+        spark.createDataFrame(rows, "lang string, text string")
+    )
+    out = CL.classify_lang(
+        spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string"),
+        model,
+    ).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    assert all(r.lang_pred == "aa" for r in out)
+
+
+def test_langid_rejects_single_class(spark):
+    import pytest
+
+    one = spark.createDataFrame(
+        [("aa", "aaaa")], "lang string, text string"
+    )
+    with pytest.raises(ValueError, match=">= 2 classes"):
+        CL.train_langid_nb(one)
+
+
+def test_langid_weight_table_bounded(spark):
+    model = CL.train_langid_nb(_langid_labeled(spark))
+    assert model.weights.count() <= CL.N_FEATURES
+    # every weights row carries one NLL per class
+    row = model.weights.first()
+    assert len(row.nlls) == 3

@@ -58,6 +58,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tower_parse_spark.functions import text as T
@@ -233,4 +234,192 @@ def score_quality(
             ),
             (F.col("score_q") > 0).alias("is_quality"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiclass NB over character n-grams — trained language ID
+# --------------------------------------------------------------------------
+#
+# The langid component of CCNet-style pipelines is fastText (Joulin et
+# al. 2016): character-n-gram features + a linear classifier. The
+# closed-form relational analog is the same hashed-feature NB as above,
+# generalized to k classes: per-class quantized NLL weights per bucket,
+# per-document NLL sums per class (exact integer arithmetic), argmin.
+# Complements functions/text.py's wordlist langid HEURISTIC (the
+# oracle-checked query) with a TRAINED model for corpora where wordlists
+# don't transfer. The fixture's `lang` column is independent of its
+# word-salad text, so this stays pytest-covered on controlled corpora
+# (the honest divergence note, cf. multimodal's stub discipline).
+
+#: char n-gram width and per-doc feature cap (langid saturates fast —
+#: fastText defaults to similar truncation)
+LANGID_NGRAM = 3
+LANGID_MAX_CHARS = 200
+
+
+def char_ngrams(text: Column, n: int = LANGID_NGRAM) -> Column:
+    """Character n-grams of the (lowercased, truncated) text — a pure
+    row-local array expression; empty/NULL/short text yields []."""
+    t = F.substring(F.lower(F.coalesce(text, F.lit(""))), 1, LANGID_MAX_CHARS)
+    cnt = F.length(t) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.substring(t, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+class MulticlassNB(NamedTuple):
+    """k-class NB as one weights relation + the fixed class list.
+
+    classes: sorted class labels (index = position in every array)
+    weights: (bucket, nlls: array<long>) — per OBSERVED bucket, the
+             quantized NLL of that bucket under each class
+    consts:  one row (priors: array<long>, nll0: array<long>) —
+             per-class prior NLL and unseen-bucket NLL
+    """
+
+    classes: tuple[str, ...]
+    weights: DataFrame
+    consts: DataFrame
+
+
+def train_langid_nb(
+    labeled: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+) -> MulticlassNB:
+    """Train the char-n-gram NB langid model: one explode + one
+    (bucket, class) counting aggregate + one-row class totals; every
+    NLL quantized once, model-side. Classes are read from the labeled
+    slice (one tiny distinct) and pinned into the model."""
+    classes = tuple(
+        r[0]
+        for r in labeled.select(class_col).distinct().orderBy(class_col).collect()
+    )
+    if len(classes) < 2:
+        raise ValueError("langid training needs >= 2 classes")
+    cls_arr = F.array(*[F.lit(c) for c in classes])
+    b = F.lit(float(N_FEATURES))
+
+    grams = labeled.select(
+        F.col(class_col).alias("_cls"),
+        F.explode_outer(char_ngrams(F.col(text_col))).alias("_g"),
+    ).filter(F.col("_g").isNotNull())
+    per = grams.groupBy(
+        feature_bucket(F.col("_g")).alias("bucket"), F.col("_cls")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    # one-row class totals: token mass + doc count per class, as maps
+    totals = (
+        labeled.select(
+            F.col(class_col).alias("_cls"),
+            F.coalesce(F.size(char_ngrams(F.col(text_col))), F.lit(0)).alias(
+                "_n"
+            ),
+        )
+        .groupBy("_cls")
+        .agg(F.sum("_n").alias("tok"), F.count(F.lit(1)).alias("docs"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_cls"), F.col("tok")))
+            ).alias("_tok"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_cls"), F.col("docs")))
+            ).alias("_docs"),
+            F.sum("docs").alias("_alldocs"),
+        )
+    )
+    # per-class NLL of a bucket: ln((tot_c + B) / (n_bc + 1)); unseen
+    # (bucket, class) pairs take n=0 -> the class's nll0. Assemble the
+    # class-aligned array by looking the bucket's per-class counts up
+    # in a map (missing -> 0).
+    bucket_counts = per.groupBy("bucket").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_cls"), F.col("n")))
+        ).alias("_n")
+    )
+    nll_of = lambda cc: _quant_ln(  # noqa: E731
+        F.element_at(F.col("_tok"), cc) + b,
+        F.coalesce(F.element_at(F.col("_n"), cc), F.lit(0)) + F.lit(1.0),
+    )
+    weights = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.transform(cls_arr, nll_of).alias("nlls"),
+    )
+    consts = totals.select(
+        F.transform(
+            cls_arr,
+            lambda cc: _quant_ln(
+                F.col("_alldocs").cast("double"),
+                F.element_at(F.col("_docs"), cc).cast("double"),
+            ),
+        ).alias("priors"),
+        F.transform(
+            cls_arr,
+            lambda cc: _quant_ln(
+                F.element_at(F.col("_tok"), cc) + b, F.lit(1.0)
+            ),
+        ).alias("nll0"),
+    )
+    return MulticlassNB(classes=classes, weights=weights, consts=consts)
+
+
+def classify_lang(
+    corpus: DataFrame,
+    model: MulticlassNB,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Predict each document's class: per-class integer NLL sums over
+    the broadcast weight table, argmin (ties break to the earlier class
+    — deterministic). Emits (id, lang_pred, nll_margin_q): the margin
+    is runner-up minus best in micro-nats, the standard langid
+    confidence. Zero-gram docs predict on the priors alone.
+
+    Plan: grams explode row-locally; the per-(doc, class) partial sums
+    are map-side combinable; the argmin is a second tiny aggregate over
+    k rows per doc."""
+    k = len(model.classes)
+    exploded = corpus.select(
+        F.col(id_col),
+        F.explode_outer(char_ngrams(F.col(text_col))).alias("_g"),
+    ).withColumn("bucket", feature_bucket(F.col("_g")))
+    joined = exploded.join(
+        F.broadcast(model.weights), "bucket", "left"
+    ).crossJoin(F.broadcast(model.consts))
+    # per-gram per-class NLL row: posexplode the class-aligned array
+    # (unseen bucket -> nll0; the null-gram sentinel of an empty doc
+    # contributes nothing but keeps the doc's group alive)
+    per_cls = joined.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.col("_g").isNull(),
+                F.array_repeat(F.lit(0).cast("long"), k),
+            ).otherwise(F.coalesce(F.col("nlls"), F.col("nll0")))
+        ).alias("cls_idx", "nll"),
+        F.col("priors"),
+    )
+    scored = per_cls.groupBy(id_col, "cls_idx").agg(
+        (
+            F.sum("nll") + F.first(F.element_at(F.col("priors"), F.col("cls_idx") + 1))
+        ).alias("score")
+    )
+    w = W.partitionBy(id_col).orderBy(F.asc("score"), F.asc("cls_idx"))
+    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_next", F.lead("score").over(w)
+    )
+    cls_arr = F.array(*[F.lit(c) for c in model.classes])
+    return ranked.filter(F.col("_rk") == 1).select(
+        F.col(id_col),
+        F.element_at(cls_arr, F.col("cls_idx").cast("int") + 1).alias(
+            "lang_pred"
+        ),
+        (F.coalesce(F.col("_next"), F.col("score")) - F.col("score")).alias(
+            "nll_margin_q"
+        ),
     )
