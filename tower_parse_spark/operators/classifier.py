@@ -58,7 +58,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tower_parse_spark.functions import text as T
@@ -380,9 +379,11 @@ def classify_lang(
     is runner-up minus best in micro-nats, the standard langid
     confidence. Zero-gram docs predict on the priors alone.
 
-    Plan: grams explode row-locally; the per-(doc, class) partial sums
-    are map-side combinable; the argmin is a second tiny aggregate over
-    k rows per doc."""
+    Plan: grams explode row-locally; the k per-class sums are k
+    aggregate expressions in ONE map-side-combinable groupBy on the id
+    (k is fixed at train time, so no posexplode blowup and no second
+    shuffle); argmin + margin are row-local array expressions on the
+    k-column result."""
     k = len(model.classes)
     exploded = corpus.select(
         F.col(id_col),
@@ -390,36 +391,45 @@ def classify_lang(
     ).withColumn("bucket", feature_bucket(F.col("_g")))
     joined = exploded.join(
         F.broadcast(model.weights), "bucket", "left"
-    ).crossJoin(F.broadcast(model.consts))
-    # per-gram per-class NLL row: posexplode the class-aligned array
-    # (unseen bucket -> nll0; the null-gram sentinel of an empty doc
-    # contributes nothing but keeps the doc's group alive)
-    per_cls = joined.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.col("_g").isNull(),
-                F.array_repeat(F.lit(0).cast("long"), k),
-            ).otherwise(F.coalesce(F.col("nlls"), F.col("nll0")))
-        ).alias("cls_idx", "nll"),
-        F.col("priors"),
     )
-    scored = per_cls.groupBy(id_col, "cls_idx").agg(
-        (
-            F.sum("nll") + F.first(F.element_at(F.col("priors"), F.col("cls_idx") + 1))
-        ).alias("score")
+    # the class-aligned per-gram NLL array: unseen bucket -> nll0 (a
+    # plan literal would be nicer, but nll0 lives in the consts row —
+    # joined one-row below); the null-gram sentinel of an empty doc
+    # contributes zero while keeping the doc's group alive
+    joined = joined.crossJoin(F.broadcast(model.consts))
+    arr = F.when(
+        F.col("_g").isNull(), F.array_repeat(F.lit(0).cast("long"), k)
+    ).otherwise(F.coalesce(F.col("nlls"), F.col("nll0")))
+    sums = [
+        F.sum(F.element_at(arr, i + 1)).alias(f"_s{i}") for i in range(k)
+    ]
+    scored = joined.groupBy(id_col).agg(
+        *sums, F.first("priors").alias("_pri")
     )
-    w = W.partitionBy(id_col).orderBy(F.asc("score"), F.asc("cls_idx"))
-    ranked = scored.withColumn("_rk", F.row_number().over(w)).withColumn(
-        "_next", F.lead("score").over(w)
+    scores = F.array(
+        *[
+            F.col(f"_s{i}") + F.element_at(F.col("_pri"), i + 1)
+            for i in range(k)
+        ]
     )
     cls_arr = F.array(*[F.lit(c) for c in model.classes])
-    return ranked.filter(F.col("_rk") == 1).select(
+    staged = scored.select(
+        F.col(id_col), scores.alias("_scores")
+    ).select(
         F.col(id_col),
-        F.element_at(cls_arr, F.col("cls_idx").cast("int") + 1).alias(
-            "lang_pred"
-        ),
-        (F.coalesce(F.col("_next"), F.col("score")) - F.col("score")).alias(
-            "nll_margin_q"
-        ),
+        "_scores",
+        # array_position returns the FIRST match -> ties break to the
+        # earlier (lexicographically smaller) class, deterministic
+        F.array_position(
+            F.col("_scores"), F.array_min(F.col("_scores"))
+        ).cast("int").alias("_best"),
+        F.array_sort(F.col("_scores")).alias("_sorted"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.element_at(cls_arr, F.col("_best")).alias("lang_pred"),
+        (
+            F.element_at(F.col("_sorted"), 2)
+            - F.element_at(F.col("_sorted"), 1)
+        ).alias("nll_margin_q"),
     )
