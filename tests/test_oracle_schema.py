@@ -40,3 +40,18 @@ def test_every_oracle_schema_matches_spark(spark, duck):
         if scols != dcols:
             mismatches.append((name, scols, dcols))
     assert not mismatches, mismatches
+
+
+def test_registry_at_or_below_window_ceiling():
+    """The driver oracle-checks exactly the FIRST 50 registry entries,
+    and the rotation policy requires every entry driver-green within
+    the last two rounds — which caps the registry at 100 (50-slot
+    window x wholesale alternation). A 101st query would silently
+    orphan one entry from ever being driver-checked again: additions
+    must retire or merge an existing query first (COVERAGE.md r8
+    rotation section)."""
+    r = registry()
+    assert len(r) <= 100, (
+        f"registry has {len(r)} entries — past the two-round rotation "
+        "ceiling; retire or merge a query"
+    )
