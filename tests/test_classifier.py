@@ -191,3 +191,31 @@ def test_langid_weight_table_bounded(spark):
     # every weights row carries one NLL per class
     row = model.weights.first()
     assert len(row.nlls) == 3
+
+
+def test_quality_model_roundtrip(spark, tmp_path):
+    model = CL.train_quality_nb(_labeled(spark))
+    path = str(tmp_path / "qc_model")
+    CL.save_quality_model(model, path)
+    loaded = CL.load_quality_model(spark, path)
+    corpus = spark.createDataFrame(
+        [(1, CLEAN), (2, SPAM)], "doc_id long, text string"
+    )
+    fresh = {(r.doc_id, r.score_q) for r in CL.score_quality(corpus, model).collect()}
+    again = {(r.doc_id, r.score_q) for r in CL.score_quality(corpus, loaded).collect()}
+    assert fresh == again
+
+
+def test_quality_model_meta_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    model = CL.train_quality_nb(_labeled(spark))
+    path = str(tmp_path / "qc_model")
+    CL.save_quality_model(model, path)
+    orig = CL.N_FEATURES
+    try:
+        CL.N_FEATURES = 2048  # a different feature space
+        with pytest.raises(ValueError, match="incompatible"):
+            CL.load_quality_model(spark, path)
+    finally:
+        CL.N_FEATURES = orig

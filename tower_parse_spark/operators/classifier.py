@@ -433,3 +433,57 @@ def classify_lang(
             - F.element_at(F.col("_sorted"), 1)
         ).alias("nll_margin_q"),
     )
+
+
+# --------------------------------------------------------------------------
+# Model persistence — build once, score many (the pq.py index discipline)
+# --------------------------------------------------------------------------
+
+
+def _model_meta(kind: str) -> dict:
+    """The hash-machinery parameters a saved model is only valid under:
+    scoring with a different feature space or quantization scale would
+    silently produce plausible-but-wrong verdicts (the IVF-PQ meta
+    rationale, operators/pq.py)."""
+    return {
+        "kind": kind,
+        "n_features": N_FEATURES,
+        "w_scale": W_SCALE,
+        "feature_salt": FEATURE_SALT,
+    }
+
+
+def save_quality_model(model: NBModel, path: str) -> None:
+    """Persist the trained quality model as a parquet artifact:
+    ``weights/`` + ``consts/`` + a one-row ``meta/`` sidecar. Production
+    trains once (offline, on the labeled slice) and scores every
+    ingest batch against the artifact."""
+    model.weights.write.mode("overwrite").parquet(f"{path}/weights")
+    model.consts.write.mode("overwrite").parquet(f"{path}/consts")
+    spark = model.weights.sparkSession
+    spark.createDataFrame([_model_meta("quality_nb")]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_quality_model(spark, path: str) -> NBModel:
+    """Load a :func:`save_quality_model` artifact, validating the meta
+    sidecar against this build's hash machinery — a mismatch raises
+    instead of scoring garbage."""
+    row = spark.read.parquet(f"{path}/meta").first()
+    expected = _model_meta("quality_nb")
+    mismatches = {
+        k: (row[k], v)
+        for k, v in expected.items()
+        if k in row.__fields__ and row[k] != v
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: saved={a!r} expected={b!r}"
+            for k, (a, b) in sorted(mismatches.items())
+        )
+        raise ValueError(f"quality model at {path!r} is incompatible: {detail}")
+    return NBModel(
+        weights=spark.read.parquet(f"{path}/weights"),
+        consts=spark.read.parquet(f"{path}/consts"),
+    )
