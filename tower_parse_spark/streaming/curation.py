@@ -1,0 +1,140 @@
+"""Streaming document curation — the composed live-ingest pipeline.
+
+A production LLM-data ingest does not run quality filtering and
+deduplication as separate batch jobs over a landed corpus; it curates
+ON THE WAY IN. This module composes the engine's existing pieces into
+that shape, one ``foreachBatch`` epoch at a time:
+
+1. **Quality gate** — the trained NB classifier
+   (operators/classifier.py) scores the micro-batch against a model
+   artifact loaded ONCE at stream start (weights broadcast per epoch;
+   a 1024-row relation, bounded by construction). Rejects land in a
+   quarantine sink WITH their scores — curation drops must always be
+   attributable (the malformed-routing A12 discipline applied to
+   quality).
+2. **Near-dup gate** — survivors probe the banded MinHash signature
+   index exactly as streaming/neardup.py::process_epoch does
+   (partitions ``batch < N`` only, batch side broadcast, one
+   shingling per document per lifetime), and new survivors' signatures
+   are indexed.
+3. **Accept sink** — documents that pass both gates land under
+   ``accepted/batch=N``.
+
+Exactly-once under replay: every sink (quarantine, near-dup verdicts,
+index, accepted) writes an OVERWRITE ``batch=N`` partition, so a
+replayed epoch rewrites its own output instead of double-appending —
+the same partition-layout idempotency rule the pack sink and the
+near-dup loop established (pytest: a replayed epoch is byte-identical).
+
+Scale shape: the quality gate is scan-side (broadcast join + one
+map-side-combinable per-doc aggregate); the dedup probe is bounded by
+|history survivors|, not epochs; no stage holds state in executor
+memory — the index IS the state, on storage. Order of gates matters
+and is deliberate: quality is O(batch) and cheap, dedup probes the
+(large) index — filter first, probe less.
+
+Reference context: the reference's pipeline is ingest-only
+(readport.py socket -> regex -> npz); this is the LLM-curation
+extension of the same always-on shape (BASELINE.json direction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tower_parse_spark.operators.classifier import NBModel, score_quality
+from tower_parse_spark.streaming.neardup import process_epoch
+
+
+def curate_epoch(
+    batch_df: DataFrame,
+    batch_id: int,
+    model: NBModel,
+    index_path: str,
+    accepted_path: str,
+    rejected_path: str,
+    verdict_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_fn: str = "fast",
+) -> None:
+    """One curation epoch (the foreachBatch body): quality-gate the
+    batch, near-dup-gate the keepers, write all three sinks as
+    OVERWRITE ``batch=N`` partitions. Re-invoking with the same
+    *batch_id* rewrites the same partitions — idempotent under
+    replay."""
+    spark = batch_df.sparkSession
+    batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+
+    scored = score_quality(batch, model, id_col=id_col, text_col=text_col)
+    verdicts = batch.join(scored, id_col).localCheckpoint(eager=True)
+    verdicts.filter(~F.col("is_quality")).select(
+        id_col, text_col, "score_q", "log_odds"
+    ).write.mode("overwrite").parquet(f"{rejected_path}/batch={batch_id}")
+
+    keepers = verdicts.filter(F.col("is_quality")).select(id_col, text_col)
+    # the near-dup loop handles its own verdict/index batch=N overwrite
+    process_epoch(
+        keepers,
+        batch_id,
+        index_path,
+        verdict_path,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        hash_fn=hash_fn,
+    )
+    survivors = (
+        spark.read.parquet(f"{verdict_path}/batch={batch_id}")
+        .filter(~F.col("is_dup") & ~F.col("in_batch_dup"))
+        .select(id_col)
+    )
+    keepers.join(survivors, id_col).write.mode("overwrite").parquet(
+        f"{accepted_path}/batch={batch_id}"
+    )
+
+
+def stream_curate(
+    docs_stream: DataFrame,
+    model: NBModel,
+    index_path: str,
+    accepted_path: str,
+    rejected_path: str,
+    verdict_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    hash_fn: str = "fast",
+):
+    """Start the streaming curation query over *docs_stream* (columns
+    *id_col*, *text_col*). The model's relations are localCheckpointed
+    ONCE here so no epoch re-runs the training aggregations. Returns
+    the StreamingQuery (caller stops it)."""
+    pinned = NBModel(
+        weights=model.weights.localCheckpoint(eager=True),
+        consts=model.consts.localCheckpoint(eager=True),
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        curate_epoch(
+            batch_df,
+            batch_id,
+            pinned,
+            index_path,
+            accepted_path,
+            rejected_path,
+            verdict_path,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=threshold,
+            hash_fn=hash_fn,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
