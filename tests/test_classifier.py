@@ -212,10 +212,25 @@ def test_quality_model_meta_mismatch_raises(spark, tmp_path):
     model = CL.train_quality_nb(_labeled(spark))
     path = str(tmp_path / "qc_model")
     CL.save_quality_model(model, path)
-    orig = CL.N_FEATURES
+    orig = CL.FEATURE_SALT
     try:
-        CL.N_FEATURES = 2048  # a different feature space
+        CL.FEATURE_SALT = "other"  # a different hash family
         with pytest.raises(ValueError, match="incompatible"):
             CL.load_quality_model(spark, path)
     finally:
-        CL.N_FEATURES = orig
+        CL.FEATURE_SALT = orig
+
+
+def test_quality_model_nondefault_feature_space_roundtrip(spark, tmp_path):
+    # n_features is MODEL DATA: a 4096-bucket model saves, loads, and
+    # scores identically regardless of the module default
+    model = CL.train_quality_nb(_labeled(spark), n_features=4096)
+    assert model.n_features == 4096
+    path = str(tmp_path / "qc4096")
+    CL.save_quality_model(model, path)
+    loaded = CL.load_quality_model(spark, path)
+    assert loaded.n_features == 4096
+    corpus = spark.createDataFrame([(1, SPAM)], "doc_id long, text string")
+    a = CL.score_quality(corpus, model).collect()[0].score_q
+    b = CL.score_quality(corpus, loaded).collect()[0].score_q
+    assert a == b < 0

@@ -76,13 +76,13 @@ W_SCALE = 1_000_000
 FEATURE_SALT = "qc"
 
 
-def feature_bucket(tok: Column) -> Column:
-    """Portable hashed-feature bucket in [0, N_FEATURES): first 15 hex
-    chars of md5(salt || '|' || token) as bigint, mod N_FEATURES.
+def feature_bucket(tok: Column, n_features: int = N_FEATURES) -> Column:
+    """Portable hashed-feature bucket in [0, n_features): first 15 hex
+    chars of md5(salt || '|' || token) as bigint, mod n_features.
     Twin: :func:`sql_feature_bucket`. NULL tokens bucket to NULL (concat
     is null-propagating, matching SQL ``||``)."""
     h = F.md5(F.concat(F.lit(FEATURE_SALT + "|"), tok))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % N_FEATURES
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % n_features
 
 
 def sql_feature_bucket(tok_expr: str) -> str:
@@ -112,12 +112,18 @@ class NBModel(NamedTuple):
 
     weights: DataFrame
     consts: DataFrame
+    #: the feature-space size the model was trained under — scoring
+    #: MUST bucket with the same modulus, so it travels with the model
+    #: (and through the save/load meta sidecar) instead of being read
+    #: from the module constant at score time
+    n_features: int = N_FEATURES
 
 
 def train_quality_nb(
     labeled: DataFrame,
     label_col: str = "label",
     text_col: str = "text",
+    n_features: int = N_FEATURES,
 ) -> NBModel:
     """Train the NB model on *labeled* (boolean *label_col*: True =
     quality/positive class). Two aggregations over the labeled slice;
@@ -135,7 +141,7 @@ def train_quality_nb(
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
     ).filter(F.col("_tok").isNotNull())
     per_bucket = toks.groupBy(
-        feature_bucket(F.col("_tok")).alias("bucket")
+        feature_bucket(F.col("_tok"), n_features).alias("bucket")
     ).agg(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("n_neg"),
@@ -152,7 +158,7 @@ def train_quality_nb(
         F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("docs_pos"),
         F.sum(F.when(~F.col("_pos"), 1).otherwise(0)).alias("docs_neg"),
     )
-    b = F.lit(float(N_FEATURES))
+    b = F.lit(float(n_features))
     # per-bucket log-odds: quantize each class term separately so the
     # difference is a difference of two independently-exact integers
     weights = per_bucket.crossJoin(F.broadcast(totals)).select(
@@ -171,7 +177,7 @@ def train_quality_nb(
             F.col("docs_pos").cast("double"), F.col("docs_neg").cast("double")
         ).alias("prior_q"),
     )
-    return NBModel(weights=weights, consts=consts)
+    return NBModel(weights=weights, consts=consts, n_features=n_features)
 
 
 def score_quality(
@@ -194,7 +200,7 @@ def score_quality(
     exploded = corpus.select(
         F.col(id_col),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
-    ).withColumn("bucket", feature_bucket(F.col("_tok")))
+    ).withColumn("bucket", feature_bucket(F.col("_tok"), model.n_features))
     scored = (
         exploded.join(F.broadcast(model.weights), "bucket", "left")
         .groupBy(id_col)
@@ -284,12 +290,14 @@ class MulticlassNB(NamedTuple):
     classes: tuple[str, ...]
     weights: DataFrame
     consts: DataFrame
+    n_features: int = N_FEATURES
 
 
 def train_langid_nb(
     labeled: DataFrame,
     class_col: str = "lang",
     text_col: str = "text",
+    n_features: int = N_FEATURES,
 ) -> MulticlassNB:
     """Train the char-n-gram NB langid model: one explode + one
     (bucket, class) counting aggregate + one-row class totals; every
@@ -302,14 +310,14 @@ def train_langid_nb(
     if len(classes) < 2:
         raise ValueError("langid training needs >= 2 classes")
     cls_arr = F.array(*[F.lit(c) for c in classes])
-    b = F.lit(float(N_FEATURES))
+    b = F.lit(float(n_features))
 
     grams = labeled.select(
         F.col(class_col).alias("_cls"),
         F.explode_outer(char_ngrams(F.col(text_col))).alias("_g"),
     ).filter(F.col("_g").isNotNull())
     per = grams.groupBy(
-        feature_bucket(F.col("_g")).alias("bucket"), F.col("_cls")
+        feature_bucket(F.col("_g"), n_features).alias("bucket"), F.col("_cls")
     ).agg(F.count(F.lit(1)).alias("n"))
 
     # one-row class totals: token mass + doc count per class, as maps
@@ -364,7 +372,9 @@ def train_langid_nb(
             ),
         ).alias("nll0"),
     )
-    return MulticlassNB(classes=classes, weights=weights, consts=consts)
+    return MulticlassNB(
+        classes=classes, weights=weights, consts=consts, n_features=n_features
+    )
 
 
 def classify_lang(
@@ -388,7 +398,7 @@ def classify_lang(
     exploded = corpus.select(
         F.col(id_col),
         F.explode_outer(char_ngrams(F.col(text_col))).alias("_g"),
-    ).withColumn("bucket", feature_bucket(F.col("_g")))
+    ).withColumn("bucket", feature_bucket(F.col("_g"), model.n_features))
     joined = exploded.join(
         F.broadcast(model.weights), "bucket", "left"
     )
@@ -440,14 +450,15 @@ def classify_lang(
 # --------------------------------------------------------------------------
 
 
-def _model_meta(kind: str) -> dict:
+def _model_meta(kind: str, n_features: int) -> dict:
     """The hash-machinery parameters a saved model is only valid under:
-    scoring with a different feature space or quantization scale would
-    silently produce plausible-but-wrong verdicts (the IVF-PQ meta
-    rationale, operators/pq.py)."""
+    a different quantization scale or salt would silently produce
+    plausible-but-wrong verdicts (the IVF-PQ meta rationale,
+    operators/pq.py). n_features is MODEL DATA — restored on load, not
+    validated against the module constant."""
     return {
         "kind": kind,
-        "n_features": N_FEATURES,
+        "n_features": n_features,
         "w_scale": W_SCALE,
         "feature_salt": FEATURE_SALT,
     }
@@ -461,9 +472,9 @@ def save_quality_model(model: NBModel, path: str) -> None:
     model.weights.write.mode("overwrite").parquet(f"{path}/weights")
     model.consts.write.mode("overwrite").parquet(f"{path}/consts")
     spark = model.weights.sparkSession
-    spark.createDataFrame([_model_meta("quality_nb")]).coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{path}/meta")
+    spark.createDataFrame(
+        [_model_meta("quality_nb", model.n_features)]
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
 def load_quality_model(spark, path: str) -> NBModel:
@@ -471,7 +482,7 @@ def load_quality_model(spark, path: str) -> NBModel:
     sidecar against this build's hash machinery — a mismatch raises
     instead of scoring garbage."""
     row = spark.read.parquet(f"{path}/meta").first()
-    expected = _model_meta("quality_nb")
+    expected = _model_meta("quality_nb", row["n_features"])
     mismatches = {
         k: (row[k], v)
         for k, v in expected.items()
@@ -486,4 +497,5 @@ def load_quality_model(spark, path: str) -> NBModel:
     return NBModel(
         weights=spark.read.parquet(f"{path}/weights"),
         consts=spark.read.parquet(f"{path}/consts"),
+        n_features=row["n_features"],
     )
