@@ -67,3 +67,57 @@ def test_query_mode_unknown_name_exits():
 
     with pytest.raises(SystemExit, match="unknown query"):
         main(["--query", "nope_not_a_query"])
+
+
+def test_curate_mode_end_to_end(spark, tmp_path):
+    """--curate: jsonl spool -> quality gate -> near-dup gate -> sinks,
+    driven through the CLI's start_curate seam."""
+    import json as _json
+
+    from tower_parse_spark.__main__ import start_curate
+    from tower_parse_spark.operators.classifier import (
+        save_quality_model,
+        train_quality_nb,
+    )
+
+    clean = "the committee published the annual report with detailed findings"
+    spam = "zzclicka zzbuyb zzfreec zzcasinod zzwinnere zzbonusf"
+    model = train_quality_nb(
+        spark.createDataFrame(
+            [(True, clean), (True, clean + " twice"), (False, spam),
+             (False, spam + " more")],
+            "label boolean, text string",
+        )
+    )
+    model_path = str(tmp_path / "model")
+    save_quality_model(model, model_path)
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    rows = [
+        {"doc_id": 1, "text": clean},
+        {"doc_id": 2, "text": spam + " offer"},
+        {"doc_id": 3, "text": clean + " indeed"},  # near-dup of 1
+    ]
+    (spool / "docs.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows) + "\n"
+    )
+    out = str(tmp_path / "out")
+    q = start_curate(spark, str(spool), model_path, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    rejected = {r.doc_id for r in spark.read.parquet(f"{out}/rejected").collect()}
+    assert accepted == {1}
+    assert rejected == {2}
+
+
+def test_curate_requires_model(spark, tmp_path):
+    import pytest
+
+    from tower_parse_spark.__main__ import start_curate
+
+    with pytest.raises(SystemExit, match="--model"):
+        start_curate(spark, str(tmp_path), None, str(tmp_path / "o"))

@@ -16,6 +16,13 @@ same entry point:
         run one registry query (see --query list) and print the result
     python -m tower_parse_spark --explain NAME [--sf-dir DIR]
         print the query's optimized + physical plan (the plan-audit view)
+    python -m tower_parse_spark --curate DIR --model PATH [--out DIR]
+        stream-curate a document spool: watch DIR for jsonl files
+        ({"doc_id": long, "text": str} per line), quality-gate each
+        micro-batch against the saved NB model artifact, near-dup-gate
+        survivors against the growing signature index, and land
+        accepted/rejected/verdicts/index under --out (exactly-once
+        batch=N partitions; streaming/curation.py)
 
 The reference's --debug maps to --log-level.
 """
@@ -40,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--explain",
         metavar="NAME",
         help="print a registry query's optimized + physical plan",
+    )
+    mode.add_argument(
+        "--curate",
+        metavar="DIR",
+        help="stream-curate a jsonl document spool directory",
+    )
+    p.add_argument(
+        "--model",
+        help="quality-model artifact path (save_quality_model) for --curate",
     )
     p.add_argument("--out", default="./data", help="output base directory")
     p.add_argument(
@@ -79,6 +95,32 @@ def parse_endpoint(raw: str) -> tuple[str, int]:
     return host, port
 
 
+def start_curate(spark, spool_dir: str, model_path: str | None, out: str):
+    """Start the streaming curation query for the --curate mode (split
+    out so tests can drive it with processAllAvailable instead of
+    awaitTermination). Sinks live under *out*: accepted/ rejected/
+    verdicts/ index/ checkpoint/."""
+    if not model_path:
+        raise SystemExit("--curate requires --model (a saved NB artifact)")
+    from tower_parse_spark.operators.classifier import load_quality_model
+    from tower_parse_spark.streaming.curation import stream_curate
+
+    model = load_quality_model(spark, model_path)
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(spool_dir)
+    )
+    return stream_curate(
+        docs,
+        model,
+        f"{out}/index",
+        f"{out}/accepted",
+        f"{out}/rejected",
+        f"{out}/verdicts",
+        f"{out}/checkpoint",
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from tower_parse_spark.session import get_spark
@@ -111,7 +153,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.limit, truncate=False)
         return 0
-    if args.echo:
+    if args.curate:
+        q = start_curate(spark, args.curate, args.model, args.out)
+    elif args.echo:
         host, port = parse_endpoint(args.echo)
         q = P.echo(SRC.socket_lines(spark, host, port))
     else:
