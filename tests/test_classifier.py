@@ -234,3 +234,25 @@ def test_quality_model_nondefault_feature_space_roundtrip(spark, tmp_path):
     a = CL.score_quality(corpus, model).collect()[0].score_q
     b = CL.score_quality(corpus, loaded).collect()[0].score_q
     assert a == b < 0
+
+
+def test_training_invariant_under_partitioning(spark):
+    """The quantize-then-sum exactness claim, pinned mechanically: the
+    model's integer weights must be bit-identical no matter how the
+    labeled slice is partitioned (partial-aggregation order must never
+    leak into quantized values)."""
+    rows = [
+        (i % 3 != 0, f"alpha{i % 7} beta{i % 5} gamma{i % 11} common word")
+        for i in range(200)
+    ]
+    base = spark.createDataFrame(rows, "label boolean, text string")
+
+    def fingerprint(df):
+        m = CL.train_quality_nb(df)
+        w = sorted((r.bucket, r.w_q) for r in m.weights.collect())
+        c = m.consts.collect()[0]
+        return (tuple(w), c.w0_q, c.prior_q)
+
+    one = fingerprint(base.coalesce(1))
+    many = fingerprint(base.repartition(17))
+    assert one == many
