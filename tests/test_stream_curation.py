@@ -9,7 +9,13 @@ import time
 
 from pyspark.sql import functions as F
 
-from tower_parse_spark.operators.classifier import train_quality_nb
+from tower_parse_spark.operators.classifier import (
+    NBModel,
+    load_quality_model,
+    save_quality_model,
+    score_quality,
+    train_quality_nb,
+)
 from tower_parse_spark.streaming import curation as CU
 
 CLEAN_A = "the committee published the annual report with detailed findings"
@@ -100,6 +106,69 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     # replay the SAME epoch (a restart re-delivering the micro-batch)
     CU.curate_epoch(_docs(spark, batch1), 1, model, idx, acc, rej, ver)
     assert snapshot() == first  # no double-append anywhere
+
+
+def test_stream_curate_non_default_width(spark, tmp_path):
+    """A 4096-bucket saved artifact must keep its modulus through the
+    stream's model pinning (r8 regression: stream_curate re-pinned the
+    NBModel without n_features, silently scoring every epoch at the
+    1024 default — plausible wrong verdicts on the public --curate
+    path)."""
+    rows = [(True, CLEAN_A), (True, CLEAN_B), (True, CLEAN_C)] + [
+        (False, f"{SPAM} extra{i}") for i in range(3)
+    ]
+    trained = train_quality_nb(
+        spark.createDataFrame(rows, "label boolean, text string"),
+        n_features=4096,
+    )
+    mpath = str(tmp_path / "model")
+    save_quality_model(trained, mpath)
+    model = load_quality_model(spark, mpath)
+    assert model.n_features == 4096
+
+    docs = [(1, CLEAN_A), (2, CLEAN_B), (3, SPAM + " y"), (4, CLEAN_C)]
+    expected = {
+        r.doc_id: (r.is_quality, r.score_q)
+        for r in score_quality(_docs(spark, docs), model).collect()
+    }
+    assert {d: v for d, (v, _) in expected.items()} == {
+        1: True, 2: True, 3: False, 4: True
+    }
+    # teeth: dropping n_features (the exact r8 bug shape) must change
+    # the integer scores, or the score_q pin below is vacuous (verdicts
+    # alone can coincide on a corpus this small)
+    dropped = NBModel(weights=model.weights, consts=model.consts)
+    wrong = {
+        r.doc_id: (r.is_quality, r.score_q)
+        for r in score_quality(_docs(spark, docs), dropped).collect()
+    }
+    assert wrong != expected
+
+    idx, acc, rej, ver = _paths(tmp_path)
+    spool = str(tmp_path / "in")
+    os.makedirs(spool)
+    with open(os.path.join(spool, "b0.txt"), "w") as f:
+        for doc_id, text in docs:
+            f.write(f"{doc_id} {text}\n")
+    sp = F.split(F.col("value"), " ", 2)
+    stream_docs = spark.readStream.text(spool).select(
+        sp[0].cast("long").alias("doc_id"), sp[1].alias("text")
+    )
+    q = CU.stream_curate(
+        stream_docs, model, idx, acc, rej, ver, str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = {r.doc_id for r in spark.read.parquet(acc).collect()}
+    rej_rows = spark.read.parquet(rej).collect()
+    assert accepted == {d for d, (v, _) in expected.items() if v}
+    # the quarantine sink's attributable score must be the 4096-width
+    # score, bit-exact — the wrong-modulus score differs (teeth above)
+    assert {r.doc_id: r.score_q for r in rej_rows} == {
+        d: s for d, (v, s) in expected.items() if not v
+    }
 
 
 def test_stream_curate_end_to_end(spark, tmp_path):

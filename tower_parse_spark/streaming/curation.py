@@ -113,9 +113,15 @@ def stream_curate(
     *id_col*, *text_col*). The model's relations are localCheckpointed
     ONCE here so no epoch re-runs the training aggregations. Returns
     the StreamingQuery (caller stops it)."""
+    # Carry n_features through: score_quality buckets tokens with the
+    # MODEL's modulus, and a saved/loaded artifact may use any width
+    # (the meta sidecar round-trips it). Dropping it here silently
+    # reverted to the 1024 default and scored non-default artifacts
+    # with the wrong bucket modulus (r8 VERDICT What's-wrong #1).
     pinned = NBModel(
         weights=model.weights.localCheckpoint(eager=True),
         consts=model.consts.localCheckpoint(eager=True),
+        n_features=model.n_features,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
