@@ -95,6 +95,33 @@ pack_length = 18
     assert (p.pack_length, p.host, p.port, p.timeout) == (18, "10.0.0.1", 4004, 30.0)
 
 
+def test_from_ini_escaped_literal_backslash(tmp_path):
+    """A config regex with an escaped literal backslash BEFORE a word
+    char ('[\\\\w]' on disk) must decode like the reference's bytes
+    literal_eval (readport.py:552): the '\\\\' pair yields ONE
+    backslash and the following 'w' stays a plain char. The r8 ADVICE
+    scan doubled the pair's second backslash (lookahead re-read it as
+    a new escape start), yielding backslash,backslash,w instead."""
+    conf = tmp_path / "device.conf"
+    conf.write_text(
+        "[device]\n"
+        "name = probe\n"
+        "station = KRP\n"
+        "host = 10.0.0.1\n"
+        "port = 4004\n"
+        "\n"
+        "[parser]\n"
+        "regex = ^(?P<level>[\\\\w]\\d+)$\n"
+        "group_by = level:int\n"
+        "pack_length = 4\n"
+    )
+    p = DeviceProfile.from_ini(str(conf))
+    # decoded chars: ^(?P<level>[\w]\d+)$ — exactly what the
+    # reference's eval(b'...') produces for the same on-disk bytes
+    assert p.regex == ["^(?P<level>[\\w]\\d+)$"]
+    assert p.variables == ("level",)
+
+
 def test_from_ini_missing_file():
     with pytest.raises(ConfigurationError):
         DeviceProfile.from_ini("/nonexistent/x.conf")

@@ -75,6 +75,57 @@ def test_shard_streams_tile_independently(spark):
             pos += n
 
 
+def test_subword_billing_side_by_side(spark, docs):
+    """r9: subword_vocab adds the sub_* columns without touching the
+    whitespace spans, and both units tile each shard stream."""
+    vocab = ("ab", "lm", "no", "xyz", "x")  # multi-char pieces + fallback
+    plain = {r.doc_id: r for r in pack_sequences(docs, seq_tokens=10).collect()}
+    both = {
+        r.doc_id: r
+        for r in pack_sequences(
+            docs, seq_tokens=10, subword_vocab=vocab
+        ).collect()
+    }
+    assert set(both) == set(plain)
+    for d, p in plain.items():
+        b = both[d]
+        # whitespace columns bit-identical with and without the option
+        assert (
+            p.shard, p.n_tokens, p.start_off, p.first_seq, p.last_seq, p.n_seqs
+        ) == (
+            b.shard, b.n_tokens, b.start_off, b.first_seq, b.last_seq, b.n_seqs
+        )
+        # every word is >= 1 piece
+        assert b.n_subwords >= b.n_tokens
+    # single-char words count 1 piece each; 'x y z' -> x|y|z = 3
+    assert both[6].n_subwords == 3
+    # subword offsets tile each shard stream exactly, like whitespace
+    rows = pack_sequences(docs, seq_tokens=10, subword_vocab=vocab).collect()
+    for s in {r.shard for r in rows}:
+        pos = 0
+        for start, n in sorted(
+            (r.sub_start_off, r.n_subwords) for r in rows if r.shard == s
+        ):
+            assert start == pos
+            pos += n
+
+
+def test_subword_billing_single_shuffle(spark, docs):
+    """The second unit rides the SAME shard window — still exactly one
+    hashpartitioning exchange on shard (the doc-id aggregate underneath
+    is AQE-planned from the exploded relation, not a second window)."""
+    import re
+
+    plan = (
+        pack_sequences(docs, subword_vocab=("ab",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    window_shuffles = re.findall(r"Exchange hashpartitioning\(shard#", plan)
+    assert len(window_shuffles) == 1, plan
+
+
 def test_rejects_bad_params(spark, docs):
     with pytest.raises(ValueError, match="seq_tokens"):
         pack_sequences(docs, seq_tokens=0)

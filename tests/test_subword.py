@@ -46,6 +46,20 @@ def test_fallback_consumes_single_chars(spark):
     assert got[""] == 0
 
 
+def test_null_word_counts_zero(spark):
+    # r8 ADVICE: a bare NULL used to poison the step guard and count 1;
+    # NULL now coalesces to '' inside subword_count
+    df = spark.createDataFrame([(None,), ("ab",)], "w string")
+    got = df.select(SW.subword_count(F.col("w")).alias("n")).collect()
+    assert [r.n for r in got] == [0, 2]
+
+
+def test_all_single_char_vocab(spark):
+    # no probe lengths > 1: the fold degenerates to pure 1-char steps
+    got = _counts(spark, ["abc", ""], vocab=("a", "b"))
+    assert got == {"abc": 3, "": 0}
+
+
 def test_doc_counts_and_null_rows(spark):
     docs = spark.createDataFrame(
         [

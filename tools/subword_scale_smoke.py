@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Subword fold cost curve vs vocabulary size (r9 VERDICT #4 evidence).
+
+Times the greedy longest-match fold ITSELF over a generated
+50k-distinct-word relation (16-hex-char words from md5 — deterministic,
+no corpus dependence; the real pipeline's distinct-word dedup already
+bounds fold evaluations, so the isolated fold cost is exactly what the
+vocabulary-size claim is about). The piece vocabulary is the first N
+hex strings interleaved across lengths 4/3/2, so probes genuinely hit
+mid-word.
+
+``--legacy`` times the pre-r9 fold (O(|vocab|) ``F.filter`` scan per
+position, re-slicing the word once per piece) for contrast with the
+r9 length-descending map probes. The legacy body lives ONLY here, as
+the measurement baseline.
+
+Usage: python tools/subword_scale_smoke.py [--legacy] [n_words]
+Prints one JSON line: {"impl": ..., "n_words": N, "sizes": [...],
+"sec": [...]}  (best of 3 per size).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Column  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SIZES = (51, 250, 1000, 4000)
+HEX = "0123456789abcdef"
+
+
+def _legacy_subword_count(word: Column, vocab: tuple[str, ...]) -> Column:
+    """The pre-r9 fold, verbatim shape: filter-scan the full piece
+    array at every position."""
+    from tower_parse_spark.operators.subword import _pieces_desc
+
+    pieces = F.array(*[F.lit(p) for p in _pieces_desc(vocab)])
+    word = F.coalesce(word, F.lit(""))
+    init = F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt"))
+
+    def step(st: Column, _i: Column) -> Column:
+        pos, cnt = st["pos"], st["cnt"]
+        matched = F.filter(
+            pieces, lambda p: F.substring(word, pos, F.length(p)) == p
+        )
+        plen = F.when(
+            F.size(matched) > 0, F.length(F.element_at(matched, 1))
+        ).otherwise(F.lit(1))
+        return F.when(pos > F.length(word), st).otherwise(
+            F.struct((pos + plen).alias("pos"), (cnt + 1).alias("cnt"))
+        )
+
+    steps = F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1)))
+    return F.aggregate(steps, init, step, lambda st: st["cnt"])
+
+
+def _hex_vocab(size: int) -> tuple[str, ...]:
+    """First *size* hex pieces, interleaved across lengths 4/3/2 so the
+    probe ladder keeps multiple lengths at every size."""
+    by_len = {
+        L: ["".join(t) for t in itertools.product(HEX, repeat=L)]
+        for L in (2, 3, 4)
+    }
+    out: list[str] = []
+    i = 0
+    while len(out) < size:
+        for L in (4, 3, 2):
+            if i < len(by_len[L]) and len(out) < size:
+                out.append(by_len[L][i])
+        i += 1
+    return tuple(sorted(set(out)))
+
+
+def main() -> int:
+    legacy = "--legacy" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_words = int(args[0]) if args else 50_000
+
+    from tower_parse_spark import session as S
+    from tower_parse_spark.operators import subword as SW
+
+    spark = S.get_spark()
+    words = (
+        spark.range(n_words)
+        .select(
+            F.substring(
+                F.md5(F.col("id").cast("string")), 1, 16
+            ).alias("_tok")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    counter = _legacy_subword_count if legacy else SW.subword_count
+
+    def run(vocab: tuple[str, ...]) -> float:
+        counted = words.select(counter(F.col("_tok"), vocab).alias("_n"))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            counted.agg(F.sum("_n")).collect()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 3)
+
+    sizes, secs = [], []
+    for size in SIZES:
+        vocab = SW.SUBWORD_VOCAB if size == 51 else _hex_vocab(size)
+        sizes.append(len(vocab))
+        secs.append(run(vocab))
+    print(
+        json.dumps(
+            {
+                "impl": "legacy-filter-scan" if legacy else "map-probe",
+                "n_words": n_words,
+                "sizes": sizes,
+                "sec": secs,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

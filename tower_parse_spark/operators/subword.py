@@ -81,21 +81,56 @@ def subword_count(
     A fold over at most ``length(word)`` steps: state (pos, cnt) starts
     at (1, 0); each live step consumes the longest piece matching at
     ``pos`` (else 1 fallback character) and increments the count; steps
-    after the word is exhausted are no-ops. Empty input counts 0.
+    after the word is exhausted are no-ops. Empty and NULL input count
+    0 (NULL is coalesced to '' up front — a bare NULL used to poison
+    the step guard and count 1, r8 ADVICE).
+
+    Probe shape (r9): one map literal PER PIECE LENGTH, probed
+    length-descending — ``try_element_at(map_L, substr(word, pos, L))``
+    — with ``coalesce`` short-circuiting at the first (= longest)
+    match. Each probe computes ONE substring and one key lookup, so a
+    position costs O(#distinct lengths) substring evaluations instead
+    of the former O(|vocab|) filter scan that re-sliced the word per
+    piece. Length-1 pieces are never probed: a 1-char match and the
+    1-char fallback are indistinguishable in (pos, cnt) effect. The
+    fold lambda is a single expression node (NOT unrolled per step),
+    so each map literal appears exactly once in the plan regardless of
+    word length; constant folding collapses it to one Literal. (Spark's
+    map lookup on literal MapData is itself a key scan, so the win at a
+    32k vocab is the early exit + single substr per length — measured
+    cost curve in SCALE.md.)
 
     Twin: :func:`sql_subword_walk` (recursive CTE, same pieces, same
     longest-match rule via max(length) over matching pieces)."""
-    pieces = F.array(*[F.lit(p) for p in _pieces_desc(vocab)])
+    by_len: dict[int, list[str]] = {}
+    for p in _pieces_desc(vocab):
+        by_len.setdefault(len(p), []).append(p)
+    probe_lengths = sorted((L for L in by_len if L > 1), reverse=True)
+    maps = {
+        L: F.create_map(
+            *[x for p in by_len[L] for x in (F.lit(p), F.lit(1))]
+        )
+        for L in probe_lengths
+    }
+    word = F.coalesce(word, F.lit(""))
     init = F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt"))
 
     def step(st: Column, _i: Column) -> Column:
         pos, cnt = st["pos"], st["cnt"]
-        matched = F.filter(
-            pieces, lambda p: F.substring(word, pos, F.length(p)) == p
+        # longest match first; per-length maps mean a short substring
+        # at the word tail can never alias a longer piece's key
+        plen = F.coalesce(
+            *[
+                F.when(
+                    F.try_element_at(
+                        maps[L], F.substring(word, pos, F.lit(L))
+                    ).isNotNull(),
+                    F.lit(L),
+                )
+                for L in probe_lengths
+            ],
+            F.lit(1),
         )
-        plen = F.when(
-            F.size(matched) > 0, F.length(F.element_at(matched, 1))
-        ).otherwise(F.lit(1))
         return F.when(pos > F.length(word), st).otherwise(
             F.struct((pos + plen).alias("pos"), (cnt + 1).alias("cnt"))
         )

@@ -190,8 +190,17 @@ class DeviceProfile:
             # DeprecationWarning per compile. Pre-double exactly those
             # backslashes: byte-identical result, no warning, and the
             # behavior survives the planned py3.x hard error for
-            # invalid escapes.
-            raw = re.sub(r"\\(?![\\'\"abfnrtv0-7x\n])", r"\\\\", raw)
+            # invalid escapes. Valid escape pairs are consumed
+            # ATOMICALLY so the second backslash of an escaped '\\'
+            # can never be re-read as the start of a new escape (a
+            # lookahead-only scan turned '\\d' into backslash,
+            # backslash, d where the reference's eval yields
+            # backslash, d — r8 ADVICE).
+            raw = re.sub(
+                r"(\\[\\'\"abfnrtv0-7x\n])|\\",
+                lambda m: m.group(1) or r"\\",
+                raw,
+            )
             raw_regex = ast.literal_eval("b'{}'".format(raw)).decode(
                 "utf-8", errors="replace"
             )

@@ -1958,20 +1958,31 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     span in the fixed-length training-sequence space, computed per
     hash shard with ONE window cumulative sum — a single shuffle on the
     shard key, no explode (operators/seqpack.py::pack_sequences).
-    ``n_seqs`` > 1 marks context-boundary straddlers."""
+    ``n_seqs`` > 1 marks context-boundary straddlers. Since r9 the
+    spans are billed in BOTH units side-by-side — whitespace tokens
+    (unchanged columns) and subword pieces (``n_subwords`` / ``sub_*``,
+    the unit production budgets actually use) — from one exploded-token
+    pass and one shared shard window."""
     docs = load_table(spark, sf_dir, "documents")
-    return SQ.pack_sequences(docs).orderBy("doc_id")
+    return SQ.pack_sequences(
+        docs, subword_vocab=SW.SUBWORD_VOCAB
+    ).orderBy("doc_id")
 
 
 SEQUENCE_PACKING_ORACLE = f"""
-WITH {SQ.sql_pack_sequences("documents", SQL_TOKS)}
+WITH RECURSIVE {SQ.sql_pack_sequences_subword("documents", SQL_TOKS)}
 SELECT doc_id,
        CAST(shard AS BIGINT) AS shard,
        n_tokens,
        CAST(start_off AS BIGINT) AS start_off,
        CAST(first_seq AS BIGINT) AS first_seq,
        CAST(last_seq AS BIGINT) AS last_seq,
-       CAST(last_seq - first_seq + 1 AS BIGINT) AS n_seqs
+       CAST(last_seq - first_seq + 1 AS BIGINT) AS n_seqs,
+       n_subwords,
+       CAST(sub_start_off AS BIGINT) AS sub_start_off,
+       CAST(sub_first_seq AS BIGINT) AS sub_first_seq,
+       CAST(sub_last_seq AS BIGINT) AS sub_last_seq,
+       CAST(sub_last_seq - sub_first_seq + 1 AS BIGINT) AS sub_n_seqs
 FROM packed
 ORDER BY doc_id
 """
