@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from tower_parse_spark.functions import text as T
 from tower_parse_spark.functions.rounding import pround, sql_pround
+from tower_parse_spark.operators import classifier as CL
 from tower_parse_spark.operators import components as C
 from tower_parse_spark.operators import decontam as DC
 from tower_parse_spark.operators import dedup as D
@@ -827,17 +828,56 @@ ORDER BY doc_id
 """
 
 
+#: trained-langid fixture (r9, VERDICT #5): the fixture's `lang` column
+#: is independent of its word-salad text, so per-class marker tokens
+#: are planted DETERMINISTICALLY into both the training slice and the
+#: scored corpus (three `zzlid<lang><a|b|c>` words prepended — they
+#: survive the LANGID_MAX_CHARS truncation and no fixture tokenizer
+#: output collides with them; the PPL_UNK_WORDS planting rationale).
+#: Training slice: doc_id % LID_TRAIN_MOD == LID_TRAIN_RES (all 5
+#: classes present at every on-disk sf).
+LID_TRAIN_MOD, LID_TRAIN_RES = 7, 2
+
+
+def _lid_marked_text():
+    lang = F.col("lang")
+    return F.concat(
+        F.lit("zzlid"), lang, F.lit("a zzlid"), lang, F.lit("b zzlid"),
+        lang, F.lit("c "), F.coalesce(F.col("text"), F.lit("")),
+    )
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID vs the labeled lang column."""
+    """Language ID, both ways side-by-side (merged r9 to respect the
+    100-entry ceiling): the stopword-heuristic verdict over the raw
+    text (``pred_lang``) and the TRAINED char-n-gram Naive Bayes
+    verdict (``nb_pred`` / ``nb_margin_q`` — classifier.py::
+    classify_lang's argmin + runner-up-margin path) over the
+    marker-planted corpus, trained in closed form on the marker-planted
+    ``doc_id % LID_TRAIN_MOD == LID_TRAIN_RES`` slice."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         # staged once: five per-language stopword counters reference it
         "_toks", T.tokens(F.col("text"))
     )
-    return docs.select(
+    heur = docs.select(
         "doc_id",
         "lang",
         T.predicted_lang(F.col("_toks")).alias("pred_lang"),
-    ).orderBy("doc_id")
+    )
+    marked = docs.select("doc_id", "lang", _lid_marked_text().alias("text"))
+    model = CL.train_langid_nb(
+        marked.filter(
+            (F.col("doc_id") % LID_TRAIN_MOD == LID_TRAIN_RES)
+            # a NULL lang cannot be a class (degenerate fixture rows)
+            & F.col("lang").isNotNull()
+        ).select("lang", "text")
+    )
+    nb = CL.classify_lang(marked.select("doc_id", "text"), model).select(
+        "doc_id",
+        F.col("lang_pred").alias("nb_pred"),
+        F.col("nll_margin_q").alias("nb_margin_q"),
+    )
+    return heur.join(nb, "doc_id").orderBy("doc_id")
 
 
 def _langid_sql() -> str:
@@ -855,13 +895,103 @@ def _langid_sql() -> str:
     return f"SELECT doc_id, lang, {expr} AS pred_lang FROM (SELECT doc_id, lang, {hits} FROM tok)"
 
 
-TEXT_LANGID_ORACLE = f"""
+def _text_langid_oracle() -> str:
+    """Heuristic + trained-NB twins joined on doc_id. The NB half
+    re-derives train_langid_nb + classify_lang relationally: per
+    (bucket, class) gram counts -> quantized NLL weights (every class
+    gets a value for every OBSERVED bucket; unseen buckets take the
+    class nll0), per-doc-per-class integer NLL sums + prior, argmin
+    with (score, cls) ordering = Spark's sorted-classes
+    array_position tie-break, margin = runner-up minus best."""
+    from tower_parse_spark.operators.classifier import (
+        LANGID_MAX_CHARS,
+        LANGID_NGRAM,
+        W_SCALE,
+        sql_feature_bucket,
+    )
+    from tower_parse_spark.operators.classifier import N_FEATURES as NF
+
+    mark = (
+        "'zzlid' || lang || 'a zzlid' || lang || 'b zzlid' || lang || 'c '"
+        " || coalesce(text, '')"
+    )
+    grams = (
+        f"list_transform(range(1, greatest(length(t) - {LANGID_NGRAM - 1}, 0)"
+        f" + 1), i -> substr(t, CAST(i AS INT), {LANGID_NGRAM}))"
+    )
+
+    def q(x: str) -> str:
+        return f"CAST(floor(ln({x}) * {W_SCALE} + 0.5) AS BIGINT)"
+
+    return f"""
 WITH tok AS (
   SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents
+), heur AS (
+  {_langid_sql()}
+), labt AS (
+  SELECT lang AS cls, substr(lower({mark}), 1, {LANGID_MAX_CHARS}) AS t
+  FROM documents
+  WHERE doc_id % {LID_TRAIN_MOD} = {LID_TRAIN_RES} AND lang IS NOT NULL
+), labg AS (
+  SELECT cls, unnest({grams}) AS g FROM labt
+), pb AS (
+  SELECT {sql_feature_bucket("g")} AS bucket, cls, count(*) AS n
+  FROM labg GROUP BY 1, 2
+), ctot AS (
+  SELECT cls,
+         sum(greatest(length(t) - {LANGID_NGRAM - 1}, 0)) AS tok_mass,
+         count(*) AS docs
+  FROM labt GROUP BY cls
+), alld AS (
+  SELECT sum(docs) AS alldocs FROM ctot
+), cw AS (
+  SELECT ct.cls,
+         {q("CAST(a.alldocs AS DOUBLE) / CAST(ct.docs AS DOUBLE)")} AS prior,
+         {q(f"(ct.tok_mass + {float(NF)}) / 1.0")} AS nll0
+  FROM ctot ct CROSS JOIN alld a
+), obuck AS (
+  SELECT DISTINCT bucket FROM pb
+), w AS (
+  SELECT ob.bucket, ct.cls,
+         {q(f"(ct.tok_mass + {float(NF)}) / (coalesce(pb.n, 0) + 1.0)")}
+           AS nll
+  FROM obuck ob
+  CROSS JOIN ctot ct
+  LEFT JOIN pb ON pb.bucket = ob.bucket AND pb.cls = ct.cls
+), aug AS (
+  SELECT doc_id, substr(lower({mark}), 1, {LANGID_MAX_CHARS}) AS t
+  FROM documents
+), docg AS (
+  SELECT doc_id, unnest({grams}) AS g FROM aug
+), sc AS (
+  SELECT d.doc_id, cw.cls, coalesce(w.nll, cw.nll0) AS nq
+  FROM docg d
+  CROSS JOIN cw
+  LEFT JOIN w ON w.bucket = {sql_feature_bucket("d.g")} AND w.cls = cw.cls
+), per AS (
+  SELECT doc_id, cls, sum(nq) AS s FROM sc GROUP BY 1, 2
+), scobj AS (
+  SELECT a.doc_id, cw.cls, coalesce(p.s, 0) + cw.prior AS score
+  FROM aug a
+  CROSS JOIN cw
+  LEFT JOIN per p ON p.doc_id = a.doc_id AND p.cls = cw.cls
+), rk AS (
+  SELECT doc_id, cls, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score, cls) AS rn
+  FROM scobj
+), nb AS (
+  SELECT r1.doc_id, r1.cls AS nb_pred,
+         CAST(r2.score - r1.score AS BIGINT) AS nb_margin_q
+  FROM rk r1 JOIN rk r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+  WHERE r1.rn = 1
 )
-{_langid_sql()}
-ORDER BY doc_id
+SELECT h.doc_id, h.lang, h.pred_lang, nb.nb_pred, nb.nb_margin_q
+FROM heur h JOIN nb ON h.doc_id = nb.doc_id
+ORDER BY h.doc_id
 """
+
+
+TEXT_LANGID_ORACLE = _text_langid_oracle()
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2230,7 +2360,11 @@ QUERIES = {
         "per-cluster size / mean norm / label purity",
     ),
     "text_quality": Query(text_quality, TEXT_QUALITY_ORACLE, "quality scoring"),
-    "text_langid": Query(text_langid, TEXT_LANGID_ORACLE, "language ID heuristic"),
+    "text_langid": Query(
+        text_langid,
+        TEXT_LANGID_ORACLE,
+        "language ID: stopword heuristic + trained char-n-gram NB",
+    ),
     "text_token_stats": Query(
         text_token_stats, TEXT_TOKEN_STATS_ORACLE, "token counting"
     ),
