@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tower_parse_spark.operators import bloom as B
@@ -73,6 +74,65 @@ def test_dedup_fast_path_verdict_identical(spark):
     assert key(fast.collect()) == key(plain.collect())
     # sanity on the shape: 30 in-batch survivors + 50 novel, 0 history dups
     assert fast.count() == 80
+
+
+def test_bloom_size_for_formula_and_validation():
+    # m = -n ln(p) / ln(2)^2, rounded up to a 64 multiple
+    import math
+
+    for n, p in ((1000, 0.01), (100_000, 0.001), (7, 0.5)):
+        m = B.bloom_size_for(n, p)
+        exact = -n * math.log(p) / math.log(2) ** 2
+        assert m % 64 == 0 and exact <= m < exact + 64
+    # ~9.6 bits/key at 1% FP
+    assert 9_500 < B.bloom_size_for(1000, 0.01) < 10_000
+    assert B.bloom_size_for(0) == 64  # one-word floor
+    with pytest.raises(ValueError, match="n_keys"):
+        B.bloom_size_for(-1)
+    for bad in (0.0, 1.0, -2.0):
+        with pytest.raises(ValueError, match="target_fp"):
+            B.bloom_size_for(100, bad)
+
+
+@pytest.mark.parametrize("n_keys", [500, 2000, 8000])
+def test_auto_sized_fp_within_2x_target(spark, n_keys):
+    """bloom_size_for geometry + the fixed k=5 keeps MEASURED FP within
+    2x the 1% target at any history size (the r8 VERDICT gap: a fixed
+    2^20-bit filter silently degraded on oversized histories)."""
+    target = 0.01
+    bits = B.bloom_size_for(n_keys, target)
+    hist = spark.range(n_keys).select(
+        F.md5(F.format_string("k-%d", F.col("id"))).alias("text_hash")
+    )
+    bloom = B.bloom_build(hist, "text_hash", bits, B.N_HASHES)
+    n_probe = 20_000
+    hits = (
+        spark.range(n_probe)
+        .select(F.md5(F.format_string("probe-%d", F.col("id"))).alias("h"))
+        .crossJoin(F.broadcast(bloom))
+        .filter(B.might_contain(F.col("h"), F.col("bloom"), bits, B.N_HASHES))
+        .count()
+    )
+    # theoretical FP with k=5 at the p=0.01-optimal m is ~1.1%; the
+    # 2x bound leaves room for that plus sampling noise (20k probes)
+    assert hits / n_probe <= 2 * target, (n_keys, bits, hits)
+
+
+def test_dedup_fast_path_history_count_sizing(spark):
+    """history_count wires bloom_size_for into the dedup fast path;
+    verdicts stay identical to the plain path at the derived size."""
+    batch = spark.createDataFrame(
+        [(i, f"t {i % 40}") for i in range(80)]
+        + [(900 + i, f"hist text {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    history = spark.createDataFrame(
+        [(f"hist text {i}",) for i in range(10)], "t string"
+    ).select(F.md5(F.col("t")).alias("text_hash"))
+    fast = B.incremental_exact_dedup_bloom(batch, history, history_count=10)
+    plain = incremental_exact_dedup(batch, history)
+    key = lambda rows: sorted((r.doc_id, r.text_hash) for r in rows)
+    assert key(fast.collect()) == key(plain.collect())
 
 
 def test_null_text_and_empty_history(spark):

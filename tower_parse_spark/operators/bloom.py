@@ -26,8 +26,12 @@ O(dups + eps*batch).
 
 Sizing: with m bits and n keys, k = 5 hashes gives FP ~ (1-e^(-kn/m))^k;
 the 2^20-bit default stays under 1% FP to ~100k history keys. Size the
-filter at build time from the index count (a production deployment
-rebuilds it on compaction — it is a cache of the index, not state).
+filter at build time from the index count via :func:`bloom_size_for`
+(``incremental_exact_dedup_bloom`` does this when given a history
+count; a production deployment rebuilds the filter on compaction — it
+is a cache of the index, not state). An UNsized filter over an
+oversized history silently degrades to all-positives: still correct
+(the exact check runs), just no shuffle pruning.
 
 xxhash64 probes are JVM-side and NOT DuckDB-reproducible, which is fine:
 the filter is an internal pruning structure, invisible in verdicts (the
@@ -39,9 +43,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: default filter geometry
+#: default filter geometry (used when the history size is unknown)
 N_BITS = 1 << 20
 N_HASHES = 5
+
+
+def bloom_size_for(n_keys: int, target_fp: float = 0.01) -> int:
+    """Bits for an *n_keys* filter at *target_fp* false-positive rate:
+    the standard optimum m = -n*ln(p)/ln(2)^2 (Bloom 1970), rounded UP
+    to a multiple of 64 (the word layout) with a one-word floor. The
+    optimal hash count at this m is k = (m/n)*ln(2) ~ -log2(p), which
+    is ~6.6 at p=0.01 — the fixed k=5 default lands within 2x of the
+    target (property-test-pinned), the standard fixed-k engineering
+    trade."""
+    if n_keys < 0:
+        raise ValueError(f"n_keys must be >= 0, got {n_keys}")
+    if not (0.0 < target_fp < 1.0):
+        raise ValueError(f"target_fp must be in (0, 1), got {target_fp}")
+    import math
+
+    m = -n_keys * math.log(target_fp) / (math.log(2) ** 2)
+    return max(64, 64 * math.ceil(m / 64))
 
 #: 1 << i for i in 0..63 as long literals (bit 63 wraps to long-min) —
 #: F.shiftleft takes only a literal shift amount, so variable-position
@@ -126,8 +148,10 @@ def incremental_exact_dedup_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     history_hash_col: str = "text_hash",
-    n_bits: int = N_BITS,
+    n_bits: int | None = None,
     n_hashes: int = N_HASHES,
+    history_count: int | None = None,
+    target_fp: float = 0.01,
 ) -> DataFrame:
     """Verdict-identical fast path for
     :func:`tower_parse_spark.operators.dedup.incremental_exact_dedup`:
@@ -135,9 +159,23 @@ def incremental_exact_dedup_bloom(
     new and bypass the anti-join shuffle; only Bloom positives (true
     dups + the small FP mass) pay the exact check. No false negatives
     by construction, so the output row set is exactly the plain path's
-    (pytest-pinned equivalence)."""
+    (pytest-pinned equivalence).
+
+    Geometry: pass *history_count* (callers tracking the index size —
+    e.g. a count persisted at compaction time — already have it) and
+    the filter is sized by :func:`bloom_size_for` at *target_fp*; an
+    explicit *n_bits* overrides. Only when BOTH are absent does the
+    fixed ``N_BITS`` default apply — correct at any history size, but
+    an oversized history degrades the gate to all-positives (no
+    pruning)."""
     from pyspark.sql import Window as W
 
+    if n_bits is None:
+        n_bits = (
+            bloom_size_for(history_count, target_fp)
+            if history_count is not None
+            else N_BITS
+        )
     hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
     w_rank = F.row_number().over(W.partitionBy("text_hash").orderBy(id_col))
     in_batch = (
