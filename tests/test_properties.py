@@ -365,7 +365,13 @@ def _py_greedy(word: str, vocab: tuple[str, ...]) -> int:
 )
 @settings(**SETTINGS)
 def test_subword_count_matches_reference_greedy(spark, words, vocab):
-    from tower_parse_spark.operators.subword import subword_count
+    """Both counting strategies — the expression fold (map probes, r9)
+    and the relational hash-join path — match the Python greedy
+    reference on random words and vocabularies."""
+    from tower_parse_spark.operators.subword import (
+        subword_count,
+        subword_counts_relational,
+    )
 
     vocab = tuple(sorted(vocab))
     df = spark.createDataFrame([(w,) for w in words], "w string")
@@ -375,9 +381,16 @@ def test_subword_count_matches_reference_greedy(spark, words, vocab):
             df.select(subword_count(F.col("w"), vocab).alias("n")).collect()
         )
     }
+    rel = {
+        r.w: r.n_sub
+        for r in subword_counts_relational(
+            df.distinct(), vocab, word_col="w"
+        ).collect()
+    }
     for i, w in enumerate(words):
         expect = _py_greedy(w, vocab)
         assert got[i] == expect, (w, vocab, got[i], expect)
+        assert rel[w] == expect, (w, vocab, rel[w], expect)
         # count algebra: between ceil(len/maxpiece) and len
         if w:
             assert 1 <= got[i] <= len(w)

@@ -60,6 +60,51 @@ def test_all_single_char_vocab(spark):
     assert got == {"abc": 3, "": 0}
 
 
+def test_relational_counts_match_fold(spark):
+    """The hash-join strategy (32k-vocab path) is count-identical to
+    the expression fold, including NULL/empty words and the 1-char
+    fallback."""
+    words = ["customer", "window", "stream", "a", "", "x9z", "wwindoww"]
+    df = spark.createDataFrame([(w,) for w in words] + [(None,)], "w string")
+    fold = {
+        r.w: r.n
+        for r in df.select(
+            "w", SW.subword_count(F.col("w")).alias("n")
+        ).collect()
+    }
+    rel = {
+        r.w: r.n_sub
+        for r in SW.subword_counts_relational(
+            df, SW.SUBWORD_VOCAB, word_col="w"
+        ).collect()
+    }
+    assert rel == fold
+    # single-char vocab degenerate case
+    rel1 = {
+        r.w: r.n_sub
+        for r in SW.subword_counts_relational(
+            df, ("a", "b"), word_col="w"
+        ).collect()
+    }
+    assert rel1 == {w: (len(w) if w else 0) for w in words} | {None: 0}
+
+
+def test_doc_counts_strategies_agree(spark):
+    docs = spark.createDataFrame(
+        [(1, "customer window customer"), (2, None), (3, ""), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    fold = sorted(map(tuple, SW.doc_subword_counts(docs).collect()))
+    join = sorted(
+        map(tuple, SW.doc_subword_counts(docs, strategy="join").collect())
+    )
+    assert fold == join
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strategy"):
+        SW.doc_subword_counts(docs, strategy="nope")
+
+
 def test_doc_counts_and_null_rows(spark):
     docs = spark.createDataFrame(
         [

@@ -43,6 +43,8 @@ NESTED_LOOP_OK = {
     "domain_reweight",  # two one-row broadcasts (total tokens; normalizer+max-rate)
     "perplexity_filter",  # one-row broadcasts: vocab V (LM build) + unk penalty
     "quality_classifier",  # one-row broadcasts: class totals (NB train) + consts row
+    "text_langid",  # r9 trained-NB half: one-row broadcasts of the class
+    # totals (train) + consts row (score) — the quality_classifier shape
 }
 
 #: Arrow-batched Python is the designed path for binary decode only

@@ -12,9 +12,11 @@ mid-word.
 ``--legacy`` times the pre-r9 fold (O(|vocab|) ``F.filter`` scan per
 position, re-slicing the word once per piece) for contrast with the
 r9 length-descending map probes. The legacy body lives ONLY here, as
-the measurement baseline.
+the measurement baseline. ``--join`` times the relational hash-join
+path (``subword_counts_relational`` — the 32k-vocab plan whose
+per-probe cost is independent of |vocab|).
 
-Usage: python tools/subword_scale_smoke.py [--legacy] [n_words]
+Usage: python tools/subword_scale_smoke.py [--legacy|--join] [n_words]
 Prints one JSON line: {"impl": ..., "n_words": N, "sizes": [...],
 "sec": [...]}  (best of 3 per size).
 """
@@ -80,6 +82,7 @@ def _hex_vocab(size: int) -> tuple[str, ...]:
 
 def main() -> int:
     legacy = "--legacy" in sys.argv
+    join = "--join" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_words = int(args[0]) if args else 50_000
 
@@ -101,7 +104,12 @@ def main() -> int:
     counter = _legacy_subword_count if legacy else SW.subword_count
 
     def run(vocab: tuple[str, ...]) -> float:
-        counted = words.select(counter(F.col("_tok"), vocab).alias("_n"))
+        if join:
+            counted = SW.subword_counts_relational(words, vocab).select(
+                F.col("n_sub").alias("_n")
+            )
+        else:
+            counted = words.select(counter(F.col("_tok"), vocab).alias("_n"))
         best = float("inf")
         for _ in range(3):
             t0 = time.monotonic()
@@ -117,7 +125,11 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "impl": "legacy-filter-scan" if legacy else "map-probe",
+                "impl": (
+                    "legacy-filter-scan"
+                    if legacy
+                    else ("relational-join" if join else "map-probe")
+                ),
                 "n_words": n_words,
                 "sizes": sizes,
                 "sec": secs,

@@ -139,30 +139,140 @@ def subword_count(
     return F.aggregate(steps, init, step, lambda st: st["cnt"])
 
 
+def subword_counts_relational(
+    words: DataFrame,
+    vocab: tuple[str, ...],
+    word_col: str = "_tok",
+) -> DataFrame:
+    """Greedy longest-match counts as a RELATIONAL plan — the
+    32k-vocabulary scale path (SCALE.md r9): identical counts to
+    :func:`subword_count`, but the longest-match probe is a
+    broadcast HASH join instead of an in-expression map scan.
+
+    Plan: explode each distinct word into (word, pos, L, substr)
+    candidates for every piece length L > 1, hash-join them against
+    the piece table (O(1) per probe — this is what the expression
+    fold's literal-map lookup is NOT, Spark scans literal MapData
+    linearly), take max(L) per position with 1-char fallback,
+    reassemble the per-word plen array, and walk it with a cheap
+    fold. Costs one extra shuffle (the per-word reassembly) over the
+    position-level relation — ~|distinct words| x avg_len x
+    |distinct lengths| rows, independent of |vocab|; the piece table
+    broadcasts (a 64k-piece table is ~1 MB).
+
+    Returns (*word_col*, n_sub) with one row per input row
+    (NULL/empty words count 0, matching the fold)."""
+    spark = words.sparkSession
+    by_len = [p for p in _pieces_desc(vocab) if len(p) > 1]
+    piece_df = spark.createDataFrame(
+        [(p, len(p)) for p in by_len], "piece string, plen int"
+    )
+    wc = F.col(word_col)
+    nz = words.filter(F.length(wc) >= 1)
+    pos_df = nz.select(
+        wc.alias("_w"),
+        F.explode(F.sequence(F.lit(1), F.length(wc))).alias("pos"),
+    )
+    probe_lengths = sorted({len(p) for p in by_len}, reverse=True)
+    if probe_lengths:
+        cand = pos_df.select(
+            "_w",
+            "pos",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).alias("plen"),
+                            F.substring(
+                                F.col("_w"), F.col("pos"), F.lit(L)
+                            ).alias("key"),
+                        )
+                        for L in probe_lengths
+                    ]
+                )
+            ).alias("c"),
+        ).select("_w", "pos", F.col("c.plen"), F.col("c.key"))
+        # join on (substr, L): a short substring at the word tail can
+        # never alias a piece of a DIFFERENT length
+        hits = (
+            cand.join(
+                F.broadcast(piece_df),
+                (cand["key"] == piece_df["piece"])
+                & (cand["plen"] == piece_df["plen"]),
+                "left_semi",
+            )
+            .groupBy("_w", "pos")
+            .agg(F.max("plen").alias("_hit"))
+        )
+        plens = pos_df.join(hits, ["_w", "pos"], "left").select(
+            "_w", "pos", F.coalesce(F.col("_hit"), F.lit(1)).alias("plen")
+        )
+    else:
+        plens = pos_df.select("_w", "pos", F.lit(1).alias("plen"))
+    arrs = plens.groupBy("_w").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("pos"), F.col("plen")))
+        ).alias("_pl")
+    )
+    init = F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt"))
+    walked = arrs.select(
+        F.col("_w").alias(word_col),
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(F.col("_w"))),
+            init,
+            lambda st, _i: F.when(
+                st["pos"] > F.length(F.col("_w")), st
+            ).otherwise(
+                F.struct(
+                    (st["pos"] + F.element_at(F.col("_pl"), st["pos"])).alias(
+                        "pos"
+                    ),
+                    (st["cnt"] + 1).alias("cnt"),
+                )
+            ),
+            lambda st: st["cnt"],
+        ).alias("n_sub"),
+    )
+    zeros = words.filter(
+        wc.isNull() | (F.length(wc) < 1)
+    ).select(wc.alias(word_col), F.lit(0).alias("n_sub"))
+    return walked.unionByName(zeros)
+
+
 def doc_subword_counts(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab: tuple[str, ...] = SUBWORD_VOCAB,
+    strategy: str = "fold",
 ) -> DataFrame:
     """Per-document subword accounting: whitespace words, subword
     pieces, and the pieces-per-word expansion ratio.
 
-    The fold runs once per DISTINCT word (see module docstring); the
+    The count runs once per DISTINCT word (see module docstring); the
     join-back is AQE-decided. Zero-token and NULL-text documents keep a
-    row (all-zero counts) via explode_outer."""
+    row (all-zero counts) via explode_outer. *strategy* picks the
+    distinct-word counting plan: ``"fold"`` (default — the expression
+    fold, right up to ~4k pieces) or ``"join"``
+    (:func:`subword_counts_relational`, the 32k-vocabulary hash-join
+    path); counts are identical (pytest-pinned)."""
     from tower_parse_spark.functions.rounding import pround
 
+    if strategy not in ("fold", "join"):
+        raise ValueError(f"strategy must be fold|join, got {strategy!r}")
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
     )
-    words = (
-        exploded.filter(F.col("_tok").isNotNull())
-        .select("_tok")
-        .distinct()
-        .select("_tok", subword_count(F.col("_tok"), vocab).alias("_n_sub"))
-    )
+    distinct = exploded.filter(F.col("_tok").isNotNull()).select("_tok").distinct()
+    if strategy == "fold":
+        words = distinct.select(
+            "_tok", subword_count(F.col("_tok"), vocab).alias("_n_sub")
+        )
+    else:
+        words = subword_counts_relational(distinct, vocab).select(
+            "_tok", F.col("n_sub").alias("_n_sub")
+        )
     return (
         exploded.join(words, "_tok", "left")
         .groupBy(id_col)
