@@ -166,6 +166,66 @@ def train_bigram_lm(ref: DataFrame, text_col: str = "text") -> BigramLM:
     return BigramLM(lm=lm, uni=uni, unk=unk)
 
 
+# --------------------------------------------------------------------------
+# Model persistence — train once (offline), score every batch
+# (the classifier.py::save_quality_model / pq.py index discipline)
+# --------------------------------------------------------------------------
+
+#: Tokenizer normalization class — model data's implicit contract: an LM
+#: trained under one tokenization scores garbage under another, so the
+#: sidecar pins it (functions/text.py::tokens).
+_TOKEN_RE = "[^a-z0-9]+"
+
+
+def _lm_meta() -> dict:
+    """The scoring-machinery parameters a saved LM is only valid under:
+    a different quantization scale or tokenizer would produce
+    plausible-but-wrong cross-entropies with no error — exactly the
+    silent-mismatch class the classifier meta sidecar exists to
+    prevent."""
+    return {"kind": "bigram_lm", "nll_scale": NLL_SCALE, "token_re": _TOKEN_RE}
+
+
+def save_bigram_lm(model: BigramLM, path: str) -> None:
+    """Persist a trained LM as a parquet artifact: ``lm/`` + ``uni/`` +
+    ``unk/`` + a one-row ``meta/`` sidecar. Backs the "offline, once"
+    claim in the module docstring: production trains on the reference
+    slice once and every scoring run (including repeated bench/driver
+    invocations) loads three small parquet relations instead of
+    re-running the reference-corpus aggregations."""
+    model.lm.write.mode("overwrite").parquet(f"{path}/lm")
+    model.uni.write.mode("overwrite").parquet(f"{path}/uni")
+    model.unk.coalesce(1).write.mode("overwrite").parquet(f"{path}/unk")
+    spark = model.lm.sparkSession
+    spark.createDataFrame([_lm_meta()]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def load_bigram_lm(spark, path: str) -> BigramLM:
+    """Load a :func:`save_bigram_lm` artifact, validating the meta
+    sidecar against this build's quantization scale and tokenizer —
+    a mismatch raises instead of scoring garbage."""
+    row = spark.read.parquet(f"{path}/meta").first()
+    expected = _lm_meta()
+    mismatches = {
+        k: (row[k] if k in row.__fields__ else None, v)
+        for k, v in expected.items()
+        if k not in row.__fields__ or row[k] != v
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: saved={a!r} expected={b!r}"
+            for k, (a, b) in sorted(mismatches.items())
+        )
+        raise ValueError(f"bigram LM at {path!r} is incompatible: {detail}")
+    return BigramLM(
+        lm=spark.read.parquet(f"{path}/lm"),
+        uni=spark.read.parquet(f"{path}/uni"),
+        unk=spark.read.parquet(f"{path}/unk"),
+    )
+
+
 def score_perplexity(
     docs: DataFrame,
     model: BigramLM,
