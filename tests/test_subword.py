@@ -229,3 +229,41 @@ def test_empty_piece_rejected(spark):
 
     with pytest.raises(ValueError, match="must not contain ''"):
         _counts(spark, ["abc"], vocab=("ab", ""))
+
+
+def test_token_subword_arrays_alignment(spark):
+    """subs[i] must be the piece count of toks[i] — position-aligned
+    even when the same token repeats and across empty/NULL docs."""
+    from tower_parse_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "customer window customer"),
+            (2, ""),
+            (3, None),
+            (4, "window"),
+        ],
+        "doc_id long, text string",
+    )
+    staged = docs.select(
+        "doc_id", T.tokens(F.col("text")).alias("toks")
+    )
+    out = {
+        r.doc_id: r.subs
+        for r in SW.token_subword_arrays(staged, "doc_id", "toks").collect()
+    }
+    per_tok = {
+        r.w: r.n
+        for r in spark.createDataFrame(
+            [("customer",), ("window",)], "w string"
+        )
+        .select("w", SW.subword_count(F.col("w")).alias("n"))
+        .collect()
+    }
+    c, w = per_tok["customer"], per_tok["window"]
+    assert out[1] == [c, w, c]
+    assert out[2] == [] and out[3] == []
+    assert out[4] == [w]
+    # span billing: slice-and-sum over the aligned array equals the
+    # sum of the span's per-token counts (the doc_chunking consumer)
+    assert sum(out[1][0:2]) == c + w

@@ -295,6 +295,57 @@ def doc_subword_counts(
     )
 
 
+def token_subword_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    vocab: tuple[str, ...] = SUBWORD_VOCAB,
+) -> DataFrame:
+    """Per-document POSITION-ALIGNED subword counts: (*id_col*, subs)
+    where ``subs[i]`` is the piece count of ``toks[i]`` — the shape a
+    consumer needs to bill arbitrary token SPANS (overlapping chunk
+    windows, sequence slices) in subword units with row-local
+    slice-and-sum arithmetic, no per-span shuffle.
+
+    Plan: posexplode the token array, fold once per DISTINCT token
+    (dedup-before-expensive-compute — the doc_subword_counts rule),
+    join the counts back (AQE-decided, unbounded crawl vocabulary), and
+    reassemble each document's array ordered by position (one
+    map-side-combinable groupBy on the id; exploded tokens co-locate
+    with their source row). Documents with zero tokens keep a row with
+    an EMPTY subs array via explode_outer + the coalesce below."""
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.col(toks_col)).alias("_pos", "_tok"),
+    )
+    words = (
+        exploded.filter(F.col("_tok").isNotNull())
+        .select("_tok")
+        .distinct()
+        .select("_tok", subword_count(F.col("_tok"), vocab).alias("_n_sub"))
+    )
+    return (
+        exploded.join(words, "_tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    # when() yields NULL for the explode_outer marker row
+                    # of a tokenless doc; collect_list skips NULLs, so
+                    # such docs keep a row with an EMPTY subs array
+                    F.collect_list(
+                        F.when(
+                            F.col("_tok").isNotNull(),
+                            F.struct("_pos", "_n_sub"),
+                        )
+                    )
+                ),
+                lambda x: x["_n_sub"].cast("long"),
+            ).alias("subs")
+        )
+    )
+
+
 def sql_pieces_values(vocab: tuple[str, ...] = SUBWORD_VOCAB) -> str:
     """The piece vocabulary as a DuckDB list literal."""
     quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in vocab)

@@ -2045,42 +2045,78 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (the context-window prep step):
     stage tokens once, generate start offsets arithmetically, posexplode
     to one row per chunk, fingerprint each chunk. Explode fan-out is
-    bounded (~n_tokens/stride per doc); no shuffle until the final sort —
-    at 100 TB this is a pure map stage."""
+    bounded (~n_tokens/stride per doc); the chunk geometry itself adds
+    no shuffle until the final sort — at 100 TB chunking is a pure map
+    stage.
+
+    Since r9 every chunk is ALSO billed in subword units
+    (``n_chunk_subwords`` — the unit a context-window budget actually
+    spends): operators/subword.py::token_subword_arrays folds once per
+    DISTINCT word and reassembles a position-aligned per-doc count
+    array, and each chunk's subword total is then row-local
+    slice-and-sum arithmetic — overlapping windows never re-run the
+    fold or shuffle per chunk."""
+    from tower_parse_spark.operators import subword as SW
+
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(
         "doc_id", T.tokens(F.col("text")).alias("toks")
     ).withColumn("starts", T.chunk_starts(F.col("toks"), CHUNK_STRIDE))
-    ch = staged.select(
+    subs = SW.token_subword_arrays(staged, "doc_id", "toks")
+    ch = staged.join(subs, "doc_id").select(
         "doc_id",
         "toks",
+        "subs",
         F.posexplode("starts").alias("chunk_idx", "start"),
     )
     chunk = F.slice(F.col("toks"), F.col("start"), CHUNK_TOKENS)
+    sub_chunk = F.slice(F.col("subs"), F.col("start"), CHUNK_TOKENS)
     return ch.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size(chunk).alias("n_chunk_tokens"),
+        F.aggregate(
+            sub_chunk, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_chunk_subwords"),
         F.substring(F.md5(F.concat_ws(" ", chunk)), 1, 16).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_idx")
 
 
-DOC_CHUNKING_ORACLE = f"""
-WITH tok AS (
+def _doc_chunking_oracle() -> str:
+    from tower_parse_spark.operators.subword import sql_subword_walk
+
+    return f"""
+WITH RECURSIVE tok AS (
   SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), doctok AS (
+  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM tok
+), postok AS (
+  SELECT doc_id, pos, toks[CAST(pos AS INT)] AS tok FROM doctok
+), words AS (
+  SELECT DISTINCT tok FROM postok
+), {sql_subword_walk("words")},
+subs AS (
+  SELECT p.doc_id, list(s.n_sub ORDER BY p.pos) AS subs
+  FROM postok p JOIN subcnt s ON s.tok = p.tok
+  GROUP BY p.doc_id
 ), ch AS (
-  SELECT doc_id, toks,
-         unnest(range(1, len(toks) + 1, {CHUNK_STRIDE})) AS start
-  FROM tok
+  SELECT t.doc_id, t.toks, sb.subs,
+         unnest(range(1, len(t.toks) + 1, {CHUNK_STRIDE})) AS start
+  FROM tok t LEFT JOIN subs sb ON sb.doc_id = t.doc_id
 )
 SELECT doc_id,
        CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
        len(toks[start : start + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens,
+       CAST(list_sum(subs[start : start + {CHUNK_TOKENS - 1}]) AS BIGINT)
+         AS n_chunk_subwords,
        substr(md5(array_to_string(toks[start : start + {CHUNK_TOKENS - 1}],
                                   ' ')), 1, 16) AS chunk_fp
 FROM ch
 ORDER BY doc_id, chunk_idx
 """
+
+
+DOC_CHUNKING_ORACLE = _doc_chunking_oracle()
 
 
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
