@@ -16,9 +16,16 @@ the measurement baseline. ``--join`` times the relational hash-join
 path (``subword_counts_relational`` — the 32k-vocab plan whose
 per-probe cost is independent of |vocab|).
 
-Usage: python tools/subword_scale_smoke.py [--legacy|--join] [n_words]
-Prints one JSON line: {"impl": ..., "n_words": N, "sizes": [...],
-"sec": [...]}  (best of 3 per size).
+``--trained`` times the r9 map-probe fold (and the join path) on a
+vocabulary actually LEARNED by ``bpe_train_merges`` (1000 merge
+rounds over 5k of the same words) instead of the synthetic hex
+pieces — trained pieces skew short, so this exercises the realistic
+per-length map-size distribution the synthetic ladder can't.
+
+Usage: python tools/subword_scale_smoke.py [--legacy|--join|--trained]
+[n_words]. Prints one JSON line: {"impl": ..., "n_words": N,
+"sizes": [...], "sec": [...]}  (best of 3 per size; --trained adds
+"piece_len_hist").
 """
 
 from __future__ import annotations
@@ -83,6 +90,7 @@ def _hex_vocab(size: int) -> tuple[str, ...]:
 def main() -> int:
     legacy = "--legacy" in sys.argv
     join = "--join" in sys.argv
+    trained = "--trained" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     n_words = int(args[0]) if args else 50_000
 
@@ -116,6 +124,39 @@ def main() -> int:
             counted.agg(F.sum("_n")).collect()
             best = min(best, time.monotonic() - t0)
         return round(best, 3)
+
+    if trained:
+        # learn a real merge table from a slice of the same words, then
+        # time counting over the FULL word relation with it
+        t0 = time.monotonic()
+        merges = SW.bpe_train_merges(
+            words.limit(5000).select(
+                F.col("_tok").alias("word"), F.lit(1).alias("count")
+            ),
+            1000,
+        )
+        train_sec = round(time.monotonic() - t0, 1)
+        vocab = SW.merges_to_vocab(merges)
+        hist: dict[int, int] = {}
+        for p in vocab:
+            hist[len(p)] = hist.get(len(p), 0) + 1
+        print(
+            json.dumps(
+                {
+                    "impl": "map-probe-trained"
+                    if not join
+                    else "relational-join-trained",
+                    "n_words": n_words,
+                    "sizes": [len(vocab)],
+                    "sec": [run(vocab)],
+                    "train_sec": train_sec,
+                    "piece_len_hist": {
+                        str(k): hist[k] for k in sorted(hist)
+                    },
+                }
+            )
+        )
+        return 0
 
     sizes, secs = [], []
     for size in SIZES:

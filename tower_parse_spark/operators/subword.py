@@ -37,8 +37,9 @@ Scale shape (100 TB corpus):
 
 Reference context: the reference has no tokenizer at all (readport.py
 parses sensor lines); this extends the LLM-curation accounting surface
-(token_stats / doc_chunking / sequence_packing count whitespace tokens;
-this adds the subword unit those budgets actually bill in).
+(token_stats counts whitespace tokens; this adds the subword unit
+training budgets actually bill in, and doc_chunking / sequence_packing
+bill both units side-by-side since r9).
 """
 
 from __future__ import annotations
