@@ -202,3 +202,108 @@ def test_stream_curate_end_to_end(spark, tmp_path):
     rejected = {r.doc_id for r in spark.read.parquet(rej).collect()}
     assert accepted == {1, 11}  # 10 deduped, 2 junk
     assert rejected == {2}
+
+
+# --------------------------------------------------------------------------
+# Optional perplexity gate (r9): NB gate -> LM gate -> dedup gate
+# --------------------------------------------------------------------------
+
+
+def test_epoch_lm_gate_routes_and_attributes(spark, tmp_path):
+    """With an LM configured, a fluent doc passes, a scrambled doc
+    (same words — identical NB verdict — but unseen bigram order)
+    quarantines at the perplexity stage with its cross-entropy, and a
+    junk doc still quarantines at the quality stage with a NULL
+    cross-entropy (it never reached the LM)."""
+    from tower_parse_spark.operators import lm as LM
+
+    idx, acc, rej, ver = _paths(tmp_path)
+    model = _model(spark)
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([CLEAN_A, CLEAN_B, CLEAN_C] * 2)],
+        "doc_id long, text string",
+    )
+    lm = LM.train_bigram_lm(ref)
+    scrambled = " ".join(reversed(CLEAN_A.split()))
+    # derive a cutoff between the fluent and scrambled CE — the gap is
+    # structural (seen bigrams vs word-backoff), not tuned
+    ces = {
+        r.doc_id: r.cross_entropy
+        for r in LM.score_perplexity(
+            _docs(spark, [(1, CLEAN_A), (2, scrambled)]), lm
+        ).collect()
+    }
+    assert ces[1] < ces[2]
+    cutoff = (ces[1] + ces[2]) / 2
+
+    CU.curate_epoch(
+        _docs(spark, [(1, CLEAN_A), (2, scrambled), (3, SPAM + " q")]),
+        0, model, idx, acc, rej, ver, lm=lm, lm_reject_ce=cutoff,
+    )
+    accepted = {r.doc_id for r in spark.read.parquet(f"{acc}/batch=0").collect()}
+    rej_rows = {r.doc_id: r for r in spark.read.parquet(f"{rej}/batch=0").collect()}
+    assert accepted == {1}
+    assert {d: r.reject_stage for d, r in rej_rows.items()} == {
+        2: "perplexity", 3: "quality"
+    }
+    assert rej_rows[2].cross_entropy == ces[2]  # attributable, bit-exact
+    assert rej_rows[3].cross_entropy is None
+    assert rej_rows[3].score_q < 0
+
+    # replay the epoch: byte-identical sinks (exactly-once discipline)
+    before = sorted(map(tuple, spark.read.parquet(f"{rej}/batch=0").collect()))
+    CU.curate_epoch(
+        _docs(spark, [(1, CLEAN_A), (2, scrambled), (3, SPAM + " q")]),
+        0, model, idx, acc, rej, ver, lm=lm, lm_reject_ce=cutoff,
+    )
+    after = sorted(map(tuple, spark.read.parquet(f"{rej}/batch=0").collect()))
+    assert after == before
+
+
+def test_stream_curate_lm_cli_end_to_end(spark, tmp_path):
+    """The public --curate --lm-model path: both artifacts saved and
+    loaded from disk, the DEFAULT CCNet tail cutoff doing the
+    rejection — a doc the LM has never seen a single word of scores
+    the unknown-word penalty ln(V) > CE_MIDDLE once V is realistic."""
+    import json as _json
+    import math
+
+    from tower_parse_spark.__main__ import start_curate
+    from tower_parse_spark.operators import lm as LM
+
+    model = _model(spark)
+    mpath = str(tmp_path / "nb")
+    save_quality_model(model, mpath)
+
+    # LM reference: CLEAN_A plus filler pushing V past e^CE_MIDDLE
+    # (~33 words), sharing NO word with CLEAN_C
+    filler = " ".join(f"zword{i:02d}" for i in range(45))
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([CLEAN_A, filler] * 2)],
+        "doc_id long, text string",
+    )
+    lm = LM.train_bigram_lm(ref)
+    v = lm.unk.first()["vocab_v"]
+    assert math.log(v) > LM.CE_MIDDLE  # the default cutoff has teeth
+    lpath = str(tmp_path / "lm")
+    LM.save_bigram_lm(lm, lpath)
+
+    spool = str(tmp_path / "in")
+    os.makedirs(spool)
+    rows = [(1, CLEAN_A), (2, CLEAN_C), (3, SPAM + " w")]
+    with open(os.path.join(spool, "b0.json"), "w") as f:
+        for doc_id, text in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    out = str(tmp_path / "out")
+    q = start_curate(spark, spool, mpath, out, lpath)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = {r.doc_id for r in spark.read.parquet(f"{out}/accepted").collect()}
+    rej_rows = {
+        r.doc_id: r.reject_stage
+        for r in spark.read.parquet(f"{out}/rejected").collect()
+    }
+    assert accepted == {1}
+    assert rej_rows == {2: "perplexity", 3: "quality"}

@@ -17,9 +17,12 @@ same entry point:
     python -m tower_parse_spark --explain NAME [--sf-dir DIR]
         print the query's optimized + physical plan (the plan-audit view)
     python -m tower_parse_spark --curate DIR --model PATH [--out DIR]
+                                [--lm-model PATH]
         stream-curate a document spool: watch DIR for jsonl files
         ({"doc_id": long, "text": str} per line), quality-gate each
-        micro-batch against the saved NB model artifact, near-dup-gate
+        micro-batch against the saved NB model artifact, optionally
+        perplexity-gate survivors against a saved bigram-LM artifact
+        (save_bigram_lm; CCNet tail-bucket rejection), near-dup-gate
         survivors against the growing signature index, and land
         accepted/rejected/verdicts/index under --out (exactly-once
         batch=N partitions; streaming/curation.py)
@@ -56,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--model",
         help="quality-model artifact path (save_quality_model) for --curate",
+    )
+    p.add_argument(
+        "--lm-model",
+        help="optional bigram-LM artifact path (save_bigram_lm) for "
+        "--curate's perplexity gate",
     )
     p.add_argument("--out", default="./data", help="output base directory")
     p.add_argument(
@@ -95,17 +103,31 @@ def parse_endpoint(raw: str) -> tuple[str, int]:
     return host, port
 
 
-def start_curate(spark, spool_dir: str, model_path: str | None, out: str):
+def start_curate(
+    spark,
+    spool_dir: str,
+    model_path: str | None,
+    out: str,
+    lm_model_path: str | None = None,
+):
     """Start the streaming curation query for the --curate mode (split
     out so tests can drive it with processAllAvailable instead of
     awaitTermination). Sinks live under *out*: accepted/ rejected/
-    verdicts/ index/ checkpoint/."""
+    verdicts/ index/ checkpoint/. *lm_model_path* arms the optional
+    perplexity gate (a save_bigram_lm artifact; its meta sidecar is
+    validated on load, so a stale or foreign artifact refuses instead
+    of silently mis-scoring)."""
     if not model_path:
         raise SystemExit("--curate requires --model (a saved NB artifact)")
     from tower_parse_spark.operators.classifier import load_quality_model
     from tower_parse_spark.streaming.curation import stream_curate
 
     model = load_quality_model(spark, model_path)
+    lm = None
+    if lm_model_path:
+        from tower_parse_spark.operators.lm import load_bigram_lm
+
+        lm = load_bigram_lm(spark, lm_model_path)
     docs = (
         spark.readStream.schema("doc_id long, text string")
         .json(spool_dir)
@@ -118,6 +140,7 @@ def start_curate(spark, spool_dir: str, model_path: str | None, out: str):
         f"{out}/rejected",
         f"{out}/verdicts",
         f"{out}/checkpoint",
+        lm=lm,
     )
 
 
@@ -154,7 +177,9 @@ def main(argv: list[str] | None = None) -> int:
             df.show(args.limit, truncate=False)
         return 0
     if args.curate:
-        q = start_curate(spark, args.curate, args.model, args.out)
+        q = start_curate(
+            spark, args.curate, args.model, args.out, args.lm_model
+        )
     elif args.echo:
         host, port = parse_endpoint(args.echo)
         q = P.echo(SRC.socket_lines(spark, host, port))

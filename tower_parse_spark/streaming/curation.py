@@ -12,6 +12,14 @@ that shape, one ``foreachBatch`` epoch at a time:
    quarantine sink WITH their scores — curation drops must always be
    attributable (the malformed-routing A12 discipline applied to
    quality).
+1b. **Perplexity gate (optional, r9)** — when a trained bigram LM
+   artifact (operators/lm.py) is configured, NB survivors are scored
+   under it and documents above the cross-entropy cutoff (the CCNet
+   tail bucket at the default cutoff) are quarantined with their
+   cross-entropy — the second half of the standard CCNet + classifier
+   quality stack. Only NB survivors pay the LM joins (filter first,
+   score less); the quarantine rows carry ``reject_stage`` so every
+   drop names the gate that made it.
 2. **Near-dup gate** — survivors probe the banded MinHash signature
    index exactly as streaming/neardup.py::process_epoch does
    (partitions ``batch < N`` only, batch side broadcast, one
@@ -44,6 +52,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tower_parse_spark.operators.classifier import NBModel, score_quality
+from tower_parse_spark.operators.lm import CE_MIDDLE, BigramLM, score_perplexity
 from tower_parse_spark.streaming.neardup import process_epoch
 
 
@@ -59,22 +68,66 @@ def curate_epoch(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "fast",
+    lm: BigramLM | None = None,
+    lm_reject_ce: float = CE_MIDDLE,
 ) -> None:
     """One curation epoch (the foreachBatch body): quality-gate the
-    batch, near-dup-gate the keepers, write all three sinks as
-    OVERWRITE ``batch=N`` partitions. Re-invoking with the same
-    *batch_id* rewrites the same partitions — idempotent under
-    replay."""
+    batch, optionally perplexity-gate the survivors against *lm*,
+    near-dup-gate the keepers, write all sinks as OVERWRITE
+    ``batch=N`` partitions. Re-invoking with the same *batch_id*
+    rewrites the same partitions — idempotent under replay.
+
+    Quarantine schema is config-owned: without *lm* it is the original
+    (id, text, score_q, log_odds); with *lm* it adds ``reject_stage``
+    ('quality' | 'perplexity') and ``cross_entropy`` (NULL for
+    quality-stage rejects — they never reached the LM). The default
+    *lm_reject_ce* = CE_MIDDLE makes the rule identical to "CCNet
+    bucket == 'tail'" (empty docs score 0.0 and pass); production pins
+    its own corpus-percentile cutoff, exactly as CCNet does."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
 
     scored = score_quality(batch, model, id_col=id_col, text_col=text_col)
     verdicts = batch.join(scored, id_col).localCheckpoint(eager=True)
-    verdicts.filter(~F.col("is_quality")).select(
+    q_rejects = verdicts.filter(~F.col("is_quality")).select(
         id_col, text_col, "score_q", "log_odds"
-    ).write.mode("overwrite").parquet(f"{rejected_path}/batch={batch_id}")
+    )
+    q_keep = verdicts.filter(F.col("is_quality"))
 
-    keepers = verdicts.filter(F.col("is_quality")).select(id_col, text_col)
+    if lm is None:
+        q_rejects.write.mode("overwrite").parquet(
+            f"{rejected_path}/batch={batch_id}"
+        )
+        keepers = q_keep.select(id_col, text_col)
+    else:
+        ppl = score_perplexity(
+            q_keep.select(id_col, text_col), lm, id_col=id_col,
+            text_col=text_col,
+        ).select(id_col, "cross_entropy")
+        pverd = q_keep.join(ppl, id_col).localCheckpoint(eager=True)
+        quarantined = q_rejects.select(
+            id_col,
+            text_col,
+            F.lit("quality").alias("reject_stage"),
+            "score_q",
+            "log_odds",
+            F.lit(None).cast("double").alias("cross_entropy"),
+        ).unionByName(
+            pverd.filter(F.col("cross_entropy") > lm_reject_ce).select(
+                id_col,
+                text_col,
+                F.lit("perplexity").alias("reject_stage"),
+                "score_q",
+                "log_odds",
+                "cross_entropy",
+            )
+        )
+        quarantined.write.mode("overwrite").parquet(
+            f"{rejected_path}/batch={batch_id}"
+        )
+        keepers = pverd.filter(
+            F.col("cross_entropy") <= lm_reject_ce
+        ).select(id_col, text_col)
     # the near-dup loop handles its own verdict/index batch=N overwrite
     process_epoch(
         keepers,
@@ -108,9 +161,11 @@ def stream_curate(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "fast",
+    lm: BigramLM | None = None,
+    lm_reject_ce: float = CE_MIDDLE,
 ):
     """Start the streaming curation query over *docs_stream* (columns
-    *id_col*, *text_col*). The model's relations are localCheckpointed
+    *id_col*, *text_col*). The models' relations are localCheckpointed
     ONCE here so no epoch re-runs the training aggregations. Returns
     the StreamingQuery (caller stops it)."""
     # Carry n_features through: score_quality buckets tokens with the
@@ -122,6 +177,15 @@ def stream_curate(
         weights=model.weights.localCheckpoint(eager=True),
         consts=model.consts.localCheckpoint(eager=True),
         n_features=model.n_features,
+    )
+    pinned_lm = (
+        BigramLM(
+            lm=lm.lm.localCheckpoint(eager=True),
+            uni=lm.uni.localCheckpoint(eager=True),
+            unk=lm.unk.localCheckpoint(eager=True),
+        )
+        if lm is not None
+        else None
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -137,6 +201,8 @@ def stream_curate(
             text_col=text_col,
             threshold=threshold,
             hash_fn=hash_fn,
+            lm=pinned_lm,
+            lm_reject_ce=lm_reject_ce,
         )
 
     return (
