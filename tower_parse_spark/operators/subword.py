@@ -161,7 +161,10 @@ def subword_counts_relational(
     |distinct lengths| rows, independent of |vocab|; the piece table
     broadcasts (a 64k-piece table is ~1 MB).
 
-    Returns (*word_col*, n_sub) with one row per input row
+    Expects the DISTINCT-word relation (its natural caller —
+    doc_subword_counts dedups before counting; duplicate word rows
+    would collapse to one output row through the per-word reassembly
+    groupBy). Returns (*word_col*, n_sub), one row per distinct word
     (NULL/empty words count 0, matching the fold)."""
     spark = words.sparkSession
     by_len = [p for p in _pieces_desc(vocab) if len(p) > 1]
