@@ -18,7 +18,10 @@ measured 61.3 s on the driver and 50.8 s locally, ±20%): the output
 carries every individual run time ("runs") plus a per-query relative
 spread and its median ("noise_median_pct"), so a cross-round per-query
 regression check can ask "is this delta outside the measured run-to-run
-spread?" instead of comparing two single samples.
+spread?" instead of comparing two single samples. Both lines also
+carry "cal" (r9) — a fixed machine-speed probe that moves with
+whole-run level drift so tools/bench_regress.py can divide it out
+(see calibrate()).
 
 ``--all`` benches every registry query instead of the headline set
 (one-off sweep for sleeper-plan detection — VERDICT r4 item 8).
@@ -121,12 +124,41 @@ def materialize(df) -> None:
 #: line must stay under this no matter how the registry grows
 COMPACT_LINE_BUDGET = 1900
 
+#: calibration probe size: ~1-2 s of pure JVM compute at local[32]
+CAL_ROWS = 1_200_000_000
+
+
+def calibrate(spark) -> float:
+    """Machine-speed calibration scalar (seconds, best of 3): a fixed,
+    data-independent, shuffle-free job — sum(xxhash64(id)) over a
+    constant range — timed AFTER warm-up. Same-code bench totals
+    measured 83.0 / 96.8 / 101.7 s on one idle machine in one afternoon
+    (r9): the whole-suite LEVEL drifts ~±20% with machine state, which
+    is indistinguishable from a uniform real regression when comparing
+    two single artifacts. The probe moves with that drift (it measures
+    effective compute rate, not any query), so
+    ``tools/bench_regress.py`` can divide it out: a uniform level shift
+    shows up as cal_ratio ~ total_ratio and cancels; a real plan
+    regression does not move the probe and survives adjustment."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        # mod bounds the ANSI-mode sum (raw xxhash64 sums overflow long)
+        spark.range(0, CAL_ROWS, 1, 32).select(
+            F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+        ).collect()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
 
 def compact_line(
     times: dict[str, float],
     total: float,
     sf: float,
     spread_pct: dict[str, float] | None = None,
+    cal: float | None = None,
 ) -> str:
     """The driver-contract line: {"metric","value","unit","queries","sf"}
     plus ``sp`` — per-query run-to-run spread as an INTEGER-percent array
@@ -164,6 +196,10 @@ def compact_line(
         "sp": sp_for(times),
         "sf": sf,
     }
+    if cal is not None:
+        # machine-speed scalar (r9): ~12 bytes, included BEFORE the
+        # truncation loop so the budget accounts for it
+        compact["cal"] = cal
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
@@ -209,6 +245,11 @@ def main() -> int:
             materialize(warm())
         except Exception:
             pass
+
+    try:
+        cal = calibrate(spark)
+    except Exception:
+        cal = None  # never let the probe break the perf record
 
     import gc
     import traceback
@@ -261,10 +302,12 @@ def main() -> int:
         "spread_pct": spread_pct,
         "noise_median_pct": noise_median,
     }
+    if cal is not None:
+        enriched["cal"] = cal
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
-    print(compact_line(times, total, sf, spread_pct))
+    print(compact_line(times, total, sf, spread_pct, cal))
     return 0
 
 

@@ -189,3 +189,72 @@ def test_driver_tail_capture_end_to_end():
     # and the regress tool's reconstruction sees per-query spread
     recon = dict(zip(parsed["queries"], parsed["sp"]))
     assert all(recon[k] == int(round(sp[k])) for k in parsed["queries"])
+
+
+def test_compact_line_carries_cal_within_budget():
+    """The machine-speed scalar rides the compact line, survives the
+    truncation path, and never pushes the line past the tail budget."""
+    times = _times(10)
+    parsed = json.loads(bench.compact_line(times, 1.0, 0.01, None, 1.234))
+    assert parsed["cal"] == 1.234
+    # oversize registry: cal survives truncation, budget holds
+    big = _times(300)
+    line = bench.compact_line(big, 1.0, 0.01, None, 1.234)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    parsed = json.loads(line)
+    assert parsed["cal"] == 1.234
+    assert parsed["queries_truncated"] > 0
+    # omitted cal (probe failed) -> key absent, old shape exactly
+    assert "cal" not in json.loads(bench.compact_line(times, 1.0, 0.01))
+
+
+def test_bench_regress_cal_cancels_uniform_drift(tmp_path):
+    """With cal on both artifacts, a uniform machine-level shift (every
+    query AND the probe 1.5x) is not flagged; a real single-query
+    regression (probe unmoved) still is; and artifacts without cal
+    behave exactly as before (the same shift flags)."""
+    import subprocess
+    import sys
+
+    def artifact(path, a_sec, b_sec, cal=None):
+        times = {"query_aaaa": a_sec, "query_bbbb": b_sec}
+        sp = {k: 2.0 for k in times}
+        line = bench.compact_line(times, sum(times.values()), 0.1, sp, cal)
+        path.write_text(json.dumps({"n": 8, "parsed": json.loads(line)}))
+
+    def run(old, new):
+        proc = subprocess.run(
+            [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1]), proc.returncode
+
+    old, new = tmp_path / "o.json", tmp_path / "n.json"
+    # uniform 1.5x drift, probe moved with it -> cancelled
+    artifact(old, 1.0, 1.0, cal=1.0)
+    artifact(new, 1.5, 1.5, cal=1.5)
+    out, rc = run(old, new)
+    assert out["regressions"] == [] and rc == 0
+    assert out["cal_ratio"] == 1.5
+    assert out["total_ratio"] == 1.5 and out["total_ratio_cal_adj"] == 1.0
+    # real regression: one query 2x, probe unmoved -> flagged, with the
+    # adjusted ratio reported
+    artifact(new, 2.0, 1.0, cal=1.0)
+    out, rc = run(old, new)
+    assert [r["query"] for r in out["regressions"]] == ["query_aaaa"]
+    assert out["regressions"][0]["ratio_cal_adj"] == 2.0
+    assert rc == 1
+    # no cal on the old side -> legacy behavior (uniform shift flags)
+    artifact(old, 1.0, 1.0)
+    artifact(new, 1.5, 1.5, cal=1.5)
+    out, rc = run(old, new)
+    assert {r["query"] for r in out["regressions"]} == {
+        "query_aaaa", "query_bbbb"
+    }
+    assert "cal_ratio" not in out and rc == 1
+    # symmetric: uniform 1.5x SPEEDUP with the probe moved -> not
+    # counted as improvements either
+    artifact(old, 1.5, 1.5, cal=1.5)
+    artifact(new, 1.0, 1.0, cal=1.0)
+    out, rc = run(old, new)
+    assert out["improvements"] == [] and rc == 0

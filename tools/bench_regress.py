@@ -9,6 +9,18 @@ a per-query delta only counts as a regression when it exceeds BOTH the
 ~30% median spread at sf0.1 are not evidence, SCALE.md bench-noise
 section).
 
+When BOTH artifacts carry the machine-speed calibration scalar ``cal``
+(bench.py r9: a fixed data-independent probe timed in the same
+session), ratios are additionally divided by ``cal_ratio = new_cal /
+old_cal`` before gating: same-code totals measured 83-102 s across
+quiet runs on one machine (r9), a uniform level drift the probe moves
+with and a real plan regression does not — so the adjustment cancels
+machine state without masking genuine deltas. A flag must survive the
+gate on BOTH the raw and the adjusted ratio (symmetric for
+improvements), and the output reports cal_ratio + adjusted totals so
+the decision is auditable. Without cal on both sides, behavior is
+unchanged.
+
 Usage: python tools/bench_regress.py OLD.json NEW.json
 Prints one JSON line: {"regressions": [...], "improvements": [...],
 "common": N, "total_ratio": r}. Exit 1 if any regression survives.
@@ -68,6 +80,11 @@ def main() -> int:
 
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
+    # machine-speed normalization (r9): only when BOTH sides measured it
+    old_cal, new_cal = old.get("cal"), new.get("cal")
+    cal_ratio = (
+        new_cal / old_cal if old_cal and new_cal else None
+    )
     # per-query spread: prefer the NEW run's measurement, fall back to the
     # OLD run's (driver artifacts may lack the enriched fields — a missing
     # spread must not silently degrade the noise gate to the 1.3x bar
@@ -87,27 +104,38 @@ def main() -> int:
         # a noisy query is not counted as a win either.
         spread_val = new_spread.get(name, old_spread.get(name, 0.0))
         noise_ratio = 1.0 + (spread_val or 0.0) / 100.0
-        if ratio > max(RATIO_BAR, noise_ratio):
-            regressions.append(
-                {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2),
-                 "spread_pct": spread_val}
-            )
-        elif ratio < 1 / max(RATIO_BAR, noise_ratio):
+        bar = max(RATIO_BAR, noise_ratio)
+        # with calibration on both sides a flag must survive BOTH the
+        # raw gate and the machine-speed-adjusted gate (symmetric for
+        # improvements): a uniform level drift moves every ratio AND
+        # cal_ratio together, so dividing cancels it; a real plan delta
+        # leaves the probe untouched and survives
+        adj = ratio / cal_ratio if cal_ratio else ratio
+        if ratio > bar and adj > bar:
+            entry = {"query": name, "old": base, "new": cur,
+                     "ratio": round(ratio, 2), "spread_pct": spread_val}
+            if cal_ratio:
+                entry["ratio_cal_adj"] = round(adj, 2)
+            regressions.append(entry)
+        elif ratio < 1 / bar and adj < 1 / bar:
             improvements.append(
                 {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2)}
             )
     total_old = sum(oq[n] for n in common)
     total_new = sum(nq[n] for n in common)
-    print(
-        json.dumps(
-            {
-                "regressions": sorted(regressions, key=lambda r: -r["ratio"]),
-                "improvements": sorted(improvements, key=lambda r: r["ratio"]),
-                "common": len(common),
-                "total_ratio": round(total_new / total_old, 3) if total_old else None,
-            }
-        )
-    )
+    out = {
+        "regressions": sorted(regressions, key=lambda r: -r["ratio"]),
+        "improvements": sorted(improvements, key=lambda r: r["ratio"]),
+        "common": len(common),
+        "total_ratio": round(total_new / total_old, 3) if total_old else None,
+    }
+    if cal_ratio:
+        out["cal_ratio"] = round(cal_ratio, 3)
+        if total_old:
+            out["total_ratio_cal_adj"] = round(
+                total_new / total_old / cal_ratio, 3
+            )
+    print(json.dumps(out))
     return 1 if regressions else 0
 
 
