@@ -130,6 +130,13 @@ DOCS_QUERIES = [
     # NULL/short text yields zero bigrams -> 'empty' bucket verdict row
     # (never silently dropped), and NULL ref text trains a smaller LM
     "perplexity_filter",
+    # r8 classifier: NULL-text docs score on the prior alone (verdict
+    # row kept, n_tokens 0) and NULL rows in the labeled slices must
+    # not poison training on either engine
+    "quality_classifier",
+    # r8 subword accounting: NULL/empty text keeps an all-zero row via
+    # explode_outer; the distinct-word fold never sees a NULL token
+    "token_count_bpe",
 ]
 
 
