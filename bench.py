@@ -124,8 +124,15 @@ def materialize(df) -> None:
 #: line must stay under this no matter how the registry grows
 COMPACT_LINE_BUDGET = 1900
 
-#: calibration probe size: ~1-2 s of pure JVM compute at local[32]
-CAL_ROWS = 1_200_000_000
+#: calibration probe size PER SLOT: ~1-2 s of pure JVM compute total at
+#: local[32] (32 slots x 37.5M rows = the fixed 1.2B-row probe r9
+#: introduced). Sizing from defaultParallelism keeps the probe's cost
+#: AND its parallelism proportional to the machine the suite itself
+#: runs at (ADVICE r9: a fixed 1.2B/32 probe adds tens of seconds on a
+#: small box and stops tracking the suite's scaling there); on this
+#: 32-core box the numbers are bit-identical to the r9 probe, so
+#: cal values stay comparable across the r9->r10 artifact pair.
+CAL_ROWS_PER_SLOT = 37_500_000
 
 
 def calibrate(spark) -> float:
@@ -142,14 +149,15 @@ def calibrate(spark) -> float:
     regression does not move the probe and survives adjustment."""
     from pyspark.sql import functions as F
 
+    slots = spark.sparkContext.defaultParallelism
     best = float("inf")
     for _ in range(3):
-        t0 = time.time()
+        t0 = time.monotonic()
         # mod bounds the ANSI-mode sum (raw xxhash64 sums overflow long)
-        spark.range(0, CAL_ROWS, 1, 32).select(
+        spark.range(0, CAL_ROWS_PER_SLOT * slots, 1, slots).select(
             F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
         ).collect()
-        best = min(best, time.time() - t0)
+        best = min(best, time.monotonic() - t0)
     return round(best, 3)
 
 
@@ -268,9 +276,9 @@ def main() -> int:
         samples: list[float] = []
         try:
             for _ in range(2):
-                t0 = time.time()
+                t0 = time.monotonic()
                 materialize(qs[name](spark, sf_dir))
-                samples.append(time.time() - t0)
+                samples.append(time.monotonic() - t0)
                 # release localCheckpoint blocks of the finished run: the JVM
                 # frees them only when the Python-side DataFrame is collected
                 gc.collect()

@@ -258,3 +258,49 @@ def test_bench_regress_cal_cancels_uniform_drift(tmp_path):
     artifact(new, 1.0, 1.0, cal=1.0)
     out, rc = run(old, new)
     assert out["improvements"] == [] and rc == 0
+
+
+def test_bench_regress_reports_masked_adjusted_only_deltas(tmp_path):
+    """ADVICE r9 (medium): when the machine got FASTER between artifacts
+    (cal_ratio < 1), a genuine regression's raw ratio is deflated — the
+    docstring example is a 1.5x regression on a 2x-faster machine (raw
+    0.75, adjusted 1.5). The both-gates rule must not silently pass it:
+    such deltas land in masked_regressions and force a non-zero exit.
+    Symmetric adjusted-only improvements are reported (but don't fail)."""
+    import subprocess
+    import sys
+
+    def artifact(path, a_sec, b_sec, cal):
+        times = {"query_aaaa": a_sec, "query_bbbb": b_sec}
+        sp = {k: 2.0 for k in times}
+        line = bench.compact_line(times, sum(times.values()), 0.1, sp, cal)
+        path.write_text(json.dumps({"n": 8, "parsed": json.loads(line)}))
+
+    def run(old, new):
+        proc = subprocess.run(
+            [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1]), proc.returncode
+
+    old, new = tmp_path / "o.json", tmp_path / "n.json"
+    # 2x-faster machine; query_aaaa regressed 1.5x in machine terms
+    # (raw 0.75 < bar), query_bbbb sped up with the machine (raw 0.5,
+    # adjusted 1.0 — neither flagged nor an improvement)
+    artifact(old, 1.0, 1.0, cal=2.0)
+    artifact(new, 0.75, 0.5, cal=1.0)
+    out, rc = run(old, new)
+    assert out["regressions"] == []
+    assert [r["query"] for r in out["masked_regressions"]] == ["query_aaaa"]
+    assert out["masked_regressions"][0]["ratio_cal_adj"] == 1.5
+    assert rc == 1, out
+    # symmetric: machine got SLOWER (cal 1 -> 2); query_aaaa held its
+    # wall time (a machine-relative improvement masked by the raw gate),
+    # query_bbbb improved outright on both gates; exit stays 0
+    artifact(old, 1.0, 1.0, cal=1.0)
+    artifact(new, 1.0, 0.5, cal=2.0)
+    out, rc = run(old, new)
+    assert out["regressions"] == [] and out["masked_regressions"] == []
+    assert [r["query"] for r in out["improvements"]] == ["query_bbbb"]
+    assert [r["query"] for r in out["masked_improvements"]] == ["query_aaaa"]
+    assert rc == 0, out

@@ -307,3 +307,52 @@ def test_stream_curate_lm_cli_end_to_end(spark, tmp_path):
     }
     assert accepted == {1}
     assert rej_rows == {2: "perplexity", 3: "quality"}
+
+
+def test_quarantine_schema_stable_across_lm_rearm(spark, tmp_path):
+    """ADVICE r9 (low): restarting a --curate deployment with --lm-model
+    newly armed (or dropped) must NOT mix two schemas across batch=N
+    partitions of one rejected/ directory. The quarantine sink emits the
+    lm-era schema unconditionally — reject_stage='quality' and a NULL
+    cross_entropy when no LM is configured — so a plain reader (no
+    mergeSchema) sees every column from every epoch."""
+    from tower_parse_spark.operators import lm as LM
+
+    idx, acc, rej, ver = _paths(tmp_path)
+    model = _model(spark)
+    # epoch 0: LM-less deployment quarantines a junk doc
+    CU.curate_epoch(
+        _docs(spark, [(1, CLEAN_A), (3, SPAM + " q")]),
+        0, model, idx, acc, rej, ver,
+    )
+    cols_nolm = spark.read.parquet(f"{rej}/batch=0").columns
+    assert cols_nolm == [
+        "doc_id", "text", "reject_stage", "score_q", "log_odds",
+        "cross_entropy",
+    ]
+    # restart with the LM newly armed: epoch 1 lands in the SAME dir
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([CLEAN_A, CLEAN_B, CLEAN_C] * 2)],
+        "doc_id long, text string",
+    )
+    lm = LM.train_bigram_lm(ref)
+    scrambled = " ".join(reversed(CLEAN_B.split()))
+    ces = {
+        r.doc_id: r.cross_entropy
+        for r in LM.score_perplexity(
+            _docs(spark, [(1, CLEAN_B), (2, scrambled)]), lm
+        ).collect()
+    }
+    cutoff = (ces[1] + ces[2]) / 2
+    CU.curate_epoch(
+        _docs(spark, [(20, scrambled), (21, SPAM + " r")]),
+        1, model, idx, acc, rej, ver, lm=lm, lm_reject_ce=cutoff,
+    )
+    # a PLAIN read over both epochs: one schema, every drop attributable
+    allrej = spark.read.parquet(rej)
+    assert sorted(allrej.columns) == sorted(cols_nolm + ["batch"])
+    rows = {r.doc_id: r for r in allrej.collect()}
+    assert rows[3].reject_stage == "quality" and rows[3].cross_entropy is None
+    assert rows[20].reject_stage == "perplexity"
+    assert rows[20].cross_entropy == ces[2]
+    assert rows[21].reject_stage == "quality" and rows[21].cross_entropy is None

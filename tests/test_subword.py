@@ -267,3 +267,22 @@ def test_token_subword_arrays_alignment(spark):
     # span billing: slice-and-sum over the aligned array equals the
     # sum of the span's per-token counts (the doc_chunking consumer)
     assert sum(out[1][0:2]) == c + w
+
+
+def test_duplicate_pieces_are_a_noop(spark):
+    """ADVICE r9 (low): the per-length probe maps are built with
+    F.create_map, which throws DUPLICATED_MAP_KEY under Spark's default
+    mapKeyDedupPolicy=EXCEPTION — a caller-supplied vocab with a
+    repeated piece must count exactly like the deduplicated vocab (the
+    legacy filter-scan tolerated repeats), in BOTH strategies."""
+    dup = ("wind", "window", "wind", "y", "y")
+    uniq = ("wind", "window", "y")
+    assert _counts(spark, ["window", "windy"], vocab=dup) == _counts(
+        spark, ["window", "windy"], vocab=uniq
+    )
+    words = spark.createDataFrame([("windy",), ("window",)], "_tok string")
+    rel = {
+        r._tok: r.n_sub
+        for r in SW.subword_counts_relational(words, dup).collect()
+    }
+    assert rel == {"windy": 2, "window": 1}

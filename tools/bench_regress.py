@@ -21,9 +21,20 @@ improvements), and the output reports cal_ratio + adjusted totals so
 the decision is auditable. Without cal on both sides, behavior is
 unchanged.
 
+One asymmetry the both-gates rule would otherwise hide (ADVICE r9,
+medium): when the machine got FASTER between artifacts (cal_ratio < 1),
+a genuine plan regression's raw ratio is deflated — e.g. a 1.5x
+regression on a 2x-faster machine reads raw 0.75 / adjusted 1.5 — and
+"must pass BOTH gates" would silently wave it through. Deltas that
+exceed the bar only after calibration are therefore reported in a
+separate ``masked_regressions`` list (and symmetric
+``masked_improvements``) and count toward the non-zero exit, so they
+reach adjudication instead of vanishing.
+
 Usage: python tools/bench_regress.py OLD.json NEW.json
-Prints one JSON line: {"regressions": [...], "improvements": [...],
-"common": N, "total_ratio": r}. Exit 1 if any regression survives.
+Prints one JSON line: {"regressions": [...], "masked_regressions":
+[...], "improvements": [...], "common": N, "total_ratio": r}. Exit 1 if
+any regression (plain or masked) survives.
 """
 
 from __future__ import annotations
@@ -93,6 +104,7 @@ def main() -> int:
     old_spread = old.get("spread_pct", {}) or {}
     common = sorted(set(oq) & set(nq))
     regressions, improvements = [], []
+    masked_regressions, masked_improvements = [], []
     for name in common:
         base, cur = oq[name], nq[name]
         if base < MIN_BASE_SEC:
@@ -111,15 +123,25 @@ def main() -> int:
         # cal_ratio together, so dividing cancels it; a real plan delta
         # leaves the probe untouched and survives
         adj = ratio / cal_ratio if cal_ratio else ratio
+        entry = {"query": name, "old": base, "new": cur,
+                 "ratio": round(ratio, 2), "spread_pct": spread_val}
+        if cal_ratio:
+            entry["ratio_cal_adj"] = round(adj, 2)
         if ratio > bar and adj > bar:
-            entry = {"query": name, "old": base, "new": cur,
-                     "ratio": round(ratio, 2), "spread_pct": spread_val}
-            if cal_ratio:
-                entry["ratio_cal_adj"] = round(adj, 2)
             regressions.append(entry)
+        elif adj > bar:
+            # adjusted-only exceedance: a faster machine (cal_ratio < 1)
+            # deflated the raw ratio below the bar — surface it rather
+            # than silently passing (ADVICE r9 medium)
+            masked_regressions.append(entry)
         elif ratio < 1 / bar and adj < 1 / bar:
             improvements.append(
                 {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2)}
+            )
+        elif adj < 1 / bar:
+            masked_improvements.append(
+                {"query": name, "old": base, "new": cur, "ratio": round(ratio, 2),
+                 "ratio_cal_adj": round(adj, 2)}
             )
     total_old = sum(oq[n] for n in common)
     total_new = sum(nq[n] for n in common)
@@ -131,12 +153,18 @@ def main() -> int:
     }
     if cal_ratio:
         out["cal_ratio"] = round(cal_ratio, 3)
+        out["masked_regressions"] = sorted(
+            masked_regressions, key=lambda r: -r["ratio_cal_adj"]
+        )
+        out["masked_improvements"] = sorted(
+            masked_improvements, key=lambda r: r["ratio_cal_adj"]
+        )
         if total_old:
             out["total_ratio_cal_adj"] = round(
                 total_new / total_old / cal_ratio, 3
             )
     print(json.dumps(out))
-    return 1 if regressions else 0
+    return 1 if regressions or masked_regressions else 0
 
 
 if __name__ == "__main__":

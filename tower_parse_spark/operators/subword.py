@@ -68,10 +68,15 @@ def _pieces_desc(vocab: tuple[str, ...]) -> list[str]:
     Empty pieces are rejected: '' matches at every position with
     length 0, so the fold's position would never advance (every step
     would count a zero-width piece — silently wrong, bounded only by
-    the step cap)."""
+    the step cap). Duplicates are collapsed: a repeated piece is a
+    semantic no-op for longest-match, but the r9 per-length probe maps
+    are built with F.create_map, which throws DUPLICATED_MAP_KEY at
+    runtime under Spark's default mapKeyDedupPolicy=EXCEPTION for a
+    caller-supplied vocab with repeats (ADVICE r9; SUBWORD_VOCAB and
+    merges_to_vocab output were already unique)."""
     if any(p == "" for p in vocab):
         raise ValueError("subword vocabulary must not contain ''")
-    return sorted(vocab, key=lambda s: (-len(s), s))
+    return sorted(set(vocab), key=lambda s: (-len(s), s))
 
 
 def subword_count(

@@ -77,27 +77,37 @@ def curate_epoch(
     ``batch=N`` partitions. Re-invoking with the same *batch_id*
     rewrites the same partitions — idempotent under replay.
 
-    Quarantine schema is config-owned: without *lm* it is the original
-    (id, text, score_q, log_odds); with *lm* it adds ``reject_stage``
-    ('quality' | 'perplexity') and ``cross_entropy`` (NULL for
-    quality-stage rejects — they never reached the LM). The default
-    *lm_reject_ce* = CE_MIDDLE makes the rule identical to "CCNet
-    bucket == 'tail'" (empty docs score 0.0 and pass); production pins
-    its own corpus-percentile cutoff, exactly as CCNet does."""
+    Quarantine schema is STABLE across configs (ADVICE r9): always
+    (id, text, reject_stage, score_q, log_odds, cross_entropy).
+    ``reject_stage`` is 'quality' | 'perplexity'; ``cross_entropy`` is
+    NULL for quality-stage rejects (they never reached the LM) and for
+    every row of an LM-less deployment. Rearming or dropping
+    ``--lm-model`` on a restart therefore never mixes two schemas
+    across ``batch=N`` partitions of one parquet directory — readers
+    without mergeSchema used to silently lose the lm-era columns. The
+    default *lm_reject_ce* = CE_MIDDLE makes the rule identical to
+    "CCNet bucket == 'tail'" (empty docs score 0.0 and pass);
+    production pins its own corpus-percentile cutoff, exactly as CCNet
+    does."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
 
     scored = score_quality(batch, model, id_col=id_col, text_col=text_col)
     verdicts = batch.join(scored, id_col).localCheckpoint(eager=True)
+    # the stable quarantine shape: every reject carries its stage and a
+    # (possibly NULL) cross_entropy, with or without an LM configured
     q_rejects = verdicts.filter(~F.col("is_quality")).select(
-        id_col, text_col, "score_q", "log_odds"
+        id_col,
+        text_col,
+        F.lit("quality").alias("reject_stage"),
+        "score_q",
+        "log_odds",
+        F.lit(None).cast("double").alias("cross_entropy"),
     )
     q_keep = verdicts.filter(F.col("is_quality"))
 
     if lm is None:
-        q_rejects.write.mode("overwrite").parquet(
-            f"{rejected_path}/batch={batch_id}"
-        )
+        quarantined = q_rejects
         keepers = q_keep.select(id_col, text_col)
     else:
         ppl = score_perplexity(
@@ -105,14 +115,7 @@ def curate_epoch(
             text_col=text_col,
         ).select(id_col, "cross_entropy")
         pverd = q_keep.join(ppl, id_col).localCheckpoint(eager=True)
-        quarantined = q_rejects.select(
-            id_col,
-            text_col,
-            F.lit("quality").alias("reject_stage"),
-            "score_q",
-            "log_odds",
-            F.lit(None).cast("double").alias("cross_entropy"),
-        ).unionByName(
+        quarantined = q_rejects.unionByName(
             pverd.filter(F.col("cross_entropy") > lm_reject_ce).select(
                 id_col,
                 text_col,
@@ -122,12 +125,12 @@ def curate_epoch(
                 "cross_entropy",
             )
         )
-        quarantined.write.mode("overwrite").parquet(
-            f"{rejected_path}/batch={batch_id}"
-        )
         keepers = pverd.filter(
             F.col("cross_entropy") <= lm_reject_ce
         ).select(id_col, text_col)
+    quarantined.write.mode("overwrite").parquet(
+        f"{rejected_path}/batch={batch_id}"
+    )
     # the near-dup loop handles its own verdict/index batch=N overwrite
     process_epoch(
         keepers,
