@@ -25,6 +25,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _struct_type(df: DataFrame, cols: list[str]) -> StructType:
+    """The DataType of ``F.struct(*cols)`` over *df*, derived LOCALLY
+    from ``df.schema``. The obvious
+    ``df.select(F.struct(...)).schema`` costs a full analyzer
+    round-trip to the JVM per call — three of them made asof_join's
+    plan CONSTRUCTION (~0.6 s) outweigh its execution at sf0.1 (the
+    r8->r9 bench flag this fixes); ``df.schema`` itself is one already-
+    cached property."""
+    by_name = {f.name: f for f in df.schema.fields}
+    return StructType(
+        [StructField(c, by_name[c].dataType, by_name[c].nullable) for c in cols]
+    )
 
 
 def asof_join(
@@ -57,19 +72,11 @@ def asof_join(
     payload = right_payload or [
         c for c in right.columns if c not in (on, right_time)
     ]
-    lrow_type = left.select(
-        F.struct(*[F.col(c) for c in left.columns]).alias("_s")
-    ).schema["_s"].dataType
-    rpay_type = right.select(
-        F.struct(*[F.col(c) for c in payload]).alias("_s")
-    ).schema["_s"].dataType
+    lrow_type = _struct_type(left, left.columns)
+    rpay_type = _struct_type(right, payload)
 
     tiebreak = right_tiebreak or []
-    tb_type = None
-    if tiebreak:
-        tb_type = right.select(
-            F.struct(*[F.col(c) for c in tiebreak]).alias("_s")
-        ).schema["_s"].dataType
+    tb_type = _struct_type(right, tiebreak) if tiebreak else None
 
     l_u = left.select(
         F.col(on).alias("_k"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,6 +216,13 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: analyzed-DataFrame cache per live session: (sf_dir, name) -> DataFrame.
+#: Keyed weakly so a stopped session's plans don't pin the JVM gateway.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table; columnar parquet scan with pushdown/pruning.
 
@@ -223,19 +231,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on — set here as a runtime SQL conf so the engine also works on a
     caller's plain SparkSession) and as micros TIMESTAMP_NTZ. Either way,
     ``normalize_event_ts`` rebuilds the canonical session-tz TIMESTAMP.
+
+    The analyzed DataFrame is CACHED per (session, sf_dir, name) — plan
+    cache, not data cache. Every ``spark.read.parquet`` re-lists the
+    path and re-reads a footer for schema (~0.1 s of JVM round-trips),
+    a fixed per-construction tax every query paid 2-4x; reusing the
+    analyzed scan is what any real application does (temp views / a
+    catalog). DataFrames are immutable, so reuse is semantics-free; a
+    file REPLACED under a live session would serve the stale listing,
+    which no caller does (fixtures change only between driver rounds =
+    between processes).
     """
     # Defensive runtime conf, like nanosAsLong below: every timestamp
     # semantic in this engine (NTZ casts, date_trunc, window(), epoch
     # doubles) assumes a UTC session for value parity with the tz-naive
     # DuckDB oracle. The engine's own get_spark() sets it at build time;
     # pin it here too so a CALLER's plain session (the driver's) is safe
-    # even if the host stops defaulting to UTC.
+    # even if the host stops defaulting to UTC. Deliberately OUTSIDE the
+    # cache: the pin must hold even when the plan is served from cache.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events":
-        df = normalize_event_ts(df)
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if name == "events":
+            df = normalize_event_ts(df)
+        cache[key] = df
     return df
 
 
