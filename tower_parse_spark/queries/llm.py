@@ -1051,9 +1051,55 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, evaluated once per DISTINCT word and joined back
     (AQE-decided), then one map-side-combinable per-doc aggregate —
     the unit sequence-packing budgets actually bill in, vs the
-    whitespace counts of text_token_stats."""
+    whitespace counts of text_token_stats.
+
+    Merged r10 (VERDICT r9 Next #3): BOTH counting strategies run over
+    the SAME distinct-word relation and land side-by-side —
+    ``n_subwords`` from the expression fold (subword_count) and
+    ``n_subwords_join`` from the relational broadcast-hash-join path
+    (subword_counts_relational, the 32k-vocabulary scale plan). The
+    DuckDB oracle's recursive-CTE walk checks both columns against one
+    truth value, so the join strategy is now driver-oracle-checked, not
+    only property-pinned to the fold."""
     docs = load_table(spark, sf_dir, "documents")
-    return SW.doc_subword_counts(docs).orderBy("doc_id")
+    exploded = docs.select(
+        "doc_id", F.explode_outer(T.tokens(F.col("text"))).alias("_tok")
+    )
+    distinct = (
+        exploded.filter(F.col("_tok").isNotNull()).select("_tok").distinct()
+    )
+    # the fold is a pure EXPRESSION — evaluate it as a column on the
+    # relational path's one-row-per-word output instead of a second
+    # branch + 1:1 join (same per-word evaluation count, 3 fewer
+    # exchanges)
+    words = SW.subword_counts_relational(distinct, SW.SUBWORD_VOCAB).select(
+        "_tok",
+        SW.subword_count(F.col("_tok")).alias("_n_fold"),
+        F.col("n_sub").alias("_n_join"),
+    )
+    return (
+        exploded.join(words, "_tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("_tok")).alias("n_words"),
+            F.coalesce(F.sum("_n_fold"), F.lit(0)).alias("_sum_fold"),
+            F.coalesce(F.sum("_n_join"), F.lit(0)).alias("_sum_join"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("_sum_fold").cast("long").alias("n_subwords"),
+            F.col("_sum_join").cast("long").alias("n_subwords_join"),
+            pround(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.col("_sum_fold") / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _token_count_bpe_oracle() -> str:
@@ -1080,6 +1126,9 @@ per AS (
 SELECT t.doc_id,
        CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
        CAST(coalesce(p.n_subwords, 0) AS BIGINT) AS n_subwords,
+       -- the fold and the relational join strategy are pinned to ONE
+       -- truth: the same CTE walk checks both engine columns
+       CAST(coalesce(p.n_subwords, 0) AS BIGINT) AS n_subwords_join,
        {sql_pround(ratio, 4)} AS subwords_per_word
 FROM tokd t LEFT JOIN per p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id
