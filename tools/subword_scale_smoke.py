@@ -23,9 +23,12 @@ pieces — trained pieces skew short, so this exercises the realistic
 per-length map-size distribution the synthetic ladder can't.
 
 Usage: python tools/subword_scale_smoke.py [--legacy|--join|--trained]
-[n_words]. Prints one JSON line: {"impl": ..., "n_words": N,
+[n_words] [size ...]. Extra positional ints override the default
+sizes ladder (r10: ``--join 50000 32000`` pins the stated 32k design
+point). Prints one JSON line: {"impl": ..., "n_words": N,
 "sizes": [...], "sec": [...]}  (best of 3 per size; --trained adds
-"piece_len_hist").
+"piece_len_hist"; --join adds the broadcast piece-table rows/bytes
+per size).
 """
 
 from __future__ import annotations
@@ -158,25 +161,34 @@ def main() -> int:
         )
         return 0
 
-    sizes, secs = [], []
-    for size in SIZES:
+    ladder = tuple(int(a) for a in args[1:]) or SIZES
+    sizes, secs, tables = [], [], []
+    for size in ladder:
         vocab = SW.SUBWORD_VOCAB if size == 51 else _hex_vocab(size)
         sizes.append(len(vocab))
         secs.append(run(vocab))
-    print(
-        json.dumps(
+        multi = [p for p in vocab if len(p) > 1]
+        tables.append(
             {
-                "impl": (
-                    "legacy-filter-scan"
-                    if legacy
-                    else ("relational-join" if join else "map-probe")
-                ),
-                "n_words": n_words,
-                "sizes": sizes,
-                "sec": secs,
+                "rows": len(multi),
+                # (piece, plen int) row payload estimate: string bytes +
+                # 4-byte int + ~16 bytes row overhead
+                "bytes_est": sum(len(p) + 20 for p in multi),
             }
         )
-    )
+    out = {
+        "impl": (
+            "legacy-filter-scan"
+            if legacy
+            else ("relational-join" if join else "map-probe")
+        ),
+        "n_words": n_words,
+        "sizes": sizes,
+        "sec": secs,
+    }
+    if join:
+        out["piece_table"] = tables
+    print(json.dumps(out))
     return 0
 
 

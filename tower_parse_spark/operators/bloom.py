@@ -86,15 +86,26 @@ def _probe_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     ]
 
 
-def bloom_build(
+def bloom_build_words(
     keys: DataFrame,
     key_col: str,
     n_bits: int = N_BITS,
     n_hashes: int = N_HASHES,
-) -> DataFrame:
-    """ONE-ROW DataFrame ``(bloom: array<long>)`` — the filter over every
-    (non-NULL) value of *key_col*. One explode + one bit_or aggregate +
-    one dense-array assembly; the row is ``n_bits/64`` longs."""
+) -> list[int]:
+    """The filter over every (non-NULL) value of *key_col*, as a
+    driver-side list of ``n_bits/64`` longs: one explode + one bit_or
+    aggregate (map-side combinable — at most ``n_bits/64`` rows reach
+    the driver), densified in Python.
+
+    Driver-side densification is deliberate (r10): the previous
+    in-plan assembly — ``transform(sequence(0, n_words-1), i ->
+    element_at(map, i))`` over a ``map_from_entries`` of the set words
+    — hit Spark's LINEAR scan of literal MapData per lookup, i.e.
+    O(n_words x n_set) work on ONE row in ONE task; with the
+    auto-sized geometry growing each epoch, gated streaming epochs
+    measured 59/97/330 s where ungated ran 3-12 s. The filter is a
+    driver-held cache by design (it enters plans as one folded
+    literal), so the dense array belongs on the driver."""
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
     n_words = n_bits // 64
@@ -102,7 +113,7 @@ def bloom_build(
     pos = F.explode(
         F.array(*_probe_positions(key, n_bits, n_hashes))
     ).alias("pos")
-    words = (
+    rows = (
         keys.filter(key.isNotNull())
         .select(pos)
         .select(
@@ -111,18 +122,41 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
+        .collect()
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(n_words - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_m"), i.cast("long")), F.lit(0).cast("long")
-        ),
+    dense = [0] * n_words
+    for r in rows:
+        dense[int(r["word"])] = int(r["bits"])
+    return dense
+
+
+def bloom_lit(words: list[int]) -> Column:
+    """*words* as ONE plan literal: ``from_json(lit(json))``, which
+    Catalyst constant-folds to a single ArrayData Literal evaluated by
+    reference. NOT ``F.lit(list)`` (a CreateArray tree with one node
+    per element — 118 s to build at 200k words, measured r10), not
+    ``F.lit(numpy)`` (per-element Py4J, 38 s), and never a crossJoined
+    one-row column (UnsafeRow COPIES the array into every joined
+    row)."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(list(words))), "array<long>")
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = N_BITS,
+    n_hashes: int = N_HASHES,
+) -> DataFrame:
+    """ONE-ROW DataFrame ``(bloom: array<long>)`` over every (non-NULL)
+    value of *key_col* — :func:`bloom_build_words` re-wrapped for
+    callers that want a relation (tests, ad-hoc inspection). Plan-side
+    consumers should embed :func:`bloom_lit` instead of joining this."""
+    words = bloom_build_words(keys, key_col, n_bits, n_hashes)
+    return keys.sparkSession.createDataFrame(
+        [(words,)], "bloom array<long>"
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("word"), F.col("bits")))
-        ).alias("_m")
-    ).select(dense.alias("bloom"))
 
 
 def might_contain(
@@ -131,15 +165,25 @@ def might_contain(
     n_bits: int = N_BITS,
     n_hashes: int = N_HASHES,
 ) -> Column:
-    """k row-local bit-tests against the broadcast filter array. False
-    means DEFINITELY absent; true means "check the index"."""
-    cond = None
-    for pos in _probe_positions(key, n_bits, n_hashes):
+    """k row-local bit-tests against the filter array. False means
+    DEFINITELY absent; true means "check the index".
+
+    One ``forall`` over the probe seeds instead of k AND-ed tests, so
+    *bloom* appears in the expression tree ONCE: with an auto-sized
+    filter the array literal is ~100s of KB, and k textual copies made
+    every plan-processing pass (canonicalization, AQE re-plans) walk
+    k x that — probe stages measured 3x slower at 4M bits before this
+    (r10). The lambda seed is INT, matching the build side's
+    ``F.lit(i)`` exactly — xxhash64 output differs by input WIDTH, so
+    a long seed here would probe different bits than the build wrote."""
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+
+    def test(i: Column) -> Column:
+        pos = F.pmod(F.xxhash64(key, i), F.lit(n_bits))
         word = F.floor(pos / 64).cast("int") + 1  # element_at is 1-based
-        mask = _bit_mask(pos)
-        c = (F.element_at(bloom, word).bitwiseAND(mask)) != 0
-        cond = c if cond is None else (cond & c)
-    return cond
+        return (F.element_at(bloom, word).bitwiseAND(_bit_mask(pos))) != 0
+
+    return F.forall(seeds, test)
 
 
 def incremental_exact_dedup_bloom(
@@ -184,12 +228,15 @@ def incremental_exact_dedup_bloom(
     hist = history.select(
         F.col(history_hash_col).alias("text_hash")
     ).distinct()
-    bloom = bloom_build(hist, "text_hash", n_bits, n_hashes)
-    gated = in_batch.crossJoin(F.broadcast(bloom)).withColumn(
+    # the filter rides the plan as one folded literal (bloom_lit) — a
+    # crossJoined one-row bloom column would be COPIED into every batch
+    # row by UnsafeRow materialization (r10)
+    words = bloom_build_words(hist, "text_hash", n_bits, n_hashes)
+    gated = in_batch.withColumn(
         "_maybe",
-        might_contain(F.col("text_hash"), F.col("bloom"), n_bits, n_hashes),
+        might_contain(F.col("text_hash"), bloom_lit(words), n_bits, n_hashes),
     )
-    definitely_new = gated.filter(~F.col("_maybe")).drop("bloom", "_maybe")
-    maybe = gated.filter(F.col("_maybe")).drop("bloom", "_maybe")
+    definitely_new = gated.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = gated.filter(F.col("_maybe")).drop("_maybe")
     survivors = maybe.join(hist, "text_hash", "left_anti")
     return definitely_new.unionByName(survivors)

@@ -334,13 +334,38 @@ def incremental_minhash_dedup_with_banded(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "fast",
+    band_gate: "tuple[DataFrame, int, int] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_minhash_dedup` plus the batch's own banded
     relation as a second return. The banding is the expensive half of
     the probe (shingle + K-fold minhash, localCheckpointed); a caller
     that must immediately index the surviving rows — the streaming
     loop's every epoch — filters THIS relation to survivor ids instead
-    of re-shingling the documents a second time."""
+    of re-shingling the documents a second time.
+
+    *band_gate* (r10, VERDICT r9 Next #5): an optional Bloom filter
+    over the INDEX's band keys as ``(bloom words as a Python list of
+    longs, n_bits, n_hashes)`` — a persisted cache of the index (see
+    streaming/neardup.py's ``_bloom`` sidecar). Batch banded rows whose
+    band key fails the filter CANNOT join any history row (Bloom has no
+    false negatives), so they skip the history probe; the filter must
+    COVER every index row passed in, or missed keys would silently
+    suppress true matches — coverage is the caller's contract. Verdict
+    rows are unchanged for pruned docs (they land at 0 matches through
+    the same left join), and on a fully-novel batch AQE's
+    empty-relation propagation skips the index scan outright. The
+    in-batch stage always sees the full banded relation.
+
+    The filter enters the plan as one array LITERAL (evaluated by
+    reference), deliberately NOT as a crossJoined one-row column: an
+    UnsafeRow materializes joined columns per row, so a ~1 MB bloom
+    array column would be COPIED into every banded row — measured as a
+    many-GB copy storm on the first smoke of this gate (r10). The
+    literal is spelled ``from_json(lit(json))``, which Catalyst
+    constant-folds to ONE ArrayData Literal — ``F.lit(python_list)``
+    builds a CreateArray tree with one expression node per element
+    (118 s to construct at 200k words, measured), and ``F.lit(numpy)``
+    still pays per-element Py4J conversion (38 s)."""
     if "hash_fn" in index.columns:
         fam_row = index.select("hash_fn").first()
         if fam_row is not None and fam_row["hash_fn"] != hash_fn:
@@ -356,7 +381,20 @@ def incremental_minhash_dedup_with_banded(
     batch_banded = banded_signatures(
         new_df, id_col, text_col, hash_fn=hash_fn
     )
-    batch = batch_banded.withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
+    probe_banded = batch_banded
+    if band_gate is not None:
+        import json
+
+        from tower_parse_spark.operators.bloom import might_contain
+
+        gate_words, g_bits, g_hashes = band_gate
+        gate_lit = F.from_json(
+            F.lit(json.dumps(list(gate_words))), "array<long>"
+        )
+        probe_banded = batch_banded.filter(
+            might_contain(F.col("band_key"), gate_lit, g_bits, g_hashes)
+        )
+    batch = probe_banded.withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
     hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})
     est = est_jaccard(F.col("mh1"), F.col("mh2"))
     hits = (

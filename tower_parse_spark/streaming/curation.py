@@ -24,7 +24,11 @@ that shape, one ``foreachBatch`` epoch at a time:
    index exactly as streaming/neardup.py::process_epoch does
    (partitions ``batch < N`` only, batch side broadcast, one
    shingling per document per lifetime), and new survivors' signatures
-   are indexed.
+   are indexed. The curation pipeline runs the probe behind the
+   auto-sized band-key Bloom gate (r10, ``band_gate=True``): quality
+   survivors on a live ingest are mostly NOVEL, and a novel document's
+   bands all miss the filter, skipping the history probe — verdict-
+   identical by the Bloom no-false-negative property.
 3. **Accept sink** — documents that pass both gates land under
    ``accepted/batch=N``.
 
@@ -70,6 +74,7 @@ def curate_epoch(
     hash_fn: str = "fast",
     lm: BigramLM | None = None,
     lm_reject_ce: float = CE_MIDDLE,
+    band_gate: bool = True,
 ) -> None:
     """One curation epoch (the foreachBatch body): quality-gate the
     batch, optionally perplexity-gate the survivors against *lm*,
@@ -131,7 +136,11 @@ def curate_epoch(
     quarantined.write.mode("overwrite").parquet(
         f"{rejected_path}/batch={batch_id}"
     )
-    # the near-dup loop handles its own verdict/index batch=N overwrite
+    # the near-dup loop handles its own verdict/index batch=N overwrite;
+    # the curation pipeline runs it Bloom-gated by default (r10, VERDICT
+    # r9 Next #5): quality survivors are mostly NOVEL documents — the
+    # common case skips the history probe on the auto-sized band-key
+    # filter, verdict-identical by the no-false-negative property
     process_epoch(
         keepers,
         batch_id,
@@ -141,6 +150,7 @@ def curate_epoch(
         text_col=text_col,
         threshold=threshold,
         hash_fn=hash_fn,
+        band_gate=band_gate,
     )
     survivors = (
         spark.read.parquet(f"{verdict_path}/batch={batch_id}")
@@ -166,6 +176,7 @@ def stream_curate(
     hash_fn: str = "fast",
     lm: BigramLM | None = None,
     lm_reject_ce: float = CE_MIDDLE,
+    band_gate: bool = True,
 ):
     """Start the streaming curation query over *docs_stream* (columns
     *id_col*, *text_col*). The models' relations are localCheckpointed
@@ -206,6 +217,7 @@ def stream_curate(
             hash_fn=hash_fn,
             lm=pinned_lm,
             lm_reject_ce=lm_reject_ce,
+            band_gate=band_gate,
         )
 
     return (

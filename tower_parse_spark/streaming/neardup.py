@@ -54,6 +54,138 @@ _INDEX_SCHEMA = StructType(
     ]
 )
 
+#: Bloom sidecar dir under the index root. Underscore-prefixed, so the
+#: index's own partition discovery never sees it (the compaction
+#: staging-dir rule).
+BLOOM_SUBDIR = "_bloom"
+
+#: headroom factor when (re)sizing the gate filter: sizing for 2x the
+#: current key count keeps rebuild-from-index events O(log growth)
+BLOOM_HEADROOM = 2
+
+#: the gate's false-positive target (bloom.py::bloom_size_for)
+BLOOM_TARGET_FP = 0.01
+
+
+def _bloom_path(index_path: str) -> str:
+    return f"{index_path}/{BLOOM_SUBDIR}"
+
+
+def read_gate_bloom(
+    spark, index_path: str, before_batch: int
+) -> "tuple[list[int], int, int] | None":
+    """The band-key Bloom gate valid for a probe at epoch
+    *before_batch*: the CUMULATIVE sidecar row written at epoch
+    ``before_batch - 1`` (each row ORs every indexed band key through
+    its own epoch, so that row covers exactly the ``batch <
+    before_batch`` index partitions the probe reads). Returns
+    ``(bloom words as a Python list, n_bits, n_hashes)`` — driver-side
+    on purpose: the probe embeds it as ONE plan literal, and the
+    per-epoch OR is plain Python (see dedup.py's band_gate note on why
+    a one-row column would be copied into every row). None when no
+    covering row exists — a gate whose latest row is OLDER than the
+    previous epoch would miss keys indexed since (false negatives), so
+    under-coverage disables the gate for this epoch instead;
+    :func:`write_gate_bloom`'s rebuild path catches the sidecar up."""
+    row = _read_gate_row(spark, index_path, before_batch - 1)
+    if row is None:
+        return None
+    return list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
+
+
+def _read_gate_row(spark, index_path: str, batch_id: int):
+    try:
+        rows = spark.read.option("basePath", _bloom_path(index_path)).parquet(
+            _bloom_path(index_path)
+        )
+    except AnalysisException:
+        return None
+    latest = (
+        rows.filter(F.col("batch").cast("long") == batch_id)
+        .limit(1)
+        .collect()
+    )
+    return latest[0] if latest else None
+
+
+def write_gate_bloom(
+    spark,
+    index_path: str,
+    batch_id: int,
+    batch_banded: DataFrame,
+    prev_gate: "tuple[list[int], int, int] | None",
+    prev_n_keys: int | None = None,
+) -> None:
+    """Write the cumulative gate row for epoch *batch_id* (OVERWRITE
+    ``batch=N`` — replays rewrite the same row from the same inputs, so
+    the sidecar is exactly-once like every other epoch sink).
+
+    Fast path: build a filter over THIS epoch's newly indexed band keys
+    (*batch_banded*, already filtered to survivors — one small
+    aggregation, no index scan) and OR it with the previous row in
+    PYTHON (both are driver-local word lists; the filter is KiB-sized).
+    Rebuild path (first gated epoch on an existing index, a
+    missing/stale sidecar, or the key count outgrowing the current
+    geometry's target-FP capacity): build from the FULL index through
+    *batch_id* at ``bloom_size_for(BLOOM_HEADROOM * n_keys)`` — the
+    documented discipline that the filter is a cache of the index, not
+    state. ``n_keys`` rides the row (row-count upper bound on distinct
+    band keys; replay-safe because it derives from the UNtouched
+    previous row plus this batch's count)."""
+    from tower_parse_spark.operators.bloom import (
+        N_HASHES,
+        bloom_build_words,
+        bloom_size_for,
+    )
+
+    new_rows = batch_banded.select("band_key")
+    n_new = new_rows.count()
+    if prev_gate is not None and prev_n_keys is not None:
+        prev_words, n_bits, n_hashes = prev_gate
+        n_keys = prev_n_keys + n_new
+        if n_bits >= bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
+            batch_words = bloom_build_words(
+                new_rows, "band_key", n_bits, n_hashes
+            )
+            merged = [a | b for a, b in zip(prev_words, batch_words)]
+            _write_gate_row(
+                spark, merged, index_path, batch_id, n_bits, n_hashes, n_keys
+            )
+            return
+    # rebuild from the index: every indexed key through this epoch
+    all_keys = _read_index(spark, index_path, batch_id + 1).select("band_key")
+    n_keys = all_keys.count()
+    n_bits = bloom_size_for(
+        max(BLOOM_HEADROOM * n_keys, 1), BLOOM_TARGET_FP
+    )
+    rebuilt = bloom_build_words(all_keys, "band_key", n_bits, N_HASHES)
+    _write_gate_row(
+        spark, rebuilt, index_path, batch_id, n_bits, N_HASHES, n_keys
+    )
+
+
+def _write_gate_row(
+    spark,
+    words: "list[int]",
+    index_path: str,
+    batch_id: int,
+    n_bits: int,
+    n_hashes: int,
+    n_keys: int,
+) -> None:
+    spark.createDataFrame(
+        [(words, n_bits, n_hashes, n_keys)],
+        "bloom array<long>, n_bits long, n_hashes long, n_keys long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{_bloom_path(index_path)}/batch={batch_id}"
+    )
+
+
+def _read_gate_n_keys(spark, index_path: str, batch_id: int) -> int | None:
+    """The n_keys recorded on the epoch-*batch_id* sidecar row."""
+    row = _read_gate_row(spark, index_path, batch_id)
+    return int(row["n_keys"]) if row is not None else None
+
 
 def _read_index(spark, index_path: str, before_batch: int) -> DataFrame:
     """The index as of batch *before_batch*: every ``batch=N`` partition
@@ -191,15 +323,36 @@ def process_epoch(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "fast",
+    band_gate: bool = False,
 ) -> None:
     """One epoch of the streaming near-dup loop (the foreachBatch body):
     probe the pre-*batch_id* index, overwrite this epoch's verdict and
     index partitions. Re-invoking with the same *batch_id* (a replayed
     epoch after a crash) rewrites the same partitions byte-for-byte —
-    the idempotency the kill/restart test pins."""
+    the idempotency the kill/restart test pins.
+
+    *band_gate* (r10): maintain and use the ``_bloom`` band-key sidecar
+    — batch docs with no band key in history skip the index probe
+    (verdict-identical: the Bloom has no false negatives and pruned
+    docs keep their 0-match verdict rows). Every sink this adds (the
+    one-row cumulative bloom per epoch) follows the same OVERWRITE
+    ``batch=N`` replay rule. The streaming curation pipeline
+    (streaming/curation.py) turns this on; the standalone near-dup
+    loop's default stays off so its oracle-checked query is
+    byte-for-byte the r9 plan."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     index = _read_index(spark, index_path, batch_id)
+    gate, gate_n_keys = None, None
+    if band_gate:
+        # one sidecar read serves both the probe gate and the sizing
+        # bookkeeping (n_keys) — not two separate parquet jobs
+        row = _read_gate_row(spark, index_path, batch_id - 1)
+        if row is not None:
+            gate = (
+                list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
+            )
+            gate_n_keys = int(row["n_keys"])
     verdicts, batch_banded = incremental_minhash_dedup_with_banded(
         batch,
         index,
@@ -207,6 +360,7 @@ def process_epoch(
         text_col=text_col,
         threshold=threshold,
         hash_fn=hash_fn,
+        band_gate=gate,
     )
     verdicts = verdicts.localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(
@@ -218,6 +372,18 @@ def process_epoch(
     survivor_ids = verdicts.filter(
         ~F.col("is_dup") & ~F.col("in_batch_dup")
     ).select(id_col)
-    batch_banded.join(survivor_ids, id_col).select(
+    survivor_banded = batch_banded.join(survivor_ids, id_col).select(
         "band_key", id_col, "mh", "hash_fn"
-    ).write.mode("overwrite").parquet(f"{index_path}/batch={batch_id}")
+    )
+    survivor_banded.write.mode("overwrite").parquet(
+        f"{index_path}/batch={batch_id}"
+    )
+    if band_gate:
+        # feed the JUST-WRITTEN partition back instead of survivor_banded:
+        # the parquet file is the already-materialized result, so the
+        # count + hash jobs in the gate write don't recompute the
+        # verdict-filter join twice
+        written = spark.read.parquet(f"{index_path}/batch={batch_id}")
+        write_gate_bloom(
+            spark, index_path, batch_id, written, gate, gate_n_keys
+        )
