@@ -191,12 +191,19 @@ def score_quality(
     the boolean quality verdict (score > 0 — the equal-cost decision
     boundary).
 
+    The corpus goes through ensure_parallelism first (the
+    classify_lang rationale: per-token md5 bucketing is compute-bound
+    and a small parquet corpus arrives as ONE split; no-op at real
+    scale).
+
     Plan: tokens explode row-locally, hit the broadcast weight table,
     and re-aggregate on *id_col* (map-side combinable). Zero-token and
     NULL-text documents keep a verdict row via explode_outer (scored on
     the prior alone, ``n_tokens = 0``)."""
     from tower_parse_spark.functions.rounding import pround
+    from tower_parse_spark.session import ensure_parallelism
 
+    corpus = ensure_parallelism(corpus)
     exploded = corpus.select(
         F.col(id_col),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),

@@ -908,8 +908,12 @@ def embedding_near_dup_pairs(
     # the barrier the cast and the norm fold re-run once per pair
     # instead of once per row (the ivfpq_topk lesson; measured 4.5 ->
     # 3.0 s at sf0.1).
+    # the bucket expression + norm fold are compute-bound per-row HOFs;
+    # a small parquet corpus arrives as ONE split (r10, the classifier
+    # precedent — no-op at real scale)
     base = (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             blk.alias("blk"),
             F.col(id_col),
             as_double(F.col(vec_col)).alias("v"),

@@ -242,8 +242,14 @@ def score_perplexity(
 
     Plan: explode is linear; both LM joins are broadcast hash joins (the
     corpus is never shuffled for them); the single shuffle is the
-    map-side-combinable per-document integer sum.
+    map-side-combinable per-document integer sum. The docs go through
+    ensure_parallelism first (r10, the classifier precedent): the
+    per-bigram probes are compute-bound and a small parquet corpus
+    arrives as ONE split; no-op at real scale.
     """
+    from tower_parse_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     bgs = docs.select(
         F.col(id_col), F.explode(bigrams(T.tokens(F.col(text_col)))).alias("bg")
     )

@@ -73,9 +73,15 @@ def semantic_dedup_flags(
     localCheckpointed — the scoring fold runs once per row (the
     embedding_near_dup_pairs fan-out rule).
     """
+    from tower_parse_spark.session import ensure_parallelism
+
     cents = (
         centroids if centroids is not None else lattice_centroids(dim, IVF_K)
     )
+    # the k-centroid scoring fold is compute-bound per row; a small
+    # parquet corpus arrives as ONE split (r10 classifier precedent —
+    # no-op at real scale)
+    df = ensure_parallelism(df)
     base = (
         _with_centroid_scores(
             df.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")),
