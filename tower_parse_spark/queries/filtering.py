@@ -83,7 +83,12 @@ def _docs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pathology found on the perplexity bigram path, operators/lm.py::
     bigrams — staging cut gopher_quality/line_cleaning ~10x at sf0.1).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from tower_parse_spark.session import ensure_parallelism
+
+    # the per-line transform lambdas are compute-bound row-local work;
+    # the fixture scan is one split (r10 classifier precedent — no-op
+    # at real scale)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     staged = docs.select("doc_id", T.tokens(F.col("text")).alias("_toks"))
     toks = F.col("_toks")
     d = F.col("doc_id")

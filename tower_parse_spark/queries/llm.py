@@ -779,8 +779,14 @@ ORDER BY cell
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc quality features + composite score."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    """Per-doc quality features + composite score. Heavy row-local
+    feature HOFs -> ensure_parallelism on the single-split fixture
+    scan (r10; no-op at real scale)."""
+    from tower_parse_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn(
         "_toks", T.tokens(F.col("text"))
     )
     feats = T.quality_features(F.col("text"), toks=F.col("_toks"))
@@ -1169,8 +1175,11 @@ ORDER BY t.doc_id
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint + exact md5."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Order-sensitive rolling-hash document fingerprint + exact md5.
+    Per-token md5 folds -> ensure_parallelism (r10; no-op at scale)."""
+    from tower_parse_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = T.tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -1210,8 +1219,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping, so bigrams explode to (doc_id, bigram) rows — the shuffle
     carries two short strings per bigram, keys are (doc_id, bigram)
     uniform. Doc-level arrays are reduced to scalars BEFORE the join back
-    so no token array ever crosses a shuffle boundary."""
-    docs = load_table(spark, sf_dir, "documents").withColumn(
+    so no token array ever crosses a shuffle boundary. The scan goes
+    through ensure_parallelism (r10): the n-gram HOFs are compute-bound
+    and the fixture is one split (no-op at real scale)."""
+    from tower_parse_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).withColumn(
         "_toks", T.tokens(F.col("text"))
     )
     base = docs.select(
