@@ -616,9 +616,15 @@ def passage_dedup(
       an equi-join AQE skew-splits if an occurrence list is still hot.
     - docs with no tokens produce no passages and drop out (same rule as
       the chunking operator).
+
+    The input goes through ensure_parallelism first (r10 single-split
+    rule: tokenize + slice + md5 are compute-bound row-local work;
+    no-op at real scale).
     """
     toks = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn(
         "_starts", chunk_starts(F.col("_toks"), passage_tokens)
     )
     # one row per (doc, passage start); passage text staged once so the
@@ -702,10 +708,13 @@ def boilerplate_removal(
       skew-splits if a hash is still hot;
     - the passage relation feeds TWO consumers (the frequency agg and
       the join back), so it is localCheckpointed — same fan-out rule as
-      passage_dedup.
+      passage_dedup. Input through ensure_parallelism (r10
+      single-split rule; no-op at real scale).
     """
     toks = tokens(F.col(text_col))
-    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), toks.alias("_toks")
+    ).withColumn(
         "_starts", chunk_starts(F.col("_toks"), passage_tokens)
     )
     p = (

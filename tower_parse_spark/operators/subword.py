@@ -267,8 +267,13 @@ def doc_subword_counts(
     path); counts are identical (pytest-pinned)."""
     from tower_parse_spark.functions.rounding import pround
 
+    from tower_parse_spark.session import ensure_parallelism
+
     if strategy not in ("fold", "join"):
         raise ValueError(f"strategy must be fold|join, got {strategy!r}")
+    # r10 single-split rule: the tokenize + explode before the distinct
+    # is compute-bound row-local work (no-op at real scale)
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
@@ -322,7 +327,11 @@ def token_subword_arrays(
     reassemble each document's array ordered by position (one
     map-side-combinable groupBy on the id; exploded tokens co-locate
     with their source row). Documents with zero tokens keep a row with
-    an EMPTY subs array via explode_outer + the coalesce below."""
+    an EMPTY subs array via explode_outer + the coalesce below. Input
+    through ensure_parallelism (r10 single-split rule)."""
+    from tower_parse_spark.session import ensure_parallelism
+
+    df = ensure_parallelism(df)
     exploded = df.select(
         F.col(id_col),
         F.posexplode_outer(F.col(toks_col)).alias("_pos", "_tok"),
