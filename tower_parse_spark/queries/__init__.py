@@ -28,78 +28,74 @@ class Query:
 # CORRECTNESS_r01..r09.json each have 50 rows cut in registry order).
 # Queries listed here rotate to the registry tail.
 #
-# Round-10 rotation (VERDICT r9 #1): wholesale window/tail alternation,
-# same mechanics as r8/r9 — the 50 r8-green tail queries re-enter the
-# window (their latest driver-green is r8 and would go stale after the
-# r10 run otherwise; tools/rotation_check.py listed exactly those 50 —
-# this also gives the r9 tail-changed text_langid and sequence_packing
-# their first driver-green in merged form), and the 50 r9-green window
-# queries (the CORRECTNESS_r09.json keys, below, in registry order)
+# Round-11 rotation (VERDICT r10 #1): wholesale window/tail alternation,
+# same mechanics as r8/r9/r10 — the 50 r9-green tail queries re-enter
+# the window (their latest driver-green is r9 and would go stale after
+# the r11 run otherwise; tools/rotation_check.py at r11 start listed
+# exactly those 50 as stale_after_run), and the 50 r10-green window
+# queries (the CORRECTNESS_r10.json keys, below, in driver order)
 # defer to the tail. At the 100-entry ceiling with a 50-slot window the
 # two-round invariant admits no slack, so the alternation is forced
 # wholesale; deferred entries rely on their pytest suites plus the
 # full-registry CORRECTNESS_LOCAL check for the off round. 100 remains
 # the registry's HARD CEILING (COVERAGE.md late-r7 amendment):
-# additions must retire or merge an entry — this round's relational-
-# subword oracle work merges into token_count_bpe for exactly that
-# reason (and that entry is in-window this round, so the join strategy
-# gets driver evidence immediately).
+# additions must retire or merge an entry.
 _DEFER_TO_TAIL = [
-    # --- relational / TPC-H shapes, all r9-green (CORRECTNESS_r09) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "top_customers_per_nation",
-    "revenue_rollup",
-    "order_priority_pivot",
-    "wealthy_inactive_customers",
-    "segment_set_ops",
-    "customer_order_arrays",
-    "priority_ship_stats",
-    "order_gaps_quartiles",  # events_value_distribution re-enters (percentiles)
-    "q11_important_parts",
-    "q16_supplier_counts",
-    "q21_blame_suppliers",
-    # --- ingest, r9-green; the re-entering pack_scalable/echo queries
-    # keep A4/A15/A17 in-window ---
-    "ingest_extract_probe",  # A8 regex projection rides pytest off-round
-    "ingest_sentinel_stats",  # A10 sentinel handling rides pytest
-    "ingest_pack_assign",  # ingest_pack_scalable re-enters (A15/A17)
-    "ingest_multiformat",  # A9 alternation unify rides pytest
-    "ingest_malformed_routing",  # A12 dead-letter pytest covers off-round
-    # --- llm families, r9-green ---
-    "dedup_exact",  # incremental_exact_dedup + dedup_passages re-enter
-    "dedup_minhash_lsh",  # incremental_minhash_dedup re-enters
-    "source_overlap_minhash",
-    "dedup_embedding_cosine",  # embedding_cluster_stats re-enters
-    "dedup_cluster_resolution",  # dedup_simhash/_ngram_jaccard re-enter
-    "ann_cosine_topk",  # ann_ivfpq_topk re-enters (ANN family)
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",  # text_fingerprint re-enters (text family)
-    "text_token_stats",  # token_count_bpe re-enters (token accounting)
-    "multimodal_decode",  # multimodal_pipeline re-enters
-    "training_data_pipeline",  # sequence_packing re-enters
-    "decontaminate_ngram",  # decontaminate_fuzzy re-enters
-    "train_val_split",  # split_leakage_check re-enters
-    "domain_mix_sample",
-    "doc_chunking",
-    "text_repetition",
-    "text_tfidf_topterms",
-    "quality_filter_funnel",  # quality_classifier re-enters
-    "domain_curation",
-    "semantic_dedup",
-    "multimodal_near_dup",
-    "gopher_quality",
-    "line_cleaning",
-    "domain_reweight",
-    "decontaminate_semantic",
-    "perplexity_filter",
-    # --- streaming / temporal, r9-green ---
-    "streaming_generator",  # streaming_pack_carry + streaming_late_data re-enter
-    "streaming_minhash_dedup",  # stateful near-dup rides pytest off-round
-    "events_tumbling_window",  # events_time_rollup/_sliding re-enter
-    "events_session_window",  # events_sessionize re-enters
-    "events_map_functions",  # events_json_props re-enters
+    # --- relational / TPC-H shapes, all r10-green (CORRECTNESS_r10) ---
+    "q5_local_supplier",
+    "running_revenue_by_nation",
+    "customers_without_urgent_orders",
+    "part_supplier_overlap",
+    "orders_with_returns",
+    "customer_order_distribution",
+    "part_string_functions",
+    "orders_date_functions",
+    "lineitem_math_functions",
+    "min_cost_parts",
+    "top_return_customers",
+    "promo_revenue_pct",
+    "disjunctive_filter_revenue",
+    "revenue_cube",  # revenue_rollup re-enters (grouping-sets family)
+    "part_measures_unpivot",  # order_priority_pivot re-enters
+    "nation_volume_shipping",
+    "market_share_by_year",  # top_customers_per_nation re-enters (windows)
+    "top_revenue_supplier",
+    "big_basket_orders",
+    "q6_forecast_revenue",  # q1/q3/q11/q16/q21 re-enter (TPC-H shapes)
+    "q9_product_profit",
+    "q17_small_quantity_revenue",
+    # --- ingest, r10-green; the re-entering extract/sentinel/multiformat/
+    # malformed/pack_assign queries keep A8-A12/A15 in-window ---
+    "ingest_pack_scalable",  # ingest_pack_assign re-enters (A15/A17)
+    "ingest_echo",  # A4 echo rides pytest off-round
+    # --- llm families, r10-green ---
+    "dedup_passages",  # dedup_exact re-enters (exact family)
+    "boilerplate_removal",
+    "incremental_exact_dedup",
+    "incremental_minhash_dedup",  # dedup_minhash_lsh re-enters
+    "dedup_simhash",  # dedup_cluster_resolution re-enters
+    "dedup_ngram_jaccard",
+    "ann_ivfpq_topk",  # ann_cosine/lsh/ivf_topk re-enter (ANN family)
+    "embedding_cluster_stats",  # dedup_embedding_cosine re-enters
+    "text_langid",
+    "token_count_bpe",  # text_token_stats re-enters (token accounting)
+    "text_fingerprint",  # text_quality re-enters (text family)
+    "multimodal_pipeline",  # multimodal_decode/_near_dup re-enter
+    "decontaminate_fuzzy",  # decontaminate_ngram/_semantic re-enter
+    "split_leakage_check",  # train_val_split re-enters
+    "text_pii_redact",
+    "sequence_packing",  # training_data_pipeline + doc_chunking re-enter
+    "quality_classifier",  # quality_filter_funnel re-enters
+    # --- streaming / temporal, r10-green ---
+    "streaming_pack_carry",  # streaming_generator/_minhash_dedup re-enter
+    "streaming_late_data",
+    "events_time_rollup",  # events_tumbling/_session_window re-enter
+    "events_sliding_window",
+    "events_sessionize",
+    "events_asof_order",
+    "events_order_range_join",
+    "events_json_props",  # events_map_functions re-enters
+    "events_value_distribution",  # order_gaps_quartiles re-enters
 ]
 
 
