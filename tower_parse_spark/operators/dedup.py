@@ -617,12 +617,18 @@ def passage_dedup(
     - docs with no tokens produce no passages and drop out (same rule as
       the chunking operator).
 
-    The input goes through ensure_parallelism first (r10 single-split
-    rule: tokenize + slice + md5 are compute-bound row-local work;
-    no-op at real scale).
+    No single-split guard here (r11, reversing r10's uniform rule):
+    the plan hits the phash groupBy shuffle immediately, which already
+    redistributes all downstream work, so guarding only parallelizes
+    the tokenize+explode map at the cost of round-robin-shuffling full
+    document text first. Interleaved best-of-4 at sf0.1
+    (tools/retime_guard.py, r11): guard-on 1.37 s vs guard-off 1.32 s
+    (1.04x) — neutral here, and the sibling boilerplate front measured
+    a real 1.24x guard cost, so both passage fronts skip it. At real
+    scale the guard was a no-op either way.
     """
     toks = tokens(F.col(text_col))
-    staged = ensure_parallelism(df).select(
+    staged = df.select(
         F.col(id_col), toks.alias("_toks")
     ).withColumn(
         "_starts", chunk_starts(F.col("_toks"), passage_tokens)
@@ -708,11 +714,22 @@ def boilerplate_removal(
       skew-splits if a hash is still hot;
     - the passage relation feeds TWO consumers (the frequency agg and
       the join back), so it is localCheckpointed — same fan-out rule as
-      passage_dedup. Input through ensure_parallelism (r10
-      single-split rule; no-op at real scale).
+      passage_dedup.
+
+    No single-split guard (r11, reversing r10's uniform rule): this
+    front is shuffle-dominant — countDistinct plans as a two-stage
+    keyed aggregate that already redistributes the work, so the guard's
+    round-robin shuffle of full document text bought nothing and
+    measurably cost: interleaved best-of-4 at sf0.1
+    (tools/retime_guard.py, r11) guard-on 1.71 s vs guard-off 1.38 s
+    (1.24x, consistent across runs) — the exact regression
+    bench_regress flagged on the r9->r10 driver artifacts (1.45x raw /
+    1.30 cal-adj). The guard stays on the map-dominant fronts where it
+    measured 1.6-4x wins (langid/embedding/perplexity scoring,
+    fingerprint folds).
     """
     toks = tokens(F.col(text_col))
-    staged = ensure_parallelism(df).select(
+    staged = df.select(
         F.col(id_col), toks.alias("_toks")
     ).withColumn(
         "_starts", chunk_starts(F.col("_toks"), passage_tokens)

@@ -267,13 +267,17 @@ def doc_subword_counts(
     path); counts are identical (pytest-pinned)."""
     from tower_parse_spark.functions.rounding import pround
 
-    from tower_parse_spark.session import ensure_parallelism
-
     if strategy not in ("fold", "join"):
         raise ValueError(f"strategy must be fold|join, got {strategy!r}")
-    # r10 single-split rule: the tokenize + explode before the distinct
-    # is compute-bound row-local work (no-op at real scale)
-    df = ensure_parallelism(df)
+    # No single-split guard (r11, reversing r10's uniform rule): the
+    # expensive fold runs per DISTINCT word — after the distinct
+    # shuffle, which already redistributes it across cores — so a
+    # guard here parallelizes only tokenize+explode at the cost of
+    # round-robin-shuffling full text first. Same plan shape as the
+    # passage fronts, where the guard measured neutral-to-1.24x SLOWER
+    # (tools/retime_guard.py, r11); this site is bench-invisible (the
+    # driver query builds its plan inline), so the decision follows
+    # that measurement's plan-shape rule.
     exploded = df.select(
         F.col(id_col),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_tok"),
@@ -327,11 +331,13 @@ def token_subword_arrays(
     reassemble each document's array ordered by position (one
     map-side-combinable groupBy on the id; exploded tokens co-locate
     with their source row). Documents with zero tokens keep a row with
-    an EMPTY subs array via explode_outer + the coalesce below. Input
-    through ensure_parallelism (r10 single-split rule)."""
-    from tower_parse_spark.session import ensure_parallelism
+    an EMPTY subs array via explode_outer + the coalesce below.
 
-    df = ensure_parallelism(df)
+    No single-split guard (r11): the fold runs per DISTINCT token —
+    post-shuffle, already parallel — so the guard would shuffle the
+    full token arrays just to parallelize posexplode; same
+    shuffle-dominant shape the passage-front A/B measured as
+    neutral-to-1.24x slower (tools/retime_guard.py, r11)."""
     exploded = df.select(
         F.col(id_col),
         F.posexplode_outer(F.col(toks_col)).alias("_pos", "_tok"),
