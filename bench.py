@@ -167,6 +167,7 @@ def compact_line(
     sf: float,
     spread_pct: dict[str, float] | None = None,
     cal: float | None = None,
+    protect: set[str] | None = None,
 ) -> str:
     """The driver-contract line: {"metric","value","unit","queries","sf"}
     plus ``sp`` — per-query run-to-run spread as an INTEGER-percent array
@@ -186,8 +187,17 @@ def compact_line(
     a sub-0.1 s query is indistinguishable from noise anyway; the slow
     queries are the perf evidence). The headline total stays the exact
     full-set total in every form. Unit-tested against a 100+-query
-    registry so growth can't silently break the contract again."""
+    registry so growth can't silently break the contract again.
+
+    *protect* (r11, VERDICT r10 #5) rotates WHICH queries get
+    truncated: names in it are shed only after every unprotected query
+    is gone. main() passes the set truncated from the PREVIOUS round's
+    driver artifact, so the same 8 fastest queries no longer lose their
+    driver timing every round — each query lands in the artifact at
+    least every other round (shed counts stay ~constant because
+    protecting the fastest 8 sheds the next-fastest 8)."""
     spread_pct = spread_pct or {}
+    protect = protect or set()
 
     def sp_for(names) -> list[int]:
         # integers, capped at 999 (a 10x spread is already "unusable
@@ -211,19 +221,50 @@ def compact_line(
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
-    items = sorted(
-        ((k, round(v, 2)) for k, v in times.items()), key=lambda kv: -kv[1]
+    kept = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in times.items()), key=lambda kv: -kv[1]
+        )
     )
-    compact["queries"] = dict(items)
-    compact["sp"] = sp_for(compact["queries"])
+    # shed order: fastest UNprotected first; protected names only once
+    # every unprotected query is gone (the rotation guarantee)
+    shed_queue = sorted(times, key=lambda k: (k in protect, times[k]))
+    compact["queries"] = kept
+    compact["sp"] = sp_for(kept)
     line = json.dumps(compact, separators=(",", ":"))
-    while items and len(line) > COMPACT_LINE_BUDGET:
-        items.pop()  # shed the fastest remaining query (and its spread)
-        compact["queries"] = dict(items)
-        compact["sp"] = sp_for(compact["queries"])
-        compact["queries_truncated"] = len(times) - len(items)
+    for name in shed_queue:
+        if len(line) <= COMPACT_LINE_BUDGET:
+            break
+        kept.pop(name)  # shed the query (and, via sp_for, its spread)
+        compact["queries"] = kept
+        compact["sp"] = sp_for(kept)
+        compact["queries_truncated"] = len(times) - len(kept)
         line = json.dumps(compact, separators=(",", ":"))
     return line
+
+
+def prev_truncated(times: dict[str, float]) -> set[str]:
+    """Queries THIS run timed that the latest BENCH_r{N}.json driver
+    artifact truncated (r11, VERDICT r10 #5): measured here but absent
+    from the artifact's parsed ``queries``. compact_line protects them
+    this round, so every query gets a driver timing at least every
+    other round instead of the same 8 fastest being shed forever.
+    Best-effort: no artifact (fresh checkout, local runs) or an
+    unparseable one means nothing is protected — the r10 behavior."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not arts:
+        return set()
+    try:
+        with open(arts[-1]) as f:
+            parsed = json.load(f).get("parsed", {})
+        if parsed.get("queries_truncated"):
+            return set(times) - set(parsed.get("queries", {}))
+    except (OSError, ValueError):
+        pass
+    return set()
 
 
 def main() -> int:
@@ -315,7 +356,7 @@ def main() -> int:
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
-    print(compact_line(times, total, sf, spread_pct, cal))
+    print(compact_line(times, total, sf, spread_pct, cal, prev_truncated(times)))
     return 0
 
 

@@ -304,3 +304,46 @@ def test_bench_regress_reports_masked_adjusted_only_deltas(tmp_path):
     assert [r["query"] for r in out["improvements"]] == ["query_bbbb"]
     assert [r["query"] for r in out["masked_improvements"]] == ["query_aaaa"]
     assert rc == 0, out
+
+
+def test_truncation_protect_rotates_the_shed_set():
+    """VERDICT r10 #5: names in ``protect`` are shed only after every
+    unprotected query — two simulated rounds where round 2 protects
+    round 1's shed set produce DISJOINT truncated sets, so every query
+    gets a driver artifact timing at least every other round."""
+    times = _times(60)  # sheds < half, like the real 8-of-69 registry
+    sp = _spreads(times)
+    total = round(sum(times.values()), 3)
+    r1 = json.loads(bench.compact_line(times, total, 0.1, sp))
+    shed_r1 = set(times) - set(r1["queries"])
+    assert shed_r1 and len(shed_r1) < len(times) / 2
+    r2 = json.loads(
+        bench.compact_line(times, total, 0.1, sp, protect=shed_r1)
+    )
+    shed_r2 = set(times) - set(r2["queries"])
+    assert shed_r1 & shed_r2 == set(), shed_r1 & shed_r2
+    assert shed_r1 <= set(r2["queries"])  # protected all survived
+    assert len(bench.compact_line(times, total, 0.1, sp, protect=shed_r1)) \
+        <= bench.COMPACT_LINE_BUDGET
+    # sp stays aligned with the kept key order
+    assert r2["sp"] == [int(round(sp[k])) for k in r2["queries"]]
+
+
+def test_prev_truncated_reads_latest_artifact(tmp_path, monkeypatch):
+    """prev_truncated: measured-but-absent names from the newest
+    BENCH_r*.json; empty when nothing was truncated or no artifact."""
+    times = {"a": 0.1, "b": 0.2, "c": 3.0}
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda p: str(tmp_path)
+    )
+    assert bench.prev_truncated(times) == set()  # no artifact yet
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"parsed": {"queries": {"a": 0.1, "b": 0.2, "c": 3.0}}}
+    ))
+    assert bench.prev_truncated(times) == set()  # nothing truncated
+    (tmp_path / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"c": 3.0}, "queries_truncated": 2}}
+    ))
+    assert bench.prev_truncated(times) == {"a", "b"}  # latest wins
+    (tmp_path / "BENCH_r11.json").write_text("not json")
+    assert bench.prev_truncated(times) == set()  # unparseable -> r10 behavior
