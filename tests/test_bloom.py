@@ -192,3 +192,20 @@ def test_max_gate_bits_geometry_documented():
     MAX_GATE_BITS; ~8M do not (pins the docstring's arithmetic)."""
     assert B.bloom_size_for(7_000_000, 0.01) <= B.MAX_GATE_BITS
     assert B.bloom_size_for(8_000_000, 0.01) > B.MAX_GATE_BITS
+
+
+def test_bloom_lit_constant_folds_in_optimized_plan(spark):
+    """ADVICE r10: bloom_lit's performance contract is that Catalyst
+    constant-folds ``from_json(lit(json))`` to ONE array Literal — a
+    Spark version that stops folding it would re-parse the JSON per row
+    in might_contain (still correct, silently large regression). Pin
+    the plan shape: the optimized plan carries the folded literal, no
+    from_json/JsonToStructs node."""
+    df = spark.range(5).select(
+        B.might_contain(
+            F.md5(F.col("id").cast("string")), B.bloom_lit([1, 2, 3]), 192, 2
+        ).alias("hit")
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
+    assert "from_json" not in plan and "jsontostructs" not in plan, plan
+    assert "[1,2,3]" in plan  # the folded array literal, by reference

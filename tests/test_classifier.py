@@ -310,3 +310,37 @@ def test_langid_model_meta_mismatch_raises(spark, tmp_path):
             CL.load_langid_model(spark, path)
     finally:
         CL.FEATURE_SALT = orig
+
+
+def test_langid_model_meta_missing_key_raises(spark, tmp_path):
+    """ADVICE r10: an artifact whose meta row LACKS an expected key
+    (older or foreign writer) must fail the compatibility check, not
+    load as if compatible — the absent key is reported."""
+    import pytest
+
+    model = CL.train_langid_nb(_langid_labeled(spark))
+    path = str(tmp_path / "lid_model")
+    CL.save_langid_model(model, path)
+    # rewrite the meta sidecar WITHOUT feature_salt (a foreign writer)
+    row = spark.read.parquet(f"{path}/meta").first()
+    spark.createDataFrame(
+        [(row["kind"], row["n_features"], row["w_scale"], list(row["classes"]))],
+        "kind string, n_features int, w_scale long, classes array<string>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="feature_salt.*<absent>"):
+        CL.load_langid_model(spark, path)
+
+
+def test_quality_model_meta_missing_key_raises(spark, tmp_path):
+    import pytest
+
+    model = CL.train_quality_nb(_labeled(spark))
+    path = str(tmp_path / "qc_model")
+    CL.save_quality_model(model, path)
+    row = spark.read.parquet(f"{path}/meta").first()
+    spark.createDataFrame(
+        [(row["kind"], row["n_features"], row["w_scale"])],
+        "kind string, n_features int, w_scale long",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="feature_salt.*<absent>"):
+        CL.load_quality_model(spark, path)

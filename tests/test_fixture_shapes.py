@@ -116,3 +116,22 @@ def test_non_utc_caller_session_gets_utc_semantics(spark):
         assert row["t"] == want["t"]
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_load_table_cache_sees_regenerated_fixture(spark, tmp_path):
+    """ADVICE r10: the analyzed-plan cache must key on the table file's
+    stat fingerprint — a fixture REGENERATED at the same path within a
+    live session is a cache miss, not a stale listing."""
+    import time as _time
+
+    d = str(tmp_path)
+    spark.range(3).toDF("r_regionkey").write.parquet(f"{d}/region.parquet")
+    assert load_table(spark, d, "region").count() == 3
+    # regenerate in place with different contents
+    _time.sleep(0.05)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(7).toDF("r_regionkey").write.mode("overwrite").parquet(
+        f"{d}/region.parquet"
+    )
+    assert load_table(spark, d, "region").count() == 7
+    # unchanged path still serves the cached plan (same fingerprint)
+    assert load_table(spark, d, "region") is load_table(spark, d, "region")

@@ -520,24 +520,32 @@ def save_langid_model(model: MulticlassNB, path: str) -> None:
     ).parquet(f"{path}/meta")
 
 
-def load_langid_model(spark, path: str) -> MulticlassNB:
-    """Load a :func:`save_langid_model` artifact, validating the meta
-    sidecar against this build's hash machinery (mismatch raises —
-    plausible-but-wrong verdicts otherwise) and restoring the pinned
-    class order."""
-    row = spark.read.parquet(f"{path}/meta").first()
-    expected = _model_meta("langid_nb", row["n_features"])
+def _check_model_meta(row, expected: dict, kind: str, path: str) -> None:
+    """Raise unless every expected meta key is present AND equal on the
+    saved row. A key ABSENT from the row is a mismatch too (ADVICE r10:
+    an older or foreign writer's artifact must fail loudly, not load as
+    if compatible), reported with an '<absent>' sentinel."""
     mismatches = {
-        k: (row[k], v)
+        k: ((row[k] if k in row.__fields__ else "<absent>"), v)
         for k, v in expected.items()
-        if k in row.__fields__ and row[k] != v
+        if k not in row.__fields__ or row[k] != v
     }
     if mismatches:
         detail = ", ".join(
             f"{k}: saved={a!r} expected={b!r}"
             for k, (a, b) in sorted(mismatches.items())
         )
-        raise ValueError(f"langid model at {path!r} is incompatible: {detail}")
+        raise ValueError(f"{kind} model at {path!r} is incompatible: {detail}")
+
+
+def load_langid_model(spark, path: str) -> MulticlassNB:
+    """Load a :func:`save_langid_model` artifact, validating the meta
+    sidecar against this build's hash machinery (mismatch OR absent
+    expected key raises — plausible-but-wrong verdicts otherwise) and
+    restoring the pinned class order."""
+    row = spark.read.parquet(f"{path}/meta").first()
+    expected = _model_meta("langid_nb", row["n_features"])
+    _check_model_meta(row, expected, "langid", path)
     return MulticlassNB(
         classes=tuple(row["classes"]),
         weights=spark.read.parquet(f"{path}/weights"),
@@ -548,21 +556,11 @@ def load_langid_model(spark, path: str) -> MulticlassNB:
 
 def load_quality_model(spark, path: str) -> NBModel:
     """Load a :func:`save_quality_model` artifact, validating the meta
-    sidecar against this build's hash machinery — a mismatch raises
-    instead of scoring garbage."""
+    sidecar against this build's hash machinery — a mismatch OR an
+    absent expected key raises instead of scoring garbage."""
     row = spark.read.parquet(f"{path}/meta").first()
     expected = _model_meta("quality_nb", row["n_features"])
-    mismatches = {
-        k: (row[k], v)
-        for k, v in expected.items()
-        if k in row.__fields__ and row[k] != v
-    }
-    if mismatches:
-        detail = ", ".join(
-            f"{k}: saved={a!r} expected={b!r}"
-            for k, (a, b) in sorted(mismatches.items())
-        )
-        raise ValueError(f"quality model at {path!r} is incompatible: {detail}")
+    _check_model_meta(row, expected, "quality", path)
     return NBModel(
         weights=spark.read.parquet(f"{path}/weights"),
         consts=spark.read.parquet(f"{path}/consts"),

@@ -106,6 +106,13 @@ def subword_count(
     32k vocab is the early exit + single substr per length — measured
     cost curve in SCALE.md.)
 
+    Strategy choice: use this fold below ~1k pieces, the relational
+    join (:func:`subword_counts_relational`) above — SCALE.md's
+    "Subword strategy decision table" (r11) is the single measured
+    reference: fold 1.13→6.45 s from 51→4k pieces (per-length map
+    probes stay linear scans), join flat at ~2.3-4.8 s through 32k
+    with a ~763 KB broadcast table.
+
     Twin: :func:`sql_subword_walk` (recursive CTE, same pieces, same
     longest-match rule via max(length) over matching pieces)."""
     by_len: dict[int, list[str]] = {}
@@ -165,6 +172,14 @@ def subword_counts_relational(
     position-level relation — ~|distinct words| x avg_len x
     |distinct lengths| rows, independent of |vocab|; the piece table
     broadcasts (a 64k-piece table is ~1 MB).
+
+    Strategy choice: use this join above ~1k pieces, the expression
+    fold (:func:`subword_count`) below — SCALE.md's "Subword strategy
+    decision table" (r11) is the single measured reference: the join's
+    two-shuffle floor (~2.3 s at bench scale) amortizes at scale and
+    the curve stays flat 4k→32k (4.83→4.05 s) while the broadcast
+    piece table is ~763 KB at 32k (≈24 B/piece, orders of magnitude
+    under the 10 MB autoBroadcastJoinThreshold).
 
     Expects the DISTINCT-word relation (its natural caller —
     doc_subword_counts dedups before counting; duplicate word rows

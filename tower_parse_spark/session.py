@@ -232,15 +232,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller's plain SparkSession) and as micros TIMESTAMP_NTZ. Either way,
     ``normalize_event_ts`` rebuilds the canonical session-tz TIMESTAMP.
 
-    The analyzed DataFrame is CACHED per (session, sf_dir, name) — plan
-    cache, not data cache. Every ``spark.read.parquet`` re-lists the
-    path and re-reads a footer for schema (~0.1 s of JVM round-trips),
-    a fixed per-construction tax every query paid 2-4x; reusing the
-    analyzed scan is what any real application does (temp views / a
-    catalog). DataFrames are immutable, so reuse is semantics-free; a
-    file REPLACED under a live session would serve the stale listing,
-    which no caller does (fixtures change only between driver rounds =
-    between processes).
+    The analyzed DataFrame is CACHED per (session, sf_dir, name,
+    fingerprint) — plan cache, not data cache. Every
+    ``spark.read.parquet`` re-lists the path and re-reads a footer for
+    schema (~0.1 s of JVM round-trips), a fixed per-construction tax
+    every query paid 2-4x; reusing the analyzed scan is what any real
+    application does (temp views / a catalog). DataFrames are
+    immutable, so reuse is semantics-free. The fingerprint (shallow
+    (name, mtime_ns, size) stat of the table path — one scandir, no
+    Spark job) keys OUT a fixture regenerated at the same path within
+    a live session (ADVICE r10: the stale listing used to be a
+    documented-but-unenforced no-caller-does-this assumption; now a
+    rewrite is just a cache miss).
     """
     # Defensive runtime conf, like nanosAsLong below: every timestamp
     # semantic in this engine (NTZ casts, date_trunc, window(), epoch
@@ -253,7 +256,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache = _TABLE_CACHE.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    key = (os.path.abspath(sf_dir), name, _table_fingerprint(sf_dir, name))
     df = cache.get(key)
     if df is None:
         df = spark.read.parquet(table_path(sf_dir, name))
@@ -261,6 +264,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = normalize_event_ts(df)
         cache[key] = df
     return df
+
+
+def _table_fingerprint(sf_dir: str, name: str):
+    """Shallow stat fingerprint of a table path: (mtime_ns, size) for a
+    plain file, a sorted tuple of (entry, mtime_ns, size) for a parquet
+    directory. Pure os.stat — no Spark job, no footer reads. Non-local
+    or vanished paths fingerprint as None (cache keyed on path alone,
+    the pre-r11 behavior)."""
+    path = table_path(sf_dir, name)
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(path)
+            )
+        )
+    except OSError:
+        return None
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
