@@ -342,3 +342,21 @@ def test_index_without_meta_sidecar_still_probes(spark, tmp_path):
         PQ.ivfpq_topk_prebuilt(spark, path, _probes(emb), dim=DIM, k=5).count()
         > 0
     )
+
+
+def test_index_meta_with_absent_key_rejects(spark, tmp_path):
+    """r11 (the classifier-loader ADVICE applied here): a meta sidecar
+    that EXISTS but lacks an expected key (foreign/older writer) fails
+    validation like a mismatch — only a fully absent meta dir is the
+    back-compat skip."""
+    emb = load_table(spark, SF, "embeddings").limit(60)
+    path = str(tmp_path / "ivfpq_absent_key")
+    PQ.build_ivfpq_index(emb, path, dim=DIM)
+    # rewrite meta WITHOUT codebook_fp
+    row = spark.read.parquet(f"{path}/meta").first()
+    keep = [f for f in row.__fields__ if f != "codebook_fp"]
+    spark.createDataFrame([tuple(row[f] for f in keep)], keep).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="codebook_fp.*<absent>"):
+        PQ.ivfpq_topk_prebuilt(spark, path, _probes(emb), dim=DIM, k=5)

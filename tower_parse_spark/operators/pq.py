@@ -631,8 +631,12 @@ def _validate_index_meta(spark, path: str, expected: dict, op: str) -> None:
     """Raise when the caller's flags/quantizer disagree with the meta
     sidecar the index was built with (ADVICE r6): e.g. a residual=False
     probe of a residual-built index would silently return
-    plausible-but-wrong neighbors. Pre-meta indexes (no sidecar) skip
-    validation for back-compat — rebuild to opt in."""
+    plausible-but-wrong neighbors. Pre-meta indexes (NO sidecar at all)
+    skip validation for back-compat — rebuild to opt in; but a sidecar
+    that EXISTS with expected keys absent is a foreign/older writer and
+    fails like a value mismatch (r11, the classifier-loader ADVICE
+    applied here too — present-but-incomplete meta must not load as
+    compatible)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -642,9 +646,9 @@ def _validate_index_meta(spark, path: str, expected: dict, op: str) -> None:
     if row is None:
         return
     mismatches = {
-        k: (row[k], expected[k])
+        k: ((row[k] if k in row.__fields__ else "<absent>"), expected[k])
         for k in expected
-        if k in row.__fields__ and row[k] != expected[k]
+        if k not in row.__fields__ or row[k] != expected[k]
     }
     if mismatches:
         detail = ", ".join(
