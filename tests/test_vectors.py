@@ -67,3 +67,43 @@ def test_lit_norm_bitwise_equals_runtime_fold(spark):
     ).collect()[0]
     for j, w in enumerate(weights):
         assert lit_norm(w) == runtime[f"n{j}"], j
+
+
+def test_multi_dot_lit_sql_text_path_bit_identical(spark):
+    """r11: the SQL-text fast-construction path (one memoized F.expr
+    parse) must be value-identical to the Column-built tree on real,
+    NULL-element, and whole-NULL vectors, with and without the
+    self-square slot — the contract ann_ivfpq/_with_centroid_scores
+    now rely on."""
+    from tower_parse_spark.functions.vectors import multi_dot_lit
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0, 4.0]),
+            (2, [0.5, -1.5, 2.5, 3.5]),
+            (3, [1.0, None, 3.0, 4.0]),
+            (4, None),
+        ],
+        "id long, v array<double>",
+    )
+    W = [[1.0, 0.25, -2.0, 3.0], [0.1, 0.2, 0.3, 0.4], [7.0, 0.0, -1.0, 2.0]]
+    for self_sq in (False, True):
+        col_form = df.select(
+            "id", multi_dot_lit(F.col("v"), W, with_self_sq=self_sq).alias("r")
+        ).collect()
+        sql_form = df.select(
+            "id", multi_dot_lit("v", W, with_self_sq=self_sq).alias("r")
+        ).collect()
+        assert [(r.id, r.r) for r in col_form] == [
+            (r.id, r.r) for r in sql_form
+        ], self_sq
+    # sliced sub-vector form (the _subspace_dots call shape)
+    a = df.select(
+        multi_dot_lit(F.slice(F.col("v"), 2, 2), [[1.5, -2.5]]).alias("r")
+    ).collect()
+    b = df.select(
+        multi_dot_lit("slice(`v`, 2, 2)", [[1.5, -2.5]]).alias("r")
+    ).collect()
+    assert [r.r for r in a] == [r.r for r in b]
+    # memoization: same (sql, weights) returns the same Column object
+    assert multi_dot_lit("v", W) is multi_dot_lit("v", W)

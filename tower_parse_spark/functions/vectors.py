@@ -85,37 +85,84 @@ def lit_matrix(rows: list[list[float]]) -> Column:
     hit = _LIT_MATRIX_CACHE.get(key)
     if hit is not None:
         return hit
-    body = ",".join(
-        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
-        for row in rows
-    )
-    col = F.expr(f"array({body})")
+    col = F.expr(f"array({_matrix_sql_body(rows)})")
     if len(_LIT_MATRIX_CACHE) >= _LIT_MATRIX_CACHE_MAX:
         _LIT_MATRIX_CACHE.pop(next(iter(_LIT_MATRIX_CACHE)))
     _LIT_MATRIX_CACHE[key] = col
     return col
 
 
+def _matrix_sql_body(rows: list[list[float]]) -> str:
+    """The row-array elements of a constant matrix as SQL text (shared
+    by lit_matrix and multi_dot_lit's one-parse fast path)."""
+    return ",".join(
+        "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in row) + ")"
+        for row in rows
+    )
+
+
+_MULTI_DOT_CACHE: dict[tuple, Column] = {}
+_MULTI_DOT_CACHE_MAX = 64
+
+
 def multi_dot_lit(
-    a: Column, weights: list[list[float]], with_self_sq: bool = False
+    a: Column | str, weights: list[list[float]], with_self_sq: bool = False
 ) -> Column:
     """``[dot(a, w_0), ..., dot(a, w_{k-1})]`` — plus ``sum(a[i]^2)`` as
     a final element when *with_self_sq* — in one array traversal.
 
     The caller must reference the result ONCE (or stage it as its own
     column): interpreted evaluation has no common-subexpression reuse,
-    so every extra reference re-runs the fold."""
+    so every extra reference re-runs the fold.
+
+    *a* as a STRING is the fast-construction path (r11): the text is a
+    SQL expression for the vector, and the ENTIRE fold renders as one
+    ``F.expr`` parse — the lit_matrix trick applied to the fold itself.
+    Building the same tree through the Column API costs ~85 ms of py4j
+    round-trips per call (measured: 18 calls = 1.5 s of ann_ivfpq_topk's
+    plan construction); the one-parse form is a few ms and memoized on
+    (a_sql, weights, with_self_sq), so bench's second plan construction
+    is free. The rendered tree is NODE-IDENTICAL to the Column form
+    (same zip_with/transform/aggregate shape, same 0.0-seeded
+    index-ascending summation, double literals via the same CAST
+    rendering lit_matrix uses), so values are bit-identical — pinned by
+    test_vectors' equivalence case. Lambda variables use reserved-ish
+    names (_mdl_*) so a real column named ``x``/``acc`` can't be
+    shadowed."""
     k = len(weights)
     dim = len(weights[0])
-    wmat = lit_matrix(
-        [[float(weights[j][i]) for j in range(k)] for i in range(dim)]
-    )
+    transposed = [[float(weights[j][i]) for j in range(k)] for i in range(dim)]
+    width = k + 1 if with_self_sq else k
+    if isinstance(a, str):
+        key = (
+            a,
+            tuple(tuple(r) for r in transposed),
+            with_self_sq,
+        )
+        hit = _MULTI_DOT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        mat = f"array({_matrix_sql_body(transposed)})"
+        per = "transform(_mdl_w, _mdl_wi -> _mdl_x * _mdl_wi)"
+        if with_self_sq:
+            per = f"concat({per}, array(_mdl_x * _mdl_x))"
+        init = "array(" + ",".join(["CAST(0.0 AS DOUBLE)"] * width) + ")"
+        col = F.expr(
+            f"aggregate(zip_with({a}, {mat}, (_mdl_x, _mdl_w) -> {per}), "
+            f"{init}, "
+            "(_mdl_acc, _mdl_p) -> zip_with(_mdl_acc, _mdl_p, "
+            "(_mdl_s, _mdl_q) -> _mdl_s + _mdl_q))"
+        )
+        if len(_MULTI_DOT_CACHE) >= _MULTI_DOT_CACHE_MAX:
+            _MULTI_DOT_CACHE.pop(next(iter(_MULTI_DOT_CACHE)))
+        _MULTI_DOT_CACHE[key] = col
+        return col
+    wmat = lit_matrix(transposed)
 
     def _per_element(x, row):
         prods = F.transform(row, lambda w: x * w)
         return F.concat(prods, F.array(x * x)) if with_self_sq else prods
 
-    width = k + 1 if with_self_sq else k
     return F.aggregate(
         F.zip_with(a, wmat, _per_element),
         F.array(*([F.lit(0.0)] * width)),

@@ -107,10 +107,15 @@ def _subspace_dots(
     tree was ~70% of the query's driver time. All M staged columns land
     in ONE withColumns call (one analysis pass, not M)."""
     sd = len(codebooks[0][0])
+    # SQL-text form of the sliced sub-vector -> multi_dot_lit's
+    # one-parse fast path (r11): the M fold trees used to cost ~85 ms
+    # of py4j each at every plan construction (~1.5 s of
+    # ann_ivfpq_topk's driver time); as text the whole fold is one
+    # memoized F.expr parse, node-identical to the Column form
     return df.withColumns(
         {
             f"_pqd{m}": multi_dot_lit(
-                F.slice(F.col(vec_colname), m * sd + 1, sd),
+                f"slice(`{vec_colname}`, {m * sd + 1}, {sd})",
                 book,
                 with_self_sq=with_self_sq,
             )

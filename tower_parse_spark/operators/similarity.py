@@ -207,7 +207,9 @@ def _with_centroid_scores(
     k = len(centroids)
     df = df.withColumn(
         "_scraw",
-        multi_dot_lit(F.col(vec_colname), centroids, with_self_sq=True),
+        # SQL-text vector ref -> multi_dot_lit's one-parse memoized
+        # fast path (r11; node-identical to the Column form)
+        multi_dot_lit(f"`{vec_colname}`", centroids, with_self_sq=True),
     )
     vnorm = F.sqrt(F.col("_scraw")[k])
     # try_divide, not /: a zero-norm (empty or all-zero) vector must
