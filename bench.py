@@ -261,7 +261,10 @@ def prev_truncated(times: dict[str, float]) -> set[str]:
         with open(arts[-1]) as f:
             parsed = json.load(f).get("parsed", {})
         if parsed.get("queries_truncated"):
-            return set(times) - set(parsed.get("queries", {}))
+            # intersect with HEADLINE: in --all mode `times` carries the
+            # whole registry, and protecting the ~40 never-in-artifact
+            # tail names would shed SLOW headline queries instead
+            return (set(times) & set(HEADLINE)) - set(parsed.get("queries", {}))
     except (OSError, ValueError):
         pass
     return set()

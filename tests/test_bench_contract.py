@@ -330,20 +330,23 @@ def test_truncation_protect_rotates_the_shed_set():
 
 
 def test_prev_truncated_reads_latest_artifact(tmp_path, monkeypatch):
-    """prev_truncated: measured-but-absent names from the newest
-    BENCH_r*.json; empty when nothing was truncated or no artifact."""
-    times = {"a": 0.1, "b": 0.2, "c": 3.0}
+    """prev_truncated: measured-but-absent HEADLINE names from the
+    newest BENCH_r*.json; empty when nothing was truncated or no
+    artifact; non-headline (--all sweep tail) names never protected."""
+    a, b, c = bench.HEADLINE[:3]
+    times = {a: 0.1, b: 0.2, c: 3.0, "tail_only_query": 0.1}
     monkeypatch.setattr(
         bench.os.path, "dirname", lambda p: str(tmp_path)
     )
     assert bench.prev_truncated(times) == set()  # no artifact yet
     (tmp_path / "BENCH_r09.json").write_text(json.dumps(
-        {"parsed": {"queries": {"a": 0.1, "b": 0.2, "c": 3.0}}}
+        {"parsed": {"queries": {a: 0.1, b: 0.2, c: 3.0}}}
     ))
     assert bench.prev_truncated(times) == set()  # nothing truncated
     (tmp_path / "BENCH_r10.json").write_text(json.dumps(
-        {"parsed": {"queries": {"c": 3.0}, "queries_truncated": 2}}
+        {"parsed": {"queries": {c: 3.0}, "queries_truncated": 2}}
     ))
-    assert bench.prev_truncated(times) == {"a", "b"}  # latest wins
+    # latest artifact wins; the non-headline name is never protected
+    assert bench.prev_truncated(times) == {a, b}
     (tmp_path / "BENCH_r11.json").write_text("not json")
     assert bench.prev_truncated(times) == set()  # unparseable -> r10 behavior
