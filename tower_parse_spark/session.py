@@ -259,6 +259,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (os.path.abspath(sf_dir), name, _table_fingerprint(sf_dir, name))
     df = cache.get(key)
     if df is None:
+        # evict superseded fingerprints of the SAME table first: a
+        # regenerated fixture must not strand the old version's analyzed
+        # plan in a long-lived session (each holds a JVM plan tree)
+        for stale in [k for k in cache if k[:2] == key[:2]]:
+            del cache[stale]
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events":
             df = normalize_event_ts(df)
