@@ -168,3 +168,81 @@ def test_ungrouped_auto_dispatch_no_single_partition_window(spark):
     # the scalable form partitions its window by the value bucket; a bare
     # "Window [...]" with SinglePartition exchange must not appear
     assert "SinglePartition" not in plan
+
+
+def test_global_row_matches_window_rank_asc_and_desc(spark):
+    """with_global_row_scalable ≡ row_number() over a global window, in
+    both directions (desc: NULLS LAST + asc tiebreak, the ORDER BY
+    price DESC, id shape), with ties and NULL order values present."""
+    from pyspark.sql import Window as W
+
+    from tower_parse_spark.operators.pack import with_global_row_scalable
+
+    rows = [
+        (i, None if i % 17 == 0 else float((i * 7) % 23)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, v double").repartition(6)
+    for desc in (False, True):
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        ref = df.withColumn(
+            "r", F.row_number().over(W.orderBy(order, "event_id")) - 1
+        )
+        got = with_global_row_scalable(
+            df, "v", tiebreak_col="event_id", num_buckets=5,
+            index_col="r", descending=desc,
+        )
+        assert sorted((x["event_id"], x["r"]) for x in got.collect()) == sorted(
+            (x["event_id"], x["r"]) for x in ref.collect()
+        ), f"descending={desc}"
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+
+def test_global_row_total_col(spark):
+    """total_col attaches the total row count as a plan literal
+    (per group in grouped mode) — what exact ntile arithmetic needs."""
+    from tower_parse_spark.operators.pack import with_global_row_scalable
+
+    rows = [(i, float(i % 11), i % 3) for i in range(90)]
+    df = spark.createDataFrame(rows, "event_id long, v double, g int")
+    got = with_global_row_scalable(
+        df, "v", tiebreak_col="event_id", num_buckets=4,
+        index_col="r", total_col="n",
+    )
+    assert {x["n"] for x in got.collect()} == {90}
+    grouped = with_global_row_scalable(
+        df, "v", tiebreak_col="event_id", num_buckets=4,
+        group_col="g", index_col="r", total_col="n",
+    )
+    per_g = {(x["g"], x["n"]) for x in grouped.collect()}
+    assert per_g == {(0, 30), (1, 30), (2, 30)}
+
+
+@pytest.mark.parametrize("n_rows,k", [(1, 4), (3, 4), (10, 4), (97, 4), (12, 5), (100, 7)])
+def test_ntile_expr_matches_builtin(spark, n_rows, k):
+    """ntile_expr over the scalable global rank ≡ F.ntile over the
+    single-partition window, across remainder shapes incl. N < k."""
+    from pyspark.sql import Window as W
+
+    from tower_parse_spark.operators.pack import (
+        ntile_expr,
+        with_global_row_scalable,
+    )
+
+    rows = [(i, float((i * 13) % 37)) for i in range(n_rows)]
+    df = spark.createDataFrame(rows, "event_id long, v double")
+    ref = df.select(
+        "event_id",
+        F.ntile(k).over(W.orderBy(F.col("v").desc(), "event_id")).alias("q"),
+    )
+    ranked = with_global_row_scalable(
+        df, "v", tiebreak_col="event_id", num_buckets=3,
+        descending=True, index_col="r", total_col="n",
+    )
+    got = ranked.select(
+        "event_id",
+        ntile_expr(F.col("r") + 1, F.col("n"), k).cast("int").alias("q"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )

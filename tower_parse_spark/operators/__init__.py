@@ -23,7 +23,9 @@ from tower_parse_spark.operators.dedup import (  # noqa: F401
     with_simhash,
 )
 from tower_parse_spark.operators.pack import (  # noqa: F401
+    ntile_expr,
     pack_stats,
+    with_global_row_scalable,
     with_pack_id,
     with_pack_id_scalable,
 )

@@ -86,16 +86,29 @@ def with_pack_id(
 MAX_OFFSET_ENTRIES = 100_000
 
 
-def with_pack_id_scalable(
+def with_global_row_scalable(
     df: DataFrame,
-    pack_length: int,
-    order_col: str = "time",
+    order_col: str,
     tiebreak_col: str | None = None,
     num_buckets: int | None = None,
     reuse: str = "checkpoint",
     group_col: str | None = None,
+    index_col: str = "_grow",
+    total_col: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
-    """Pack assignment without a single-partition window.
+    """Global 0-based row index in (*order_col*, *tiebreak_col*) order
+    WITHOUT a single-partition window — the engine's scalable
+    global-order primitive (global rank / ntile / pack assignment all
+    derive from it).
+
+    ``df.withColumn(index_col, row_number().over(Window.orderBy(...)))``
+    funnels every row through ONE task (Spark prints "Moving all data to
+    a single partition"); this computes the identical index
+    partition-parallel. With *total_col*, also attaches the total row
+    count (per group when grouped) as a plan literal — rank arithmetic
+    like exact ntile needs it (:func:`ntile_expr`) and pass 2 already
+    has it for free.
 
     With *group_col*, the same three-pass value-bucketed indexing runs
     PER GROUP (bounds, counts, and offsets keyed by group) — the fix for
@@ -118,12 +131,13 @@ def with_pack_id_scalable(
        are contiguous in the ordering.
 
     Bucket assignment is a pure function of the row's value, so all
-    passes agree by construction. Equivalent output to
-    :func:`with_pack_id` with ``group_col=None`` — this is the variant
-    that survives 100 TB of single-stream 20 Hz sensor data, where a
-    global window would serialize into one task. Skewed order keys
-    degrade bucket balance, not correctness; raise *num_buckets* or
-    pre-salt if a profile shows it.
+    passes agree by construction. Skewed order keys degrade bucket
+    balance, not correctness; raise *num_buckets* or pre-salt if a
+    profile shows it.
+
+    *descending* reverses the *order_col* direction (NULLS LAST, same as
+    Spark's ``col.desc()``); the tiebreak stays ascending — the shape a
+    ``ORDER BY price DESC, id`` global rank needs.
 
     *reuse* controls how the three passes share the input: "checkpoint"
     (default) materializes it once via localCheckpoint — right when the
@@ -134,9 +148,9 @@ def with_pack_id_scalable(
     spark = df.sparkSession
     if reuse == "checkpoint":
         df = df.localCheckpoint(eager=True)
-    order_exprs = [F.col(order_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
-    )
+    order_exprs = [
+        F.col(order_col).desc() if descending else F.col(order_col)
+    ] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     parts = num_buckets or spark.sparkContext.defaultParallelism
     gcols = [group_col] if group_col else []
 
@@ -144,10 +158,21 @@ def with_pack_id_scalable(
         if not bounds:
             return F.lit(0)
         barr = F.array(*[F.lit(b) for b in bounds])
-        # coalesce: a NULL order value sorts FIRST (bucket 0) — the same
-        # position Spark's window form gives it (asc = NULLS FIRST), and
-        # a non-NULL bucket keeps the driver-side offset sort total
-        # (a NULL _bkt crashed it with a Python TypeError — r6 fixture)
+        # coalesce: a NULL order value sorts FIRST ascending (bucket 0,
+        # asc = NULLS FIRST) and LAST descending (bucket len(bounds),
+        # desc = NULLS LAST) — the positions Spark's window form gives
+        # it — and a non-NULL bucket keeps the driver-side offset sort
+        # total (a NULL _bkt crashed it with a TypeError — r6 fixture).
+        # Descending counts bounds ABOVE the value (sorted-asc bounds,
+        # flipped comparison): max value -> bucket 0, monotone with the
+        # reversed order, ties at a bound stay within one bucket.
+        if descending:
+            return F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc
+                + F.coalesce((F.col(order_col) < b).cast("int"), F.lit(1)),
+            )
         return F.aggregate(
             barr,
             F.lit(0),
@@ -210,21 +235,27 @@ def with_pack_id_scalable(
             g = _NULL if row[group_col] is None else str(row[group_col])
             by_group.setdefault(g, []).append((row["_bkt"], row["count"]))
         offset_entries: list = []
+        total_by_g: dict[str, int] = {}
         for g, items in by_group.items():
             running = 0
             for bkt, n in sorted(items):
                 offset_entries += [f"{g}\x1f{bkt}", running]
                 running += n
+            total_by_g[g] = running
         if len(offset_entries) > 2 * MAX_OFFSET_ENTRIES:
             raise ValueError(
-                f"with_pack_id_scalable grouped mode builds a plan-literal "
-                f"offset map of {len(offset_entries) // 2} (group, bucket) "
-                f"entries — over the {MAX_OFFSET_ENTRIES} driver-plan bound. "
-                f"For high-cardinality groups use with_pack_id (window "
-                f"form): its per-group window needs no driver state at all."
+                f"with_global_row_scalable grouped mode builds a "
+                f"plan-literal offset map of {len(offset_entries) // 2} "
+                f"(group, bucket) entries — over the {MAX_OFFSET_ENTRIES} "
+                f"driver-plan bound. For high-cardinality groups use the "
+                f"plain per-group window (with_pack_id window form): it "
+                f"needs no driver state at all."
             )
         offset_col = F.create_map(*[F.lit(x) for x in offset_entries])
         okey = F.concat_ws("\x1f", gkey_expr, F.col("_bkt").cast("string"))
+        total_expr = F.create_map(
+            *[F.lit(x) for kv in total_by_g.items() for x in kv]
+        )[gkey_expr]
     else:
         offsets: dict[int, int] = {}
         running = 0
@@ -235,16 +266,64 @@ def with_pack_id_scalable(
             *[F.lit(x) for kv in offsets.items() for x in kv]
         )
         okey = F.col("_bkt")
+        total_expr = F.lit(running)
 
     # Pass 3: local row number within the (group, bucket) + frozen offset.
     w_local = W.partitionBy(*gcols, "_bkt").orderBy(*order_exprs)
     global_row = offset_col[okey] + F.row_number().over(w_local) - 1
-    return (
-        bucketed.withColumn("_grow", global_row.cast("long"))
-        .withColumn("pack_id", F.floor(F.col("_grow") / pack_length))
-        .withColumn("pack_seq", F.col("_grow") % pack_length)
-        .drop("_bkt", "_grow")
+    out = bucketed.withColumn(index_col, global_row.cast("long")).drop("_bkt")
+    if total_col is not None:
+        out = out.withColumn(total_col, total_expr.cast("long"))
+    return out
+
+
+def with_pack_id_scalable(
+    df: DataFrame,
+    pack_length: int,
+    order_col: str = "time",
+    tiebreak_col: str | None = None,
+    num_buckets: int | None = None,
+    reuse: str = "checkpoint",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pack assignment without a single-partition window — the pack-shaped
+    view of :func:`with_global_row_scalable` (identical output to
+    :func:`with_pack_id`, partition-parallel; see that primitive for the
+    three-pass mechanics, grouped mode, and the *reuse* trade)."""
+    indexed = with_global_row_scalable(
+        df,
+        order_col,
+        tiebreak_col=tiebreak_col,
+        num_buckets=num_buckets,
+        reuse=reuse,
+        group_col=group_col,
+        index_col="_grow",
     )
+    return (
+        indexed.withColumn("pack_id", F.floor(F.col("_grow") / pack_length))
+        .withColumn("pack_seq", F.col("_grow") % pack_length)
+        .drop("_grow")
+    )
+
+
+def ntile_expr(row_1based: F.Column, total: F.Column, n: int) -> F.Column:
+    """Exact ``ntile(n)`` from a global 1-based rank and the total count —
+    the window-family companion of :func:`with_global_row_scalable`
+    (``ntile(n).over(Window.orderBy(...))`` is the other global
+    single-partition funnel, same fix).
+
+    SQL ntile semantics: the first ``total % n`` buckets get
+    ``total div n + 1`` rows, the rest ``total div n``. Pure long
+    arithmetic on plan columns — no window, no extra pass. The
+    ``greatest(base, 1)`` keeps the unused branch ANSI-safe when
+    ``total < n`` (base = 0; every row then lands in the first branch,
+    one bucket per row, matching ntile)."""
+    base = F.floor(total / n)
+    rem = total % n
+    pivot = rem * (base + F.lit(1))
+    in_big = F.floor((row_1based - 1) / (base + 1)) + 1
+    in_small = rem + F.floor((row_1based - pivot - 1) / F.greatest(base, F.lit(1))) + 1
+    return F.when(row_1based <= pivot, in_big).otherwise(in_small)
 
 
 def pack_stats(df_with_packs: DataFrame, group_col: str | None = None) -> DataFrame:

@@ -445,21 +445,46 @@ ORDER BY l_returnflag, l_linestatus
 def order_gaps_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/ntile window family: per-customer order cadence —
     days since previous order, next order price, first-order flag,
-    spend quartile within the customer's nation-less stream."""
+    spend quartile within the customer's nation-less stream.
+
+    The per-customer windows are partition-parallel, but a naive
+    ``ntile(4).over(Window.orderBy(price DESC, key))`` plans an
+    ``Exchange SinglePartition`` that funnels EVERY orders row through
+    one task (Spark warns "Moving all data to a single partition") — at
+    100x the fixture that one task is the whole job. The quartile is
+    instead exact ntile arithmetic over the three-pass value-bucketed
+    global rank (``with_global_row_scalable`` + ``ntile_expr``,
+    operators/pack.py): same output, no single-partition stage.
+    ``reuse="recompute"`` because the input is a bare column-pruned
+    scan — cheaper to re-read than to materialize."""
+    from tower_parse_spark.operators.pack import (
+        ntile_expr,
+        with_global_row_scalable,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window as W
 
+    ranked = with_global_row_scalable(
+        orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        order_col="o_totalprice",
+        tiebreak_col="o_orderkey",
+        descending=True,
+        reuse="recompute",
+        index_col="_grank",
+        total_col="_gtotal",
+    )
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_all = W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     d = F.col("o_orderdate").cast("date")
     prev_d = F.lag(d).over(w)
-    return orders.select(
+    quartile = ntile_expr(F.col("_grank") + 1, F.col("_gtotal"), 4)
+    return ranked.select(
         "o_orderkey",
         "o_custkey",
         F.datediff(d, prev_d).alias("days_since_prev"),
         F.lead("o_totalprice").over(w).alias("next_price"),
         (F.row_number().over(w) == 1).alias("is_first_order"),
-        F.ntile(4).over(w_all).alias("price_quartile"),
+        quartile.cast("int").alias("price_quartile"),
     ).orderBy("o_orderkey")
 
 
