@@ -74,7 +74,11 @@ def test_no_row_at_a_time_python_anywhere(spark):
     ANN brute-force baseline (broadcast cross join IS the exact scan)
     and the Q22 scalar-threshold shape (one-row broadcast aggregate)."""
     import __spark_entry__ as e
-    from tools.plan_audit import NESTED_LOOP_OK
+    from tools.plan_audit import (
+        NESTED_LOOP_OK,
+        SINGLE_PARTITION_OK,
+        single_partition_funnels,
+    )
 
     for name, fn in e.queries().items():
         plan = plan_of(fn(spark, SF_DIR))
@@ -82,6 +86,34 @@ def test_no_row_at_a_time_python_anywhere(spark):
         assert "CartesianProduct" not in plan, name
         if name not in NESTED_LOOP_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+        if name not in SINGLE_PARTITION_OK:
+            assert not single_partition_funnels(plan), name
+
+
+def test_single_partition_funnel_rule(spark):
+    """The audit blind spot that let order_gaps_quartiles' global ntile
+    pass clean for 11 rounds (VERDICT r11 wrong #2): the funnel detector
+    must go red on the old ntile-over-global-window shape, stay green on
+    the re-planned query, and leave one-row final aggregates (a normal
+    SinglePartition exchange consumer) alone."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import single_partition_funnels
+    from tower_parse_spark.queries.relational_ext import order_gaps_quartiles
+    from tower_parse_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    old_shape = orders.select(
+        "o_orderkey",
+        F.ntile(4)
+        .over(W.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("price_quartile"),
+    )
+    assert any("Window" in h for h in single_partition_funnels(plan_of(old_shape)))
+    assert not single_partition_funnels(plan_of(order_gaps_quartiles(spark, SF_DIR)))
+    one_row = orders.agg(F.sum("o_totalprice").alias("s"))
+    assert not single_partition_funnels(plan_of(one_row))
 
 
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):

@@ -14,7 +14,16 @@ inspects the executed plan string for the scale-relevant signals:
 - ``nested_loop`` / ``cartesian``: BroadcastNestedLoopJoin /
   CartesianProduct — allowed only for the brute-force ANN baseline
   (broadcast cross join IS the exact scan) and the Q22 scalar-threshold
-  shape (cross join against a broadcast one-row aggregate).
+  shape (cross join against a broadcast one-row aggregate);
+- ``single-partition funnel``: an ``Exchange SinglePartition`` feeding a
+  Window (or a global Sort) — the shape Spark itself warns about at
+  execution ("Moving all data to a single partition"): every input row
+  serializes through ONE task, the definition of a 100x scale-killer.
+  The r11 audit passed ``order_gaps_quartiles``'s global ntile for 11
+  rounds because a SinglePartition exchange counted like any other;
+  this rule closes that blind spot. A SinglePartition exchange feeding
+  a final aggregate (one-row / partial->final) is normal and NOT
+  flagged — only Window/global-Sort consumers are funnels.
 
 Prints one summary line per query plus a final verdict; exits non-zero
 if a banned pattern appears outside its allowlist. Writes the full
@@ -49,6 +58,59 @@ NESTED_LOOP_OK = {
 
 #: Arrow-batched Python is the designed path for binary decode only
 ARROW_OK_PREFIX = ("multimodal_",)
+
+#: single-partition Window/Sort funnels allowed by name, with the reason
+#: (same discipline as NESTED_LOOP_OK). Empty today: every global-order
+#: computation routes through with_global_row_scalable instead.
+SINGLE_PARTITION_OK: dict[str, str] = {}
+
+
+def single_partition_funnels(plan: str) -> list[str]:
+    """Lines where an ``Exchange SinglePartition`` feeds a Window or a
+    global Sort (the scale-killer funnel), by tree walk of the executed
+    plan string.
+
+    The consumer of a node is the nearest preceding line with a smaller
+    branch indent. Sorts are transparent (a Window's required child is
+    Sort(global=false) -> Exchange SinglePartition, so the funnel's
+    Window sits one level above the Sort); any other consumer — final
+    HashAggregate over partial results, collect-limit — is a one-row /
+    output-sized exchange, not a funnel, and is left alone. A global
+    orderBy compiles to Exchange rangepartitioning, never
+    SinglePartition, so a flagged global Sort is always internal.
+    """
+    import re
+
+    lines = plan.splitlines()
+
+    def indent(line: str) -> int:
+        m = re.match(r"^([ :]*)(?:\+-|:-)\s", line)
+        return len(m.group(1)) if m else -1
+
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # collect the ancestor chain (nearest lines with smaller indent)
+        cur = indent(line)
+        chain = []
+        for j in range(i - 1, -1, -1):
+            pj = indent(lines[j])
+            if pj < cur:
+                chain.append(lines[j])
+                cur = pj
+                if pj == -1 or len(chain) == 4:
+                    break
+        for anc in chain:
+            if "Window" in anc:
+                hits.append(anc.strip()[:70])
+                break
+            if re.search(r"Sort \[[^\]]*\], true,", anc):
+                hits.append(anc.strip()[:70])
+                break
+            if "Sort" not in anc:
+                break  # non-Sort, non-Window consumer: not a funnel
+    return hits
 
 
 def main() -> int:
@@ -106,6 +168,15 @@ def main() -> int:
             else:
                 notes.append("BNLJ")
                 bad.append((name, "BroadcastNestedLoopJoin"))
+        funnels = single_partition_funnels(plan)
+        if funnels:
+            if name in SINGLE_PARTITION_OK:
+                notes.append("1part:allowed")
+            else:
+                notes.append("SINGLE-PARTITION-FUNNEL")
+                bad.append(
+                    (name, f"Exchange SinglePartition feeds {funnels[0]}")
+                )
         rows.append(
             (
                 name,
@@ -122,10 +193,12 @@ def main() -> int:
                 "# PLAN AUDIT — all registry queries at "
                 f"{os.path.basename(sf_dir)}\n\n"
                 "Automated sweep (tools/plan_audit.py): shuffle counts and\n"
-                "banned-operator scan for every registered query. Allowed\n"
-                "exceptions: the ANN baseline's broadcast cross join, the\n"
-                "Q22 one-row scalar-threshold cross join, and Arrow-batched\n"
-                "Python in the multimodal family.\n\n"
+                "banned-operator scan for every registered query, plus the\n"
+                "single-partition-funnel rule (Exchange SinglePartition\n"
+                "feeding a Window/global Sort). Allowed exceptions: the ANN\n"
+                "baseline's broadcast cross join, the Q22 one-row\n"
+                "scalar-threshold cross join, and Arrow-batched Python in\n"
+                "the multimodal family.\n\n"
                 "| query | exchanges | verdict | notes |\n"
                 "|---|---|---|---|\n"
             )
