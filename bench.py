@@ -250,11 +250,18 @@ def prev_truncated(times: dict[str, float]) -> set[str]:
     this round, so every query gets a driver timing at least every
     other round instead of the same 8 fastest being shed forever.
     Best-effort: no artifact (fresh checkout, local runs) or an
-    unparseable one means nothing is protected — the r10 behavior."""
+    unparseable one means nothing is protected — the r10 behavior.
+    "Latest" = highest parsed round number, NOT lexicographic filename
+    order (zero-padding runs out at r100: 'BENCH_r100.json' sorts
+    before 'BENCH_r11.json')."""
     import glob
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    arts = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     if not arts:
         return set()
     try:

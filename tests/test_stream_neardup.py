@@ -345,9 +345,11 @@ def test_band_gate_sizing_invariant_across_growth(spark, tmp_path):
 
 
 def test_band_gate_cap_disables_gate_not_correctness(spark, tmp_path):
-    """VERDICT r10 #3: when the rebuild sizing exceeds MAX_GATE_BITS the
-    sidecar row is NOT written (warned), later epochs probe ungated via
-    the missing-covering-row rule, and verdicts stay correct."""
+    """VERDICT r10 #3 + ADVICE r11: when the rebuild sizing exceeds
+    MAX_GATE_BITS the epoch warns ONCE and writes an n_bits=0 TOMBSTONE
+    row; later epochs see a covering row (no misattributed gapped-id
+    warning, no per-epoch full-index rebuild), probe ungated, roll
+    n_keys forward on a fresh tombstone, and verdicts stay correct."""
     import warnings
 
     from tower_parse_spark.operators import bloom as B
@@ -361,16 +363,66 @@ def test_band_gate_cap_disables_gate_not_correctness(spark, tmp_path):
             warnings.simplefilter("always")
             ND.process_epoch(b0, 0, idx, ver, band_gate=True)
         assert any("MAX_GATE_BITS" in str(x.message) for x in w)
-        # no sidecar row landed
-        assert ND._read_gate_row(spark, idx, 0) is None
-        # next epoch: gate silently off (no covering row), dup still flags
+        # a tombstone landed: covering row, zero geometry, keys recorded
+        row0 = ND._read_gate_row(spark, idx, 0)
+        assert row0 is not None and int(row0["n_bits"]) == 0
+        assert list(row0["bloom"]) == [] and int(row0["n_keys"]) > 0
+        assert ND.read_gate_bloom(spark, idx, 1) is None  # gate off
+        # next epoch: NO warning of either kind (the disable is recorded,
+        # not re-diagnosed), dup still flags, tombstone rolls forward
         b1 = spark.createDataFrame([(10, T_A)], "doc_id long, text string")
-        ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+        assert not any("MAX_GATE_BITS" in str(x.message) for x in w)
+        assert not any("no covering row" in str(x.message) for x in w)
+        row1 = ND._read_gate_row(spark, idx, 1)
+        assert row1 is not None and int(row1["n_bits"]) == 0
+        assert int(row1["n_keys"]) >= int(row0["n_keys"])
     finally:
         B.MAX_GATE_BITS = orig
     rows = _verdict_rows(spark, ver)
     r10 = [r for r in rows if r[0] == 10]
     assert r10 and r10[0][3] is True  # cross-epoch near-dup still caught
+
+
+def test_band_gate_cap_disables_through_streaming_path(spark, tmp_path):
+    """VERDICT r11 #6: the cap must also disable the gate when epochs
+    arrive through the real Structured Streaming path (foreachBatch ->
+    process_epoch), not only via direct process_epoch calls: the run
+    completes, every sidecar row is a tombstone, the probe stays
+    ungated, and the cross-batch near-dup is still caught."""
+    import warnings
+
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, ckpt = _paths(tmp_path)
+    spool = _spool(
+        tmp_path,
+        [[(1, T_A), (2, T_B)], [(10, T_A)], [(20, T_C)]],
+    )
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            q = ND.stream_minhash_dedup(
+                _stream(spark, spool), idx, ver, ckpt, band_gate=True
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        B.MAX_GATE_BITS = orig
+    bloom_dir = ND._bloom_path(idx)
+    rows = (
+        spark.read.option("basePath", bloom_dir).parquet(bloom_dir).collect()
+    )
+    assert rows and all(int(r["n_bits"]) == 0 for r in rows)
+    assert ND.read_gate_bloom(spark, idx, len(rows)) is None
+    r10 = [r for r in _verdict_rows(spark, ver) if r[0] == 10]
+    assert r10 and r10[0][3] is True
 
 
 def test_band_gate_gapped_batch_ids_warn(spark, tmp_path):

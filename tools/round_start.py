@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -41,7 +42,14 @@ def main() -> int:
     except (ValueError, IndexError):
         out["rotation"] = {"ok": False, "error": rot.stderr[-500:]}
 
-    arts = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    # order by parsed round number, not filename: lexicographic order
+    # breaks at r100 ('BENCH_r100.json' sorts before 'BENCH_r11.json')
+    arts = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)
+        ),
+    )
     if len(arts) < 2:
         out["bench"] = {"skipped": "fewer than two BENCH_r*.json artifacts"}
     else:

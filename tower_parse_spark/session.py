@@ -276,18 +276,24 @@ def _table_fingerprint(sf_dir: str, name: str):
     plain file, a sorted tuple of (entry, mtime_ns, size) for a parquet
     directory. Pure os.stat — no Spark job, no footer reads. Non-local
     or vanished paths fingerprint as None (cache keyed on path alone,
-    the pre-r11 behavior)."""
+    the pre-r11 behavior).
+
+    SHALLOW means top-level scandir only: a change buried inside a
+    partitioned/nested layout that leaves every top-level name, mtime
+    and size untouched would still serve the cached plan. Fine for the
+    driver fixtures (flat single-file tables, regenerated by full
+    rewrite — which bumps the top-level mtime); a nested-layout caller
+    needs a recursive walk or should bypass the cache."""
     path = table_path(sf_dir, name)
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_mtime_ns, st.st_size)
-        return tuple(
-            sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                for e in os.scandir(path)
-            )
-        )
+        entries = []
+        for e in os.scandir(path):
+            est = e.stat()
+            entries.append((e.name, est.st_mtime_ns, est.st_size))
+        return tuple(sorted(entries))
     except OSError:
         return None
 

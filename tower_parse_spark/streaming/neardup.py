@@ -88,7 +88,9 @@ def read_gate_bloom(
     under-coverage disables the gate for this epoch instead;
     :func:`write_gate_bloom`'s rebuild path catches the sidecar up."""
     row = _read_gate_row(spark, index_path, before_batch - 1)
-    if row is None:
+    if row is None or int(row["n_bits"]) == 0:
+        # n_bits=0 is the cap tombstone (write_gate_bloom): the gate is
+        # deliberately disabled past MAX_GATE_BITS — probe ungated.
         return None
     return list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
 
@@ -140,6 +142,15 @@ def write_gate_bloom(
     if prev_gate is not None and prev_n_keys is not None:
         prev_words, n_bits, n_hashes = prev_gate
         n_keys = prev_n_keys + n_new
+        if n_bits == 0:
+            # CAP TOMBSTONE from an earlier epoch: the gate is disabled
+            # and keys only grow, so don't re-count the full index or
+            # re-warn — roll n_keys forward on a fresh tombstone so the
+            # next epoch still finds a covering row (ADVICE r11: the
+            # un-tombstoned disable re-fired the rebuild + two warnings
+            # every subsequent epoch).
+            _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
+            return
         if n_bits >= B.bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
             batch_words = B.bloom_build_words(
                 new_rows, "band_key", n_bits, n_hashes
@@ -158,12 +169,15 @@ def write_gate_bloom(
     if n_bits > B.MAX_GATE_BITS:
         # Driver bound (r11, VERDICT r10 #3): the gate row is a dense
         # DRIVER-side word list — past MAX_GATE_BITS (~7M keys at the
-        # 1% FP target) building it risks driver memory, so the sidecar
-        # row is NOT written. Future epochs find no covering row and
-        # read_gate_bloom returns None — the probe runs UNGATED against
-        # the partition-pruned index: identical verdicts, no pruning.
-        # An index this hot wants a partitioned/sketch filter, not a
-        # plan literal.
+        # 1% FP target) building it risks driver memory, so a TOMBSTONE
+        # row (n_bits=0, empty words) is written instead (r12, ADVICE
+        # r11). Future epochs see a covering row — no misattributed
+        # gapped-id warning, no per-epoch full-index rebuild/count —
+        # and read_gate_bloom returns None for it: the probe runs
+        # UNGATED against the partition-pruned index (identical
+        # verdicts, no pruning). The warning fires ONCE, at this
+        # transition. An index this hot wants a partitioned/sketch
+        # filter, not a plan literal.
         import warnings
 
         warnings.warn(
@@ -173,6 +187,7 @@ def write_gate_bloom(
             "ungated (exact, unpruned)",
             stacklevel=2,
         )
+        _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
         return
     rebuilt = B.bloom_build_words(all_keys, "band_key", n_bits, B.N_HASHES)
     _write_gate_row(
@@ -227,6 +242,7 @@ def stream_minhash_dedup(
     text_col: str = "text",
     threshold: float = 0.5,
     hash_fn: str = "fast",
+    band_gate: bool = False,
 ):
     """Start the streaming near-dup query over *docs_stream* (columns
     *id_col*, *text_col*). Per epoch: probe the index, write verdict
@@ -234,7 +250,9 @@ def stream_minhash_dedup(
     batch) to ``{verdict_path}/batch=N``, and index the survivors under
     ``{index_path}/batch=N`` — both OVERWRITE per epoch, so replays are
     idempotent (:func:`process_epoch`, exposed for direct replay
-    testing). Returns the StreamingQuery (caller stops it)."""
+    testing). *band_gate* threads through to :func:`process_epoch`
+    (default OFF, keeping this query's benched plan). Returns the
+    StreamingQuery (caller stops it)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_epoch(
@@ -246,6 +264,7 @@ def stream_minhash_dedup(
             text_col=text_col,
             threshold=threshold,
             hash_fn=hash_fn,
+            band_gate=band_gate,
         )
 
     return (
@@ -373,6 +392,10 @@ def process_epoch(
         # bookkeeping (n_keys) — not two separate parquet jobs
         row = _read_gate_row(spark, index_path, batch_id - 1)
         if row is not None:
+            # an n_bits=0 CAP TOMBSTONE still counts as a covering row
+            # (no gapped-id warning, no full-index rebuild) but provides
+            # no probe gate; write_gate_bloom sees the tombstone via the
+            # zero-bits tuple and just rolls n_keys forward.
             gate = (
                 list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
             )
@@ -399,7 +422,8 @@ def process_epoch(
         text_col=text_col,
         threshold=threshold,
         hash_fn=hash_fn,
-        band_gate=gate,
+        # a tombstone (n_bits=0) covers the epoch but cannot gate it
+        band_gate=gate if gate is not None and gate[1] > 0 else None,
     )
     verdicts = verdicts.localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(
