@@ -1347,10 +1347,13 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint — the standard "persist the term-frequency table"
     step; without it Catalyst's distinct-pushdown rewrites the df branch
     into a second full scan+explode of the corpus). df is a map-side
-    combinable agg over the materialized tf, vocabulary-sized, and is
-    **broadcast** back — the corpus-sized tf relation is never reshuffled
-    for the join (a token-partitioned window for df would skew on
-    stopword-grade tokens); the final top-k is a WindowGroupLimit per
+    combinable agg over the materialized tf, VOCABULARY-cardinality —
+    which is unbounded at corpus scale (hundreds of millions of
+    distinct tokens at 100 TB), so the join back carries NO broadcast
+    hint (r12 scale sweep; a hard hint was a driver OOM in waiting):
+    AQE broadcasts it while it fits and falls back to a shuffle join —
+    with runtime skew-split for stopword-grade tokens — when it
+    doesn't. The final top-k is a WindowGroupLimit per
     doc_id. N rides in as a broadcast ONE-ROW aggregate cross join (the
     allowlisted Q22/Q11 scalar-threshold shape — Catalyst folds any
     constant-key equi-join into this anyway) — fully lazy, so plan-only
@@ -1366,7 +1369,7 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfrel = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfrel), "token")
+        tf.join(dfrel, "token")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -156,9 +156,12 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: per-part average-quantity threshold (correlated
     aggregate subquery) gating a global sum. The per-part averages are
-    a tiny broadcast relation; the threshold compare uses exact scaled
-    integers (20% of a sum of 2-dp quantities) so the inequality never
-    flips between engines."""
+    PART-cardinality (grows with SF — millions of rows at SF100), so
+    the threshold join carries no broadcast hint: AQE broadcasts it at
+    small SF and falls back to a shuffle join when it outgrows the
+    threshold (r12 scale sweep; a hard hint here was a driver OOM at
+    scale). The compare uses exact scaled integers (20% of a sum of
+    2-dp quantities) so the inequality never flips between engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#2"
@@ -175,7 +178,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sel = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(avgs), F.col("l_partkey") == F.col("t_partkey"))
+        .join(avgs, F.col("l_partkey") == F.col("t_partkey"))
         # l_quantity < 0.2 * avg(qty), in exact integers:
         # q100 < sq100 / (5 * nq)  <=>  q100 * nq * 5 < sq100
         .filter(q100 * F.col("nq") * 5 < F.col("sq100"))
@@ -213,8 +216,15 @@ def q21_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     no co-supplier's line was returned (the original's late-delivery
     blame logic re-keyed to return flags; this schema has no
     commit/receipt dates). Plan: one de-duplicated (order, supplier,
-    any_returned) relation, self-joined per order — semi and anti in
-    one pass over grouped flags, never a correlated per-row probe."""
+    any_returned) relation; the per-order co-supplier stats come from
+    an UNORDERED window over l_orderkey — partition-parallel, no
+    second aggregation, no join. (A prior version broadcast a
+    per-orderkey stats aggregate: ORDERS-cardinality, ~1.5B rows at
+    SF100 — a driver OOM dressed as a broadcast hint; r12 scale
+    sweep.) Semi and anti in one pass over grouped flags, never a
+    correlated per-row probe."""
+    from pyspark.sql import Window as W
+
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
     supp = load_table(spark, sf_dir, "supplier")
@@ -224,15 +234,16 @@ def q21_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max((F.col("l_returnflag") == "R").cast("int")).alias("ret")
         )
     )
-    stats = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("ret").alias("n_ret_supp"),
-    )
+    w_order = W.partitionBy("l_orderkey")
     blamed = (
-        per.filter(F.col("ret") == 1)
-        .join(F.broadcast(stats), "l_orderkey")
-        # multi-supplier order, and this supplier is the ONLY one returned
-        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        per.withColumn("n_supp", F.count(F.lit(1)).over(w_order))
+        .withColumn("n_ret_supp", F.sum("ret").over(w_order))
+        # returned, multi-supplier order, and the ONLY supplier returned
+        .filter(
+            (F.col("ret") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_ret_supp") == 1)
+        )
     )
     return (
         blamed.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
