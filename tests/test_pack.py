@@ -246,3 +246,35 @@ def test_ntile_expr_matches_builtin(spark, n_rows, k):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_global_row_grouped_descending_matches_window(spark):
+    """Grouped + descending together: per-group global index ≡ the
+    per-group window row_number with (v DESC NULLS LAST, id) ordering."""
+    from pyspark.sql import Window as W
+
+    from tower_parse_spark.operators.pack import with_global_row_scalable
+
+    rows = [
+        (i, None if i % 13 == 0 else float((i * 11) % 19), i % 3)
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, v double, g int"
+    ).repartition(5)
+    ref = df.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("g").orderBy(F.col("v").desc(), "event_id")
+        )
+        - 1,
+    )
+    got = with_global_row_scalable(
+        df, "v", tiebreak_col="event_id", num_buckets=4,
+        group_col="g", index_col="r", descending=True, total_col="n",
+    )
+    assert sorted((x["event_id"], x["r"]) for x in got.collect()) == sorted(
+        (x["event_id"], x["r"]) for x in ref.collect()
+    )
+    per_g = {(x["g"], x["n"]) for x in got.collect()}
+    assert per_g == {(0, 50), (1, 50), (2, 50)}
