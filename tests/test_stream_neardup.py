@@ -444,3 +444,33 @@ def test_band_gate_gapped_batch_ids_warn(spark, tmp_path):
         warnings.simplefilter("always")
         ND.process_epoch(b1, 6, idx, ver, band_gate=True)
     assert not any("no covering row" in str(x.message) for x in w)
+
+
+def test_band_gate_tombstone_self_heals_on_raised_cap(spark, tmp_path):
+    """A tombstoned gate re-enables itself when MAX_GATE_BITS is raised
+    between runs (keys never shrink, so that is the only way a
+    tombstone's projected geometry starts fitting): the next epoch
+    rebuilds a real filter from the full index instead of rolling the
+    tombstone forward."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    b0 = spark.createDataFrame([(1, T_A), (2, T_B)], "doc_id long, text string")
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        ND.process_epoch(b0, 0, idx, ver, band_gate=True)
+        assert int(ND._read_gate_row(spark, idx, 0)["n_bits"]) == 0
+    finally:
+        B.MAX_GATE_BITS = orig
+    # cap back at the real value: epoch 1 must rebuild a live gate
+    b1 = spark.createDataFrame([(10, T_C)], "doc_id long, text string")
+    ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+    row1 = ND._read_gate_row(spark, idx, 1)
+    assert row1 is not None and int(row1["n_bits"]) > 0
+    assert ND.read_gate_bloom(spark, idx, 2) is not None
+    # and the re-enabled gate still catches a cross-epoch dup
+    b2 = spark.createDataFrame([(20, T_A)], "doc_id long, text string")
+    ND.process_epoch(b2, 2, idx, ver, band_gate=True)
+    r20 = [r for r in _verdict_rows(spark, ver) if r[0] == 20]
+    assert r20 and r20[0][3] is True

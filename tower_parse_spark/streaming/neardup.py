@@ -148,9 +148,16 @@ def write_gate_bloom(
             # re-warn — roll n_keys forward on a fresh tombstone so the
             # next epoch still finds a covering row (ADVICE r11: the
             # un-tombstoned disable re-fired the rebuild + two warnings
-            # every subsequent epoch).
-            _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
-            return
+            # every subsequent epoch). One exception: if the projected
+            # geometry now FITS (MAX_GATE_BITS was raised between runs
+            # — keys never shrink, so that is the only way), fall
+            # through to the rebuild and the gate self-heals.
+            if (
+                B.bloom_size_for(max(BLOOM_HEADROOM * n_keys, 1), BLOOM_TARGET_FP)
+                > B.MAX_GATE_BITS
+            ):
+                _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
+                return
         if n_bits >= B.bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
             batch_words = B.bloom_build_words(
                 new_rows, "band_key", n_bits, n_hashes
