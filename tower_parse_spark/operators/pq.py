@@ -266,22 +266,24 @@ def with_cell_means(
     One map-side-combined aggregation onto ~IVF_K rows; the output is
     broadcast-sized regardless of corpus size.
 
-    The dim aggregate expressions and the dim-wide mean array each enter
-    the plan via ONE F.expr SQL parse (the lit_matrix lesson): building
-    them element-wise from Column objects cost ~4 py4j round-trips per
-    entry — measured as the dominant share of the residual path's +1.6 s
-    plan-build overhead at dim=64."""
+    ALL dim aggregate expressions enter the plan via ONE F.expr SQL
+    parse — ``array(sum(...), sum(...), ...)`` as a single aggregate
+    column — and the mean division is one ``transform`` over it (the
+    lit_matrix lesson, finished in r12: a first application of it still
+    parsed the dim sums as 64 SEPARATE F.expr calls at ~8 ms each,
+    which profiling showed was ~0.5 s — the dominant remaining share of
+    ann_ivfpq_topk's plan-construction time)."""
     v = vec_colname
-    sums = [
-        F.expr(f"sum(CAST(round({v}[{i}] * 10000) AS BIGINT))").alias(
-            f"_s{i}"
+    sums = F.expr(
+        "array("
+        + ",".join(
+            f"sum(CAST(round({v}[{i}] * 10000) AS BIGINT))"
+            for i in range(dim)
         )
-        for i in range(dim)
-    ]
-    g = assigned.groupBy(cell_col).agg(F.expr("count(1)").alias("_n"), *sums)
-    mean = F.expr(
-        "array(" + ",".join(f"_s{i} / 10000.0D / _n" for i in range(dim)) + ")"
-    )
+        + ")"
+    ).alias("_s")
+    g = assigned.groupBy(cell_col).agg(F.expr("count(1)").alias("_n"), sums)
+    mean = F.expr("transform(_s, s -> s / 10000.0D / _n)")
     return g.select(cell_col, mean.alias(out))
 
 
