@@ -259,7 +259,13 @@ def prev_truncated(times: dict[str, float]) -> set[str]:
 
     here = os.path.dirname(os.path.abspath(__file__))
     arts = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        # keep only parseable names: a stray BENCH_r-something.json must
+        # not crash the sort key (the old lexicographic sort couldn't)
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        ),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not arts:

@@ -43,9 +43,14 @@ def main() -> int:
         out["rotation"] = {"ok": False, "error": rot.stderr[-500:]}
 
     # order by parsed round number, not filename: lexicographic order
-    # breaks at r100 ('BENCH_r100.json' sorts before 'BENCH_r11.json')
+    # breaks at r100 ('BENCH_r100.json' sorts before 'BENCH_r11.json');
+    # unparseable names are dropped rather than crashing the key
     arts = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+            if re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        ),
         key=lambda p: int(
             re.search(r"r(\d+)", os.path.basename(p)).group(1)
         ),

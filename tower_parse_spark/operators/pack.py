@@ -317,7 +317,15 @@ def ntile_expr(row_1based: F.Column, total: F.Column, n: int) -> F.Column:
     arithmetic on plan columns — no window, no extra pass. The
     ``greatest(base, 1)`` keeps the unused branch ANSI-safe when
     ``total < n`` (base = 0; every row then lands in the first branch,
-    one bucket per row, matching ntile)."""
+    one bucket per row, matching ntile).
+
+    Precision: the divisions go through IEEE double, which is exact
+    here while both operands stay below 2^53 — integer quotients of
+    exact doubles round to the exact integer, and non-integer
+    quotients sit ≥ 1/divisor from the nearest integer, far above one
+    ulp for any feasible row count (2^53 ≈ 9·10^15 rows; a 100 TB
+    corpus is ~10^12). Swap to decimal(38,0) division before ever
+    ranking >2^50 rows through this."""
     base = F.floor(total / n)
     rem = total % n
     pivot = rem * (base + F.lit(1))
