@@ -90,7 +90,15 @@ def decode_batches(
 def decode_payloads(df_with_payload: DataFrame, decoder=decode_stub) -> DataFrame:
     """Distributed decode: Arrow-batched Pandas over every partition.
     *decoder* picks the per-payload function — :func:`decode_stub`
-    (hermetic default, exact SQL oracle) or :func:`decode_real`."""
+    (hermetic default, exact SQL oracle) or :func:`decode_real`.
+
+    Memory shape: each Arrow batch materializes
+    ``maxRecordsPerBatch × avg payload bytes`` per task — the engine's
+    session caps the row count at 1024 (session.py) so 1 MB images
+    bound at ~1 GB/batch; a caller-owned session (the driver's plain
+    one) rides Spark's 10k default, safe for the fixture's KB payloads
+    but a real-image deployment must set the cap to
+    ``target_batch_bytes / avg_payload_bytes``."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return decode_batches(it, decoder=decoder)

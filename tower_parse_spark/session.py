@@ -55,6 +55,14 @@ def get_spark(app_name: str = "tower_parse_spark", cpus: str | None = None) -> S
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch ROW cap: Spark's 10k default is a memory hazard on
+        # binary-payload columns (the multimodal family: 10k x 1 MB
+        # images = 10 GB per batch per task at real payloads). 1024
+        # bounds that at ~1 GB while leaving numeric Pandas paths flat
+        # (A/B at sf0.1: multimodal decode/near-dup and the stateful
+        # pack all within noise — SCALE.md r12). Deployments with
+        # larger payloads scale this down with payload size.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         # events.parquet has shipped as TIMESTAMP(NANOS), which the
         # vectorized reader rejects without this conf; load_table's
         # normalize_event_ts rebuilds the canonical timestamp either way.
