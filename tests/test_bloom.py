@@ -209,3 +209,99 @@ def test_bloom_lit_constant_folds_in_optimized_plan(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString().lower()
     assert "from_json" not in plan and "jsontostructs" not in plan, plan
     assert "[1,2,3]" in plan  # the folded array literal, by reference
+
+
+def test_delta_words_match_dense_build(spark):
+    """The distributed delta builder (r13, the partitioned gate's build
+    primitive) must set exactly the bits the driver-side dense build
+    sets — same keys, same geometry, bit-identical words."""
+    hist = _history(spark, 500)
+    dense = B.bloom_build_words(hist, "text_hash", BITS, K)
+    rows = B.bloom_delta_words(hist, "text_hash", BITS, K).collect()
+    rebuilt = [0] * (BITS // 64)
+    for r in rows:
+        rebuilt[int(r["word_idx"])] = int(r["word"])
+    assert rebuilt == dense
+    # sparse by construction: only touched words become rows
+    assert 0 < len(rows) <= min(BITS // 64, 500 * K)
+
+
+def test_delta_words_compose_across_epochs(spark):
+    """Per-epoch deltas bit_or-merged per word == one build over the
+    union — the property that makes the cumulative partitioned filter
+    assemblable from epoch deltas without ever densifying."""
+    a = _history(spark, 200)
+    b = spark.range(300).select(
+        F.md5(F.format_string("b-%d", F.col("id"))).alias("text_hash")
+    )
+    merged = (
+        B.bloom_delta_words(a, "text_hash", BITS, K)
+        .unionByName(B.bloom_delta_words(b, "text_hash", BITS, K))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    dense_union = B.bloom_build_words(
+        a.unionByName(b), "text_hash", BITS, K
+    )
+    rebuilt = [0] * (BITS // 64)
+    for r in merged.collect():
+        rebuilt[int(r["word_idx"])] = int(r["word"])
+    assert rebuilt == dense_union
+
+
+def test_part_gate_filter_matches_literal_gate(spark):
+    """part_gate_filter (join form) must keep EXACTLY the rows the
+    literal might_contain filter keeps — same filter, same geometry —
+    and in particular must never drop a truly-present key (the
+    no-false-negatives contract the probe's correctness rests on)."""
+    hist = _history(spark, 300)
+    dense = B.bloom_build_words(hist, "text_hash", BITS, K)
+    words = B.bloom_delta_words(hist, "text_hash", BITS, K)
+    # half present, half novel
+    batch = hist.limit(150).unionByName(
+        spark.range(400).select(
+            F.md5(F.format_string("novel-%d", F.col("id"))).alias(
+                "text_hash"
+            )
+        )
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    joined = sorted(
+        r["text_hash"]
+        for r in B.part_gate_filter(
+            batch, "text_hash", words, BITS, K
+        ).collect()
+    )
+    literal = sorted(
+        r["text_hash"]
+        for r in batch.filter(
+            B.might_contain(F.col("text_hash"), B.bloom_lit(dense), BITS, K)
+        ).collect()
+    )
+    assert joined == literal
+    present = {r["text_hash"] for r in hist.limit(150).collect()}
+    assert present <= set(joined)
+
+
+def test_part_gate_filter_null_keys_dropped(spark):
+    """NULL keys cannot be band keys; the join form must drop them
+    rather than hash-probing the null (the dense build's isNotNull
+    discipline applied to the probe side)."""
+    hist = _history(spark, 50)
+    words = B.bloom_delta_words(hist, "text_hash", BITS, K)
+    batch = spark.createDataFrame(
+        [(None, 1), ("nothash", 2)], "text_hash string, doc_id long"
+    )
+    out = B.part_gate_filter(batch, "text_hash", words, BITS, K).collect()
+    assert all(r["text_hash"] is not None for r in out)
+
+
+def test_bloom_fp_rate_formula():
+    import math
+
+    assert B.bloom_fp_rate(0, 1 << 20, 5) == 0.0
+    assert B.bloom_fp_rate(10, 0, 5) == 1.0
+    n, m, k = 100_000, 1 << 20, 5
+    expected = (1 - math.exp(-k * n / m)) ** k
+    assert abs(B.bloom_fp_rate(n, m, k) - expected) < 1e-12
+    # saturation: far more keys than bits -> ~1.0 (gate buys nothing)
+    assert B.bloom_fp_rate(10**9, 1 << 10, 5) > 0.99

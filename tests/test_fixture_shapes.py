@@ -135,3 +135,52 @@ def test_load_table_cache_sees_regenerated_fixture(spark, tmp_path):
     assert load_table(spark, d, "region").count() == 7
     # unchanged path still serves the cached plan (same fingerprint)
     assert load_table(spark, d, "region") is load_table(spark, d, "region")
+
+
+def test_load_table_cache_sees_buried_change_in_nested_layout(spark, tmp_path):
+    """VERDICT r12 #6: a PARTITIONED layout can change a buried file
+    while every top-level name/mtime/size stays put (a partition
+    directory's mtime moves only on entry create/delete, not content
+    rewrite), which the r12 shallow fingerprint documented as a
+    stale-plan hole. The fingerprint now auto-deepens when the top
+    level contains directories: the buried rewrite is a cache miss."""
+    import os as _os
+    import time as _time
+
+    from tower_parse_spark.session import _table_fingerprint
+
+    d = str(tmp_path)
+    tbl = f"{d}/region.parquet"
+    spark.range(4).selectExpr(
+        "id as r_regionkey", "cast(id % 2 as int) as part"
+    ).write.partitionBy("part").parquet(tbl)
+    assert load_table(spark, d, "region").count() == 4
+    fp_before = _table_fingerprint(d, "region")
+
+    # rewrite ONE buried file in place: same name, same size, new
+    # mtime; then pin the PARTITION DIR's and table root's stats back
+    # so only the buried file differs (the hole under test)
+    part_dir = f"{tbl}/part=0"
+    root_st = _os.stat(tbl)
+    dir_st = _os.stat(part_dir)
+    buried = next(
+        _os.path.join(part_dir, f)
+        for f in _os.listdir(part_dir)
+        if f.endswith(".parquet")
+    )
+    _time.sleep(0.05)
+    _os.utime(buried)  # content rewrite stand-in: mtime_ns moves
+    _os.utime(part_dir, ns=(dir_st.st_atime_ns, dir_st.st_mtime_ns))
+    _os.utime(tbl, ns=(root_st.st_atime_ns, root_st.st_mtime_ns))
+
+    fp_after = _table_fingerprint(d, "region")
+    assert fp_after != fp_before  # the deep walk sees the buried change
+    # and the SHALLOW form demonstrably would not have (rule non-vacuous)
+    assert _table_fingerprint(d, "region", deep=False) == tuple(
+        e for e in fp_before if "/" not in e[0]
+    )
+    # flat layouts keep the shallow fingerprint bit-identical
+    spark.range(3).toDF("n_nationkey").write.parquet(f"{d}/nation.parquet")
+    assert _table_fingerprint(d, "nation") == _table_fingerprint(
+        d, "nation", deep=False
+    )

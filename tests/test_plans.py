@@ -116,6 +116,40 @@ def test_single_partition_funnel_rule(spark):
     assert not single_partition_funnels(plan_of(one_row))
 
 
+def test_single_partition_funnel_rule_on_executed_aqe_plan(spark):
+    """ADVICE r12 #2: an EXECUTED (AQE-materialized) plan inserts
+    ShuffleQueryStage/AQEShuffleRead wrappers between an Exchange
+    SinglePartition and its Sort/Window consumer; the ancestor walk
+    must treat them as transparent so the detector stays correct on
+    post-execution plan strings, and must still leave a one-row final
+    aggregate (Exchange -> ShuffleQueryStage -> HashAggregate) alone."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from tools.plan_audit import single_partition_funnels
+    from tower_parse_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    funnel = orders.select(
+        "o_orderkey",
+        F.ntile(4)
+        .over(W.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("q"),
+    )
+    funnel.collect()  # materialize so the final plan carries the stages
+    plan = funnel._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan  # the shape under test
+    final = plan.split("== Initial Plan ==")[0]
+    assert "QueryStage" in final  # wrappers actually present
+    assert any("Window" in h for h in single_partition_funnels(final))
+
+    one_row = orders.agg(F.sum("o_totalprice").alias("s"))
+    one_row.collect()
+    agg_plan = one_row._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in agg_plan
+    assert not single_partition_funnels(agg_plan)
+
+
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     """Key-in-path layout (A19) pays off at read time: a filter on the
     partition column prunes directories at planning, not post-scan."""

@@ -474,3 +474,195 @@ def test_band_gate_tombstone_self_heals_on_raised_cap(spark, tmp_path):
     ND.process_epoch(b2, 2, idx, ver, band_gate=True)
     r20 = [r for r in _verdict_rows(spark, ver) if r[0] == 20]
     assert r20 and r20[0][3] is True
+
+
+def test_part_gate_stays_active_past_cap_verdict_identical(spark, tmp_path):
+    """VERDICT r12 #3 done-condition: past MAX_GATE_BITS the gate stays
+    ON as the partitioned (_bloom_part) relation — driven through the
+    REAL streaming path — with verdict- and index-identical output vs
+    an ungated run over the same batches. The cap-transition epoch
+    rebuilds the partitioned filter from the full index; later epochs
+    append batch deltas only; read_part_gate covers every next epoch."""
+    import warnings
+
+    from tower_parse_spark.operators import bloom as B
+
+    batches = [
+        [(1, T_A), (2, T_B)],
+        [(10, T_A + " indeed"), (11, T_C)],           # 10 = hist near-dup
+        [(20, T_C + " also"), (21, "totally novel words appear here")],
+    ]
+    # reference: ungated run, real cap
+    u_idx, u_ver = str(tmp_path / "u_idx"), str(tmp_path / "u_ver")
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        ND.process_epoch(b, i, u_idx, u_ver, band_gate=False)
+
+    idx, ver, ckpt = _paths(tmp_path)
+    spool = _spool(tmp_path, batches)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64  # any real corpus sizes over this
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            q = ND.stream_minhash_dedup(
+                _stream(spark, spool), idx, ver, ckpt, band_gate=True
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        # handover warned ONCE, at the transition epoch
+        caps = [x for x in w if "MAX_GATE_BITS" in str(x.message)]
+        assert len(caps) == 1
+        # the partitioned gate is LIVE for the next epoch: meta covers,
+        # geometry matches, and the literal gate is off
+        assert ND.read_gate_bloom(spark, idx, len(batches)) is None
+        pg = ND.read_part_gate(spark, idx, len(batches))
+        assert pg is not None
+        words, n_bits, n_hashes = pg
+        assert n_bits == B.PART_GATE_BITS and n_hashes == B.PART_GATE_HASHES
+        assert words.count() > 0
+        meta = ND._read_part_meta(spark, idx)
+        assert int(meta["covered_through"]) == len(batches) - 1
+        # coverage is real: every indexed band key tests maybe-present
+        from tower_parse_spark.operators.bloom import part_gate_filter
+
+        indexed = spark.read.option("basePath", idx).parquet(idx)
+        kept = part_gate_filter(indexed, "band_key", words, n_bits, n_hashes)
+        assert kept.count() == indexed.count()  # no false negatives
+    finally:
+        B.MAX_GATE_BITS = orig
+    assert _verdict_rows(spark, ver) == _verdict_rows(spark, u_ver)
+    r10 = [r for r in _verdict_rows(spark, ver) if r[0] == 10]
+    assert r10 and r10[0][3] is True  # the near-dup still flags, gated
+
+
+def test_part_gate_rebuild_epoch_replay_keeps_coverage(spark, tmp_path):
+    """Replaying the cap-transition epoch (whose delta was rebuilt from
+    the FULL index) must re-run the full rebuild, not shrink the delta
+    to batch-only rows — otherwise pre-cap keys silently leave the
+    filter and later probes get false negatives."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    try:
+        # epoch 0 under the REAL cap: literal gate, keys of T_A/T_B
+        b0 = spark.createDataFrame(
+            [(1, T_A), (2, T_B)], "doc_id long, text string"
+        )
+        ND.process_epoch(b0, 0, idx, ver, band_gate=True)
+        row0 = ND._read_gate_row(spark, idx, 0)
+        assert int(row0["n_bits"]) > 0  # literal gate live pre-cap
+        # cap pinned to epoch 0's geometry: epoch 1 brings MORE keys
+        # than epoch 0 held, so the resize must exceed the cap and the
+        # handover happens at epoch 1 — with epoch 0's keys PRE-dating
+        # the partitioned gate (the coverage case under test)
+        B.MAX_GATE_BITS = int(row0["n_bits"])
+        b1 = spark.createDataFrame(
+            [
+                (11, T_C),
+                (12, "completely different sentence number twelve here"),
+                (13, "another unrelated line of text for thirteen okay"),
+                (14, "fresh words keep arriving in epoch one fourteen"),
+                (15, "the last novel document of this bigger batch yes"),
+            ],
+            "doc_id long, text string",
+        )
+        ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+        meta = ND._read_part_meta(spark, idx)
+        assert meta is not None and int(meta["since_batch"]) == 1
+        # REPLAY epoch 1 (crash-recovery path): coverage must survive
+        ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+        words, n_bits, n_hashes = ND.read_part_gate(spark, idx, 2)
+        from tower_parse_spark.operators.bloom import part_gate_filter
+
+        indexed = spark.read.option("basePath", idx).parquet(idx)
+        kept = part_gate_filter(indexed, "band_key", words, n_bits, n_hashes)
+        assert kept.count() == indexed.count()
+        # and a near-dup of the PRE-cap epoch-0 doc still flags
+        b2 = spark.createDataFrame(
+            [(20, T_A + " again")], "doc_id long, text string"
+        )
+        ND.process_epoch(b2, 2, idx, ver, band_gate=True)
+        r20 = [r for r in _verdict_rows(spark, ver) if r[0] == 20]
+        assert r20 and r20[0][3] is True
+    finally:
+        B.MAX_GATE_BITS = orig
+
+
+def test_part_gate_declines_on_fp_saturation_and_geometry_drift(spark, tmp_path):
+    """read_part_gate must hand back None — probe runs ungated, still
+    exact — when the estimated FP is past PART_GATE_MAX_FP (gating
+    would pass nearly everything) or when the PART_GATE_* constants
+    drifted from the geometry the deltas were written at (OR-ing
+    incompatible positions would create false negatives)."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        b0 = spark.createDataFrame([(1, T_A)], "doc_id long, text string")
+        ND.process_epoch(b0, 0, idx, ver, band_gate=True)
+        assert ND.read_part_gate(spark, idx, 1) is not None
+        # FP saturation: claimed key count far past the fixed geometry
+        assert ND.read_part_gate(spark, idx, 1, n_keys=10**12) is None
+        # geometry drift: constants changed since the deltas were cut
+        g_orig = B.PART_GATE_BITS
+        B.PART_GATE_BITS = g_orig * 2
+        try:
+            assert ND.read_part_gate(spark, idx, 1) is None
+        finally:
+            B.PART_GATE_BITS = g_orig
+        # under-coverage: probing two epochs ahead of covered_through
+        assert ND.read_part_gate(spark, idx, 3) is None
+    finally:
+        B.MAX_GATE_BITS = orig
+
+
+def test_write_gate_bloom_recovers_missing_n_keys(spark, tmp_path):
+    """ADVICE r12 #3: a manual caller passing a cap tombstone WITHOUT
+    prev_n_keys must still take the tombstone roll-forward path —
+    n_keys recovered from the sidecar row — not fall through to the
+    full-index rebuild and re-fire the cap warning every epoch."""
+    import warnings
+
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        b0 = spark.createDataFrame(
+            [(1, T_A), (2, T_B)], "doc_id long, text string"
+        )
+        ND.process_epoch(b0, 0, idx, ver, band_gate=True)  # tombstone at 0
+        row0 = ND._read_gate_row(spark, idx, 0)
+        assert int(row0["n_bits"]) == 0
+        # manual epoch-1 gate write: tombstone tuple, NO n_keys
+        b1 = spark.createDataFrame([(10, T_C)], "doc_id long, text string")
+        from tower_parse_spark.operators.dedup import (
+            incremental_minhash_dedup_with_banded,
+        )
+
+        verdicts, banded = incremental_minhash_dedup_with_banded(
+            b1, ND._read_index(spark, idx, 1)
+        )
+        banded.write.mode("overwrite").parquet(f"{idx}/batch=1")
+        written = spark.read.parquet(f"{idx}/batch=1")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ND.write_gate_bloom(
+                spark, idx, 1, written,
+                (list(row0["bloom"]), 0, 0),  # tombstone, n_keys omitted
+                None,
+            )
+        assert not any("MAX_GATE_BITS" in str(x.message) for x in w)
+        row1 = ND._read_gate_row(spark, idx, 1)
+        assert row1 is not None and int(row1["n_bits"]) == 0
+        # n_keys rolled forward: previous count + this epoch's rows
+        assert int(row1["n_keys"]) == int(row0["n_keys"]) + written.count()
+    finally:
+        B.MAX_GATE_BITS = orig

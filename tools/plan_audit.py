@@ -73,7 +73,12 @@ def single_partition_funnels(plan: str) -> list[str]:
     The consumer of a node is the nearest preceding line with a smaller
     branch indent. Sorts are transparent (a Window's required child is
     Sort(global=false) -> Exchange SinglePartition, so the funnel's
-    Window sits one level above the Sort); any other consumer — final
+    Window sits one level above the Sort), and so are the AQE wrappers
+    ``AQEShuffleRead`` / ``ShuffleQueryStage`` / ``*QueryStage`` that an
+    EXECUTED (post-AQE-materialization) plan inserts between an Exchange
+    and its consumer (ADVICE r12 #2: the walk previously broke at the
+    first non-Sort ancestor, so the rule was correct only on
+    pre-execution plan strings); any other consumer — final
     HashAggregate over partial results, collect-limit — is a one-row /
     output-sized exchange, not a funnel, and is left alone. A global
     orderBy compiles to Exchange rangepartitioning, never
@@ -99,7 +104,9 @@ def single_partition_funnels(plan: str) -> list[str]:
             if pj < cur:
                 chain.append(lines[j])
                 cur = pj
-                if pj == -1 or len(chain) == 4:
+                if pj == -1 or len(chain) == 6:
+                    # 6 admits Exchange -> ShuffleQueryStage ->
+                    # AQEShuffleRead -> Sort -> Window with headroom
                     break
         for anc in chain:
             if "Window" in anc:
@@ -108,6 +115,12 @@ def single_partition_funnels(plan: str) -> list[str]:
             if re.search(r"Sort \[[^\]]*\], true,", anc):
                 hits.append(anc.strip()[:70])
                 break
+            if (
+                "AQEShuffleRead" in anc
+                or "ShuffleQueryStage" in anc
+                or "QueryStage" in anc
+            ):
+                continue  # AQE wrapper between Exchange and consumer
             if "Sort" not in anc:
                 break  # non-Sort, non-Window consumer: not a funnel
     return hits

@@ -63,6 +63,37 @@ N_HASHES = 5
 #: owns that trade.
 MAX_GATE_BITS = 1 << 26
 
+#: Fixed geometry of the PARTITIONED gate (r13, VERDICT r12 #3) — the
+#: scale path past MAX_GATE_BITS. The filter lives as (word_idx, word)
+#: ROWS in a parquet sidecar and enters the probe as a JOIN, so neither
+#: the driver nor the plan ever holds the bitset: driver memory is
+#: O(1) and executor state is a columnar scan. The geometry must be
+#: FIXED across epochs (delta rows from different epochs OR together
+#: only if positions agree), so it is a constant, not auto-sized:
+#: 2^30 bits with k=7 holds ~110M keys at ~1% FP and ~1B keys at ~50%
+#: (still correct — no false negatives — just no pruning; the probe
+#: side checks the estimated FP and skips the join work past
+#: PART_GATE_MAX_FP). Dense size would be 16.8M words (~134 MB), but
+#: the sidecar stores only TOUCHED words: <= k x n_keys rows.
+PART_GATE_BITS = 1 << 30
+PART_GATE_HASHES = 7
+
+#: estimated false-positive rate above which a partitioned-gate probe
+#: is wasted work (nearly everything passes): the caller runs ungated
+PART_GATE_MAX_FP = 0.5
+
+
+def bloom_fp_rate(n_keys: int, n_bits: int, n_hashes: int) -> float:
+    """Estimated false-positive rate of an (m=n_bits, k=n_hashes)
+    filter holding *n_keys*: (1 - e^(-kn/m))^k (Bloom 1970)."""
+    import math
+
+    if n_keys <= 0:
+        return 0.0
+    if n_bits <= 0:
+        return 1.0
+    return (1.0 - math.exp(-n_hashes * n_keys / n_bits)) ** n_hashes
+
 
 def bloom_size_for(n_keys: int, target_fp: float = 0.01) -> int:
     """Bits for an *n_keys* filter at *target_fp* false-positive rate:
@@ -273,3 +304,96 @@ def incremental_exact_dedup_bloom(
     maybe = gated.filter(F.col("_maybe")).drop("_maybe")
     survivors = maybe.join(hist, "text_hash", "left_anti")
     return definitely_new.unionByName(survivors)
+
+
+def bloom_delta_words(
+    keys: DataFrame,
+    key_col: str,
+    n_bits: int = PART_GATE_BITS,
+    n_hashes: int = PART_GATE_HASHES,
+) -> DataFrame:
+    """The filter words TOUCHED by every (non-NULL) value of *key_col*,
+    as a DataFrame ``(word_idx: long, word: long)`` — the distributed
+    twin of :func:`bloom_build_words` with NO collect: explode the k
+    probe positions, bit_or per 64-bit word (map-side combinable), and
+    leave the result as rows. Deltas from different epochs at the SAME
+    geometry compose by a further ``groupBy(word_idx).bit_or(word)``;
+    that union IS the cumulative filter, so a partitioned gate never
+    materializes the dense bitset anywhere (VERDICT r12 #3: the dense
+    driver list caps out at MAX_GATE_BITS; rows don't)."""
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    key = F.col(key_col)
+    pos = F.explode(
+        F.array(*_probe_positions(key, n_bits, n_hashes))
+    ).alias("pos")
+    return (
+        keys.filter(key.isNotNull())
+        .select(pos)
+        .select(
+            F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+            _bit_mask(F.col("pos")).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def part_gate_filter(
+    banded: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    n_bits: int = PART_GATE_BITS,
+    n_hashes: int = PART_GATE_HASHES,
+) -> DataFrame:
+    """Rows of *banded* whose *key_col* is maybe-present in the
+    partitioned filter *words* ``(word_idx, word)`` — the JOIN twin of
+    :func:`might_contain`'s literal bit-tests. A key is maybe-present
+    iff ALL k of its probe bits are set; keys failing any test are
+    DEFINITELY absent (no false negatives), so dropping their rows
+    before an index probe is verdict-identical, exactly the literal
+    gate's contract.
+
+    *words* may carry DUPLICATE word_idx rows (per-epoch deltas,
+    un-merged): a probe bit is set in the OR of the deltas iff ANY
+    delta row sets it, so the test is EXISTS-over-rows and the filter
+    never needs densifying — the first cut of this gate pre-merged the
+    deltas with a groupBy(word_idx) per probe, a full filter-sized
+    SHUFFLE every epoch that A/B'd SLOWER than the ungated probe at
+    10M keys (0.76x); this shape keeps the words side shuffle-free.
+
+    Plan shape at scale: the probe side (distinct keys x k position
+    rows, tagged with the seed ordinal so duplicate positions stay
+    countable) is micro-batch-sized by construction, so it BROADCASTS
+    against the words relation — the filter side stays a columnar
+    map-side scan; the passed-position distinct + count shuffles only
+    batch x k rows. The words relation is index-sized but fully
+    distributed (never collected, never a plan literal)."""
+    keys = banded.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*_probe_positions(F.col(key_col), n_bits, n_hashes))
+        ).alias("seed", "pos"),
+    ).select(
+        F.col(key_col),
+        F.col("seed"),
+        F.floor(F.col("pos") / 64).cast("long").alias("word_idx"),
+        _bit_mask(F.col("pos")).alias("mask"),
+    )
+    passed = (
+        words.join(F.broadcast(probes), "word_idx")
+        .filter(F.col("word").bitwiseAND(F.col("mask")) != 0)
+        .select(key_col, "seed")
+        # EXISTS over delta rows: several epochs may set the same bit
+        .distinct()
+    )
+    maybe = (
+        passed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n_set"))
+        # every one of the k seed-tests passed (seeds are distinct by
+        # construction even when two hash to the same bit position)
+        .filter(F.col("_n_set") == n_hashes)
+        .select(key_col)
+    )
+    return banded.join(maybe, key_col, "left_semi")

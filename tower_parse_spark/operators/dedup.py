@@ -335,6 +335,7 @@ def incremental_minhash_dedup_with_banded(
     threshold: float = 0.5,
     hash_fn: str = "fast",
     band_gate: "tuple[DataFrame, int, int] | None" = None,
+    part_gate: "tuple[DataFrame, int, int] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_minhash_dedup` plus the batch's own banded
     relation as a second return. The banding is the expensive half of
@@ -365,7 +366,18 @@ def incremental_minhash_dedup_with_banded(
     constant-folds to ONE ArrayData Literal — ``F.lit(python_list)``
     builds a CreateArray tree with one expression node per element
     (118 s to construct at 200k words, measured), and ``F.lit(numpy)``
-    still pays per-element Py4J conversion (38 s)."""
+    still pays per-element Py4J conversion (38 s).
+
+    *part_gate* (r13, VERDICT r12 #3): the same no-false-negatives
+    pruning contract with the filter as a DISTRIBUTED ``(word_idx,
+    word)`` relation instead of a literal — ``(words DataFrame, n_bits,
+    n_hashes)``, applied by :func:`~tower_parse_spark.operators.bloom.
+    part_gate_filter` (batch keys x k positions BROADCAST against the
+    words scan, so the filter never enters the plan or the driver).
+    This is the gate's scale form past ``MAX_GATE_BITS``; coverage is
+    again the caller's contract (streaming/neardup.py's ``_bloom_part``
+    sidecar). When both gates are given, both prune — each alone is
+    verdict-identical, so their composition is too."""
     if "hash_fn" in index.columns:
         fam_row = index.select("hash_fn").first()
         if fam_row is not None and fam_row["hash_fn"] != hash_fn:
@@ -393,6 +405,13 @@ def incremental_minhash_dedup_with_banded(
         )
         probe_banded = batch_banded.filter(
             might_contain(F.col("band_key"), gate_lit, g_bits, g_hashes)
+        )
+    if part_gate is not None:
+        from tower_parse_spark.operators.bloom import part_gate_filter
+
+        p_words, p_bits, p_hashes = part_gate
+        probe_banded = part_gate_filter(
+            probe_banded, "band_key", p_words, p_bits, p_hashes
         )
     batch = probe_banded.withColumnsRenamed({id_col: "_nid", "mh": "mh1"})
     hist = index.withColumnsRenamed({id_col: "_hid", "mh": "mh2"})

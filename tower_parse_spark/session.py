@@ -279,28 +279,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _table_fingerprint(sf_dir: str, name: str):
-    """Shallow stat fingerprint of a table path: (mtime_ns, size) for a
-    plain file, a sorted tuple of (entry, mtime_ns, size) for a parquet
-    directory. Pure os.stat — no Spark job, no footer reads. Non-local
-    or vanished paths fingerprint as None (cache keyed on path alone,
-    the pre-r11 behavior).
+def _table_fingerprint(sf_dir: str, name: str, deep: bool | None = None):
+    """Stat fingerprint of a table path: (mtime_ns, size) for a plain
+    file, a sorted tuple of (relpath, mtime_ns, size) entries for a
+    parquet directory. Pure os.stat — no Spark job, no footer reads.
+    Non-local or vanished paths fingerprint as None (cache keyed on
+    path alone, the pre-r11 behavior).
 
-    SHALLOW means top-level scandir only: a change buried inside a
-    partitioned/nested layout that leaves every top-level name, mtime
-    and size untouched would still serve the cached plan. Fine for the
-    driver fixtures (flat single-file tables, regenerated by full
-    rewrite — which bumps the top-level mtime); a nested-layout caller
-    needs a recursive walk or should bypass the cache."""
+    Depth (r13, VERDICT r12 #6): *deep=None* (the default) AUTO-deepens
+    — the walk recurses exactly when the top level contains a
+    subdirectory, i.e. a partitioned/nested layout, where a file buried
+    under ``batch=N/`` can change without touching any top-level name,
+    mtime or size (directory mtimes only move on entry create/delete,
+    not on content rewrite — the stale-plan hole the r12 shallow scan
+    documented). Flat layouts — the driver fixtures, single-file
+    tables — keep the one-scandir cost. *deep=True* forces the walk,
+    *deep=False* forces the r12 shallow behavior."""
     path = table_path(sf_dir, name)
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_mtime_ns, st.st_size)
         entries = []
+        dirs: list[tuple[str, str]] = []
         for e in os.scandir(path):
             est = e.stat()
             entries.append((e.name, est.st_mtime_ns, est.st_size))
+            if e.is_dir():
+                dirs.append((e.name, e.path))
+        if dirs and deep is not False:
+            for prefix, d in dirs:
+                for root, _subdirs, files in os.walk(d):
+                    rel_root = os.path.join(
+                        prefix, os.path.relpath(root, d)
+                    ).rstrip("/.")
+                    for fn in files:
+                        fst = os.stat(os.path.join(root, fn))
+                        entries.append(
+                            (
+                                os.path.join(rel_root, fn),
+                                fst.st_mtime_ns,
+                                fst.st_size,
+                            )
+                        )
         return tuple(sorted(entries))
     except OSError:
         return None

@@ -66,6 +66,133 @@ BLOOM_HEADROOM = 2
 #: the gate's false-positive target (bloom.py::bloom_size_for)
 BLOOM_TARGET_FP = 0.01
 
+#: Partitioned-gate sidecar dir (r13, VERDICT r12 #3): the gate past
+#: MAX_GATE_BITS. Same underscore-prefix invisibility rule as _bloom.
+#: Layout: ``batch=N`` delta partitions of (word_idx, word) rows —
+#: the filter words TOUCHED by epoch N's newly indexed band keys at
+#: the FIXED bloom.PART_GATE_* geometry — plus a ``_meta`` one-row
+#: parquet (n_bits, n_hashes, since_batch, covered_through): the delta
+#: at ``since_batch`` was rebuilt from the FULL index through that
+#: epoch, and every epoch in (since_batch, covered_through] contributed
+#: its batch delta, so the union of deltas with batch >= since_batch
+#: covers every index key through covered_through. A probe at epoch N
+#: may gate iff covered_through >= N - 1 (over-coverage — deltas from
+#: the probe's own or later epochs — only adds false positives, never
+#: false negatives, so replayed epochs stay verdict-identical).
+PART_SUBDIR = "_bloom_part"
+
+
+def _part_path(index_path: str) -> str:
+    return f"{index_path}/{PART_SUBDIR}"
+
+
+def _part_meta_path(index_path: str) -> str:
+    # underscore-prefixed, so the delta partition discovery skips it
+    return f"{_part_path(index_path)}/_meta"
+
+
+def _read_part_meta(spark, index_path: str):
+    """The partitioned-gate meta row, or None when no partitioned gate
+    exists (pre-r13 index, or the gate never went over the cap)."""
+    try:
+        rows = spark.read.parquet(_part_meta_path(index_path)).limit(1).collect()
+    except AnalysisException:
+        return None
+    return rows[0] if rows else None
+
+
+def _write_part_meta(
+    spark, index_path: str, since_batch: int, covered_through: int
+) -> None:
+    from tower_parse_spark.operators import bloom as B
+
+    spark.createDataFrame(
+        [(B.PART_GATE_BITS, B.PART_GATE_HASHES, since_batch, covered_through)],
+        "n_bits long, n_hashes long, since_batch long, covered_through long",
+    ).coalesce(1).write.mode("overwrite").parquet(_part_meta_path(index_path))
+
+
+def read_part_gate(
+    spark, index_path: str, before_batch: int, n_keys: int | None = None
+) -> "tuple[DataFrame, int, int] | None":
+    """The partitioned band-key gate valid for a probe at epoch
+    *before_batch*, as ``(words DataFrame (word_idx, word), n_bits,
+    n_hashes)`` for :func:`~tower_parse_spark.operators.bloom.
+    part_gate_filter` — or None when the gate cannot safely cover the
+    probe: no meta row, a geometry drift (PART_GATE_* constants changed
+    since the deltas were written — OR-ing incompatible positions would
+    create false negatives), under-coverage (covered_through <
+    before_batch - 1: keys indexed since would be missing), or an
+    estimated FP past PART_GATE_MAX_FP (*n_keys* given — gating would
+    pass nearly everything, so the join is wasted work). The words
+    relation is the RAW union of delta partitions with batch >=
+    since_batch — deliberately NOT pre-merged per word_idx:
+    part_gate_filter's bit test is EXISTS-over-rows, and the merge was
+    a full filter-sized shuffle per epoch (A/B'd slower than running
+    ungated at 10M keys). Never collected."""
+    from tower_parse_spark.operators import bloom as B
+
+    meta = _read_part_meta(spark, index_path)
+    if meta is None:
+        return None
+    if (
+        int(meta["n_bits"]) != B.PART_GATE_BITS
+        or int(meta["n_hashes"]) != B.PART_GATE_HASHES
+    ):
+        return None
+    if int(meta["covered_through"]) < before_batch - 1:
+        return None
+    if n_keys is not None and (
+        B.bloom_fp_rate(n_keys, B.PART_GATE_BITS, B.PART_GATE_HASHES)
+        > B.PART_GATE_MAX_FP
+    ):
+        return None
+    try:
+        deltas = spark.read.option("basePath", _part_path(index_path)).parquet(
+            _part_path(index_path)
+        )
+    except AnalysisException:
+        return None
+    words = deltas.filter(
+        F.col("batch").cast("long") >= int(meta["since_batch"])
+    ).select("word_idx", "word")
+    return words, B.PART_GATE_BITS, B.PART_GATE_HASHES
+
+
+def _part_gate_update(spark, index_path: str, batch_id: int, new_keys) -> None:
+    """Maintain the partitioned gate for epoch *batch_id*: the fast path
+    writes only this epoch's batch delta (*new_keys* — the just-indexed
+    band keys); the rebuild path (no meta, geometry drift, or a coverage
+    gap — including a REPLAY of the original rebuild epoch, where a
+    batch-only delta would silently drop pre-rebuild keys) derives the
+    delta from the FULL index through *batch_id*. Write order is delta
+    partition, then meta: the meta row's covered_through is the
+    coverage witness, so it must never precede the rows it vouches
+    for. Both writes OVERWRITE — replays are idempotent."""
+    from tower_parse_spark.operators import bloom as B
+
+    meta = _read_part_meta(spark, index_path)
+    fast = (
+        meta is not None
+        and int(meta["n_bits"]) == B.PART_GATE_BITS
+        and int(meta["n_hashes"]) == B.PART_GATE_HASHES
+        and int(meta["covered_through"]) >= batch_id - 1
+        and int(meta["since_batch"]) < batch_id
+    )
+    if fast:
+        delta = B.bloom_delta_words(new_keys, "band_key")
+        since = int(meta["since_batch"])
+    else:
+        all_keys = _read_index(spark, index_path, batch_id + 1).select(
+            "band_key"
+        )
+        delta = B.bloom_delta_words(all_keys, "band_key")
+        since = batch_id
+    delta.write.mode("overwrite").parquet(
+        f"{_part_path(index_path)}/batch={batch_id}"
+    )
+    _write_part_meta(spark, index_path, since, batch_id)
+
 
 def _bloom_path(index_path: str) -> str:
     return f"{index_path}/{BLOOM_SUBDIR}"
@@ -139,6 +266,21 @@ def write_gate_bloom(
 
     new_rows = batch_banded.select("band_key")
     n_new = new_rows.count()
+    if prev_gate is not None and prev_gate[1] == 0 and prev_n_keys is None:
+        # ADVICE r12 #3: a manual caller passing a cap tombstone without
+        # its n_keys would otherwise fall through to the full-index
+        # rebuild and re-fire the cap warning EVERY epoch — the exact
+        # repeated-rebuild behavior the tombstone exists to prevent
+        # (process_epoch always supplies both, so the streaming path
+        # never lands here). Recover n_keys from the sidecar row the
+        # tombstone came from, or count the index ONCE as a last resort.
+        prev_n_keys = _read_gate_n_keys(spark, index_path, batch_id - 1)
+        if prev_n_keys is None:
+            prev_n_keys = (
+                _read_index(spark, index_path, batch_id)
+                .select("band_key")
+                .count()
+            )
     if prev_gate is not None and prev_n_keys is not None:
         prev_words, n_bits, n_hashes = prev_gate
         n_keys = prev_n_keys + n_new
@@ -156,6 +298,10 @@ def write_gate_bloom(
                 B.bloom_size_for(max(BLOOM_HEADROOM * n_keys, 1), BLOOM_TARGET_FP)
                 > B.MAX_GATE_BITS
             ):
+                # keep the PARTITIONED gate covering: this epoch's batch
+                # delta only (no index scan), then the tombstone row —
+                # delta before row, the coverage-induction write order
+                _part_gate_update(spark, index_path, batch_id, new_rows)
                 _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
                 return
         if n_bits >= B.bloom_size_for(max(n_keys, 1), BLOOM_TARGET_FP):
@@ -178,22 +324,27 @@ def write_gate_bloom(
         # DRIVER-side word list — past MAX_GATE_BITS (~7M keys at the
         # 1% FP target) building it risks driver memory, so a TOMBSTONE
         # row (n_bits=0, empty words) is written instead (r12, ADVICE
-        # r11). Future epochs see a covering row — no misattributed
-        # gapped-id warning, no per-epoch full-index rebuild/count —
-        # and read_gate_bloom returns None for it: the probe runs
-        # UNGATED against the partition-pruned index (identical
-        # verdicts, no pruning). The warning fires ONCE, at this
-        # transition. An index this hot wants a partitioned/sketch
-        # filter, not a plan literal.
+        # r11) and the gate HANDS OVER to the partitioned sidecar (r13,
+        # VERDICT r12 #3): the filter continues as (word_idx, word)
+        # ROWS at the fixed PART_GATE_* geometry, joined by the probe —
+        # bounded driver memory at any key count. Future epochs see a
+        # covering tombstone row — no misattributed gapped-id warning,
+        # no per-epoch full-index rebuild/count — and read_gate_bloom
+        # still returns None for it (the LITERAL gate stays off);
+        # process_epoch routes tombstoned probes through read_part_gate
+        # instead. The warning fires ONCE, at this transition. Only
+        # when even the partitioned form is mis-sized (estimated FP
+        # past PART_GATE_MAX_FP) does the probe actually run ungated.
         import warnings
 
         warnings.warn(
-            f"near-dup band gate disabled at batch={batch_id}: "
-            f"{n_keys} indexed band keys need {n_bits} filter bits, "
-            f"over MAX_GATE_BITS={B.MAX_GATE_BITS}; probes continue "
-            "ungated (exact, unpruned)",
+            f"near-dup band gate over MAX_GATE_BITS={B.MAX_GATE_BITS} at "
+            f"batch={batch_id}: {n_keys} indexed band keys need {n_bits} "
+            "literal filter bits; handing over to the partitioned gate "
+            f"({PART_SUBDIR}, fixed {B.PART_GATE_BITS}-bit geometry)",
             stacklevel=2,
         )
+        _part_gate_update(spark, index_path, batch_id, new_rows)
         _write_gate_row(spark, [], index_path, batch_id, 0, 0, n_keys)
         return
     rebuilt = B.bloom_build_words(all_keys, "band_key", n_bits, B.N_HASHES)
@@ -393,7 +544,7 @@ def process_epoch(
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     index = _read_index(spark, index_path, batch_id)
-    gate, gate_n_keys = None, None
+    gate, gate_n_keys, part_gate = None, None, None
     if band_gate:
         # one sidecar read serves both the probe gate and the sizing
         # bookkeeping (n_keys) — not two separate parquet jobs
@@ -407,6 +558,14 @@ def process_epoch(
                 list(row["bloom"]), int(row["n_bits"]), int(row["n_hashes"])
             )
             gate_n_keys = int(row["n_keys"])
+            if gate[1] == 0:
+                # cap tombstone: the literal gate is off, but the
+                # PARTITIONED sidecar keeps the probe gated (r13,
+                # VERDICT r12 #3) — None when coverage/geometry/FP says
+                # gating would be unsafe or useless (probe runs ungated)
+                part_gate = read_part_gate(
+                    spark, index_path, batch_id, n_keys=gate_n_keys
+                )
         elif batch_id > 0 and _read_gate_row(
             spark, index_path, batch_id - 1, latest_any=True
         ) is not None:
@@ -430,7 +589,9 @@ def process_epoch(
         threshold=threshold,
         hash_fn=hash_fn,
         # a tombstone (n_bits=0) covers the epoch but cannot gate it
+        # as a literal; the partitioned relation takes over instead
         band_gate=gate if gate is not None and gate[1] > 0 else None,
+        part_gate=part_gate,
     )
     verdicts = verdicts.localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(
