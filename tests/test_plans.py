@@ -226,3 +226,37 @@ def test_streaming_index_probe_partition_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "batch" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+@pytest.mark.slow
+def test_streaming_epoch_audit_families_clean(spark):
+    """VERDICT r12 #4: the plan audit must sweep the EXECUTED streaming
+    epoch plans (foreachBatch bodies + the stateful pack), not only
+    their batch twins: every family present, every family clean, and
+    Arrow appearing exactly where it is designed to (pack_stateful)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "tools/plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    rows, bad = pa.audit_streaming(spark)
+    assert bad == []
+    by_name = {r[0]: r for r in rows}
+    assert set(by_name) == {
+        "stream:neardup_epoch",
+        "stream:neardup_epoch_part_gated",
+        "stream:curation_epoch",
+        "stream:pack_epoch_writer",
+        "stream:pack_stateful",
+    }
+    assert all(r[2] == "ok" for r in rows)
+    # Arrow exactly where designed: the applyInPandasWithState operator
+    assert "arrow:stateful" in by_name["stream:pack_stateful"][3]
+    assert not any(
+        "arrow" in r[3] for n, r in by_name.items() if n != "stream:pack_stateful"
+    )
+    # the epochs really were captured (localCheckpoint + sink writes)
+    assert int(by_name["stream:neardup_epoch_part_gated"][3].split(",")[0]
+               .removeprefix("plans=")) >= 8

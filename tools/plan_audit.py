@@ -64,6 +64,10 @@ ARROW_OK_PREFIX = ("multimodal_",)
 #: computation routes through with_global_row_scalable instead.
 SINGLE_PARTITION_OK: dict[str, str] = {}
 
+#: streaming families whose plans legitimately carry Arrow Python:
+#: the stateful pack operator IS applyInPandasWithState by design
+ARROW_OK_STREAMING = {"pack_stateful"}
+
 
 def single_partition_funnels(plan: str) -> list[str]:
     """Lines where an ``Exchange SinglePartition`` feeds a Window or a
@@ -124,6 +128,235 @@ def single_partition_funnels(plan: str) -> list[str]:
             if "Sort" not in anc:
                 break  # non-Sort, non-Window consumer: not a funnel
     return hits
+
+
+class _EpochPlanCapture:
+    """Record the physical plan of every DataFrame an epoch body
+    materializes (VERDICT r12 #4: the foreachBatch epoch plans were
+    audited only indirectly via their batch twins). Epochs act at two
+    kinds of sites — eager ``localCheckpoint`` barriers (where the real
+    compute executes; the downstream sinks see only a truncated
+    LogicalRDD lineage) and writer ``save``/``parquet`` calls — so both
+    are shimmed. Plans are captured BEFORE execution, the same
+    pre-execution strings the batch sweep scans (the funnel walk is
+    AQE-wrapper-transparent either way since r13)."""
+
+    def __init__(self):
+        self.plans: list[str] = []
+
+    def _snap(self, df) -> None:
+        try:
+            self.plans.append(
+                df._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:  # noqa: BLE001 - capture must never break the epoch
+            pass
+
+    def __enter__(self):
+        from pyspark.sql import DataFrame as _DF
+        from pyspark.sql.readwriter import DataFrameWriter as _W
+
+        cap = self
+        self._orig = (_DF.localCheckpoint, _W.save, _W.parquet)
+
+        def localCheckpoint(df, *a, **k):
+            cap._snap(df)
+            return cap._orig[0](df, *a, **k)
+
+        def save(w, *a, **k):
+            cap._snap(w._df)
+            return cap._orig[1](w, *a, **k)
+
+        def parquet(w, *a, **k):
+            cap._snap(w._df)
+            return cap._orig[2](w, *a, **k)
+
+        _DF.localCheckpoint = localCheckpoint
+        _W.save = save
+        _W.parquet = parquet
+        return self
+
+    def __exit__(self, *exc):
+        from pyspark.sql import DataFrame as _DF
+        from pyspark.sql.readwriter import DataFrameWriter as _W
+
+        _DF.localCheckpoint, _W.save, _W.parquet = self._orig
+        return False
+
+
+def _scan_plans(name: str, plans: list[str], bad: list) -> tuple:
+    """The batch sweep's banned-operator + funnel rules over an epoch's
+    captured plans; one summary row per family."""
+    joined = "\n===\n".join(plans)
+    exchanges = joined.count("Exchange ")
+    notes = []
+    if "BatchEvalPython" in joined:
+        notes.append("ROW-PYTHON")
+        bad.append((name, "BatchEvalPython (row-at-a-time Python)"))
+    if (
+        "ArrowEvalPython" in joined
+        or "MapInPandas" in joined
+        or "FlatMapGroupsInPandas" in joined
+    ):
+        if name in ARROW_OK_STREAMING:
+            notes.append("arrow:stateful")
+        else:
+            notes.append("ARROW-UNEXPECTED")
+            bad.append((name, "Arrow Python outside the stateful pack"))
+    if "CartesianProduct" in joined:
+        notes.append("CARTESIAN")
+        bad.append((name, "CartesianProduct"))
+    if "BroadcastNestedLoopJoin" in joined:
+        notes.append("BNLJ")
+        bad.append((name, "BroadcastNestedLoopJoin"))
+    funnels = []
+    for p in plans:
+        funnels += single_partition_funnels(p)
+    if funnels:
+        notes.append("SINGLE-PARTITION-FUNNEL")
+        bad.append((name, f"Exchange SinglePartition feeds {funnels[0]}"))
+    return (
+        f"stream:{name}",
+        exchanges,
+        "ok" if not any(n.isupper() for n in notes) else "FLAG",
+        f"plans={len(plans)}," + (",".join(notes) or "-"),
+    )
+
+
+def audit_streaming(spark) -> tuple[list, list]:
+    """One EXECUTED epoch per streaming family (VERDICT r12 #4), plans
+    captured at the epoch's own materialization sites and scanned with
+    the same rules as the batch registry:
+
+    - ``neardup_epoch``: two process_epoch calls, band_gate on — the
+      second probes through the live literal gate;
+    - ``neardup_epoch_part_gated``: the same loop with MAX_GATE_BITS
+      forced tiny, so the handover epoch and a PARTITIONED-gate probe
+      epoch both execute (the r13 plan shape);
+    - ``curation_epoch``: quality gate -> near-dup gate -> three sinks;
+    - ``pack_epoch_writer``: the foreachBatch pack sink body
+      (repartition + dynamic-partition-overwrite write);
+    - ``pack_stateful``: the applyInPandasWithState pack operator's own
+      streaming plan (explainInternal after a real run — the one family
+      whose plan legitimately carries Arrow)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tower_parse_spark.operators import bloom as B
+    from tower_parse_spark.operators.classifier import train_quality_nb
+    from tower_parse_spark.streaming import curation as CU
+    from tower_parse_spark.streaming import neardup as ND
+    from tower_parse_spark.streaming import pipeline as P
+
+    rows, bad = [], []
+    work = tempfile.mkdtemp(prefix="plan_audit_stream_")
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "pack my box with five dozen liquor jugs right now"),
+        (3, "sphinx of black quartz judge my vow and more words"),
+    ]
+
+    def batch(rows_, ids):
+        return spark.createDataFrame(
+            [(i, rows_[j % len(rows_)][1]) for j, i in enumerate(ids)],
+            "doc_id long, text string",
+        )
+
+    # --- near-dup epochs, literal gate ---
+    with _EpochPlanCapture() as cap:
+        ND.process_epoch(
+            batch(docs, [1, 2]), 0, f"{work}/n_idx", f"{work}/n_ver",
+            band_gate=True,
+        )
+        ND.process_epoch(
+            batch(docs, [10, 11]), 1, f"{work}/n_idx", f"{work}/n_ver",
+            band_gate=True,
+        )
+    rows.append(_scan_plans("neardup_epoch", cap.plans, bad))
+
+    # --- near-dup epochs, partitioned gate (forced over the cap) ---
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # the expected handover warning
+            with _EpochPlanCapture() as cap:
+                ND.process_epoch(
+                    batch(docs, [1, 2]), 0, f"{work}/p_idx", f"{work}/p_ver",
+                    band_gate=True,
+                )
+                ND.process_epoch(
+                    batch(docs, [10, 11]), 1, f"{work}/p_idx", f"{work}/p_ver",
+                    band_gate=True,
+                )
+    finally:
+        B.MAX_GATE_BITS = orig
+    rows.append(_scan_plans("neardup_epoch_part_gated", cap.plans, bad))
+
+    # --- curation epoch (quality -> near-dup -> sinks) ---
+    model = train_quality_nb(
+        spark.createDataFrame(
+            [(True, d[1]) for d in docs]
+            + [(False, f"zzspama zzspamb zzspamc {i}") for i in range(3)],
+            "label boolean, text string",
+        )
+    )
+    with _EpochPlanCapture() as cap:
+        CU.curate_epoch(
+            batch(docs, [1, 2, 3]), 0, model, f"{work}/c_idx",
+            f"{work}/c_acc", f"{work}/c_rej", f"{work}/c_ver",
+        )
+    rows.append(_scan_plans("curation_epoch", cap.plans, bad))
+
+    # --- foreachBatch pack sink body ---
+    packed = spark.createDataFrame(
+        [(1, 0, float(i), float(i)) for i in range(8)],
+        "level int, pack_id long, time double, id double",
+    )
+    with _EpochPlanCapture() as cap:
+        P.make_epoch_writer(f"{work}/packs", "level")(packed, 0)
+    rows.append(_scan_plans("pack_epoch_writer", cap.plans, bad))
+
+    # --- stateful pack operator's streaming plan ---
+    from tower_parse_spark.plans.profile import DeviceProfile, GroupSpec
+    from tower_parse_spark.streaming import sources as SRC
+    from tower_parse_spark.streaming.packs import stream_pack
+
+    profile = DeviceProfile(
+        name="audit",
+        regex=[r"^(?P<level>\d+) V= (?P<v>\S+)$"],
+        group=GroupSpec("level", "int"),
+        pack_length=2,
+    )
+    import os as _os
+
+    spool = f"{work}/spool"
+    _os.makedirs(spool)
+    with open(f"{spool}/b0.txt", "w") as f:
+        for i in range(6):
+            f.write(f"01 V= {float(i)}\n")
+    lines = SRC.file_lines(spark, spool)
+    pk = stream_pack(P.parse_stream(lines, profile), 2, "level", ["v"])
+    q = (
+        pk.writeStream.format("memory")
+        .queryName("plan_audit_packs")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        plan = q._jsq.explainInternal(True)
+    finally:
+        q.stop()
+    rows.append(_scan_plans("pack_stateful", [plan], bad))
+
+    shutil.rmtree(work, ignore_errors=True)
+    return rows, bad
 
 
 def main() -> int:
@@ -200,6 +433,17 @@ def main() -> int:
         )
         print(f"{name}: exchanges={exchanges} {','.join(notes) or 'clean'}")
 
+    # streaming-epoch section (VERDICT r12 #4): one executed epoch per
+    # foreachBatch family + the stateful pack plan, same rules
+    try:
+        s_rows, s_bad = audit_streaming(spark)
+    except Exception as exc:  # noqa: BLE001 - the audit must finish
+        s_rows = [("stream:ERROR", None, "ERROR", str(exc)[:80])]
+        s_bad = [("streaming", "epoch audit failed")]
+    for r in s_rows:
+        print(f"{r[0]}: exchanges={r[1]} {r[3]}")
+    bad += s_bad
+
     if md_path:
         with open(md_path, "w") as f:
             f.write(
@@ -208,14 +452,28 @@ def main() -> int:
                 "Automated sweep (tools/plan_audit.py): shuffle counts and\n"
                 "banned-operator scan for every registered query, plus the\n"
                 "single-partition-funnel rule (Exchange SinglePartition\n"
-                "feeding a Window/global Sort). Allowed exceptions: the ANN\n"
-                "baseline's broadcast cross join, the Q22 one-row\n"
-                "scalar-threshold cross join, and Arrow-batched Python in\n"
-                "the multimodal family.\n\n"
+                "feeding a Window/global Sort, AQE wrappers transparent).\n"
+                "Allowed exceptions: the ANN baseline's broadcast cross\n"
+                "join, the Q22 one-row scalar-threshold cross join, and\n"
+                "Arrow-batched Python in the multimodal family.\n\n"
                 "| query | exchanges | verdict | notes |\n"
                 "|---|---|---|---|\n"
             )
             for r in rows:
+                f.write("| " + " | ".join(str(x) for x in r) + " |\n")
+            f.write(
+                "\n## Streaming-epoch plans (r13, VERDICT r12 #4)\n\n"
+                "One EXECUTED epoch per streaming family — plans captured\n"
+                "at the epoch's own localCheckpoint barriers and sink\n"
+                "writes (where foreachBatch bodies actually compute), plus\n"
+                "the applyInPandasWithState pack operator's streaming\n"
+                "plan — scanned with the same banned-operator + funnel\n"
+                "rules. Arrow is expected ONLY in pack_stateful (that\n"
+                "operator IS the designed Arrow path).\n\n"
+                "| family | exchanges (all captured plans) | verdict |"
+                " notes |\n|---|---|---|---|\n"
+            )
+            for r in s_rows:
                 f.write("| " + " | ".join(str(x) for x in r) + " |\n")
     if bad:
         print(f"\nFLAGGED: {bad}")
