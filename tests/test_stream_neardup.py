@@ -666,3 +666,77 @@ def test_write_gate_bloom_recovers_missing_n_keys(spark, tmp_path):
         assert int(row1["n_keys"]) == int(row0["n_keys"]) + written.count()
     finally:
         B.MAX_GATE_BITS = orig
+
+
+def test_compact_part_gate_preserves_probes(spark, tmp_path):
+    """Gate compaction (r13): merging the delta partitions per word
+    must leave every later probe's gate decision identical — same
+    maybe-present set over the full indexed key population — while
+    collapsing the sidecar to one partition. Replaying a merged epoch
+    afterwards stays harmless (its rewritten batch delta is a subset
+    of the merged row)."""
+    from tower_parse_spark.operators import bloom as B
+    from tower_parse_spark.operators.bloom import part_gate_filter
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        batches = [
+            [(1, T_A), (2, T_B)],
+            [(11, T_C)],
+            [(12, "a wholly different set of words for epoch two")],
+        ]
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        gate_before = ND.read_part_gate(spark, idx, 3)
+        assert gate_before is not None
+        indexed = spark.read.option("basePath", idx).parquet(idx).select(
+            "band_key", "doc_id"
+        )
+        probe = indexed.unionByName(
+            spark.createDataFrame(
+                [(f"novel:{i}:xx", 900 + i) for i in range(50)],
+                "band_key string, doc_id long",
+            )
+        ).localCheckpoint(eager=True)
+
+        def maybe_set(gate):
+            words, nb, nh = gate
+            return {
+                r["band_key"]
+                for r in part_gate_filter(
+                    probe, "band_key", words, nb, nh
+                ).collect()
+            }
+
+        before = maybe_set(gate_before)
+        res = ND.compact_part_gate(spark, idx, 2)
+        assert res["n_partitions_removed"] == 3
+        part_dirs = [
+            d
+            for d in os.listdir(ND._part_path(idx))
+            if d.startswith("batch=")
+        ]
+        assert part_dirs == ["batch=0"]  # one consolidated partition
+        gate_after = ND.read_part_gate(spark, idx, 3)
+        assert gate_after is not None
+        assert maybe_set(gate_after) == before
+        # every indexed key still maybe-present (no false negatives)
+        assert {r["band_key"] for r in indexed.collect()} <= before
+        # meta untouched; a replayed merged epoch keeps coverage
+        meta = ND._read_part_meta(spark, idx)
+        assert int(meta["covered_through"]) == 2
+        b1 = spark.createDataFrame(batches[1], "doc_id long, text string")
+        ND.process_epoch(b1, 1, idx, ver, band_gate=True)
+        assert maybe_set(ND.read_part_gate(spark, idx, 3)) == before
+        # and a near-dup of a PRE-compaction doc still flags
+        b3 = spark.createDataFrame(
+            [(30, T_A + " once more")], "doc_id long, text string"
+        )
+        ND.process_epoch(b3, 3, idx, ver, band_gate=True)
+        r30 = [r for r in _verdict_rows(spark, ver) if r[0] == 30]
+        assert r30 and r30[0][3] is True
+    finally:
+        B.MAX_GATE_BITS = orig

@@ -182,16 +182,27 @@ def _part_gate_update(spark, index_path: str, batch_id: int, new_keys) -> None:
     if fast:
         delta = B.bloom_delta_words(new_keys, "band_key")
         since = int(meta["since_batch"])
+        # a REPLAYED epoch must not regress the coverage witness: later
+        # epochs' deltas are already on disk and stay valid
+        covered = max(int(meta["covered_through"]), batch_id)
     else:
         all_keys = _read_index(spark, index_path, batch_id + 1).select(
             "band_key"
         )
         delta = B.bloom_delta_words(all_keys, "band_key")
         since = batch_id
+        # deliberately NOT max(covered_through, batch_id) here: this
+        # write OVERWRITES batch=since — after a compaction merged later
+        # epochs' deltas INTO that partition, claiming the old witness
+        # would vouch for rows this rebuild just destroyed (false
+        # negatives). Conservative batch_id means a contract-violating
+        # manual replay leaves the gate safely DISABLED for later
+        # probes until coverage rebuilds forward, never wrong.
+        covered = batch_id
     delta.write.mode("overwrite").parquet(
         f"{_part_path(index_path)}/batch={batch_id}"
     )
-    _write_part_meta(spark, index_path, since, batch_id)
+    _write_part_meta(spark, index_path, since, covered)
 
 
 def _bloom_path(index_path: str) -> str:
@@ -505,6 +516,76 @@ def compact_minhash_index(
             f"compact_minhash_index: rename {staging} -> {target} failed"
         )
     return {"n_rows": n_rows, "n_partitions_removed": removed}
+
+
+def compact_part_gate(
+    spark,
+    index_path: str,
+    through_batch: int,
+    files: int = 1,
+) -> dict:
+    """Small-file maintenance for the partitioned gate: merge the
+    ``_bloom_part`` delta partitions ``since_batch..through_batch`` into
+    ONE consolidated delta at ``batch=since_batch`` — per word, the
+    bit_or of every merged row. This is the ONLY place the filter-sized
+    ``groupBy(word_idx)`` shuffle belongs: paying it once per
+    maintenance window caps the probe's per-epoch delta scan at
+    ~m/64 rows forever, where the un-compacted sidecar grows by
+    k x batch keys per epoch unboundedly (the compact_minhash_index
+    rationale applied to the gate).
+
+    Probe-identity: a probe bit is set iff ANY delta row sets it, and
+    bit_or preserves exactly the union of set bits over the merged
+    range, so every probe at epoch N > through_batch sees an identical
+    gate. Partitions BELOW since_batch (pre-geometry-drift leftovers
+    the probe already excludes) are deleted, not merged. The meta row
+    is untouched — since_batch/covered_through still describe the
+    compacted layout. Run between epochs with *through_batch* strictly
+    below the next epoch id, same contract as compact_minhash_index;
+    a replayed epoch in the merged range simply rewrites its (now
+    redundant — the merged row is a superset, false-positive-only)
+    batch delta. No-op when no partitioned gate exists.
+
+    Returns {"n_words", "n_partitions_removed"}."""
+    meta = _read_part_meta(spark, index_path)
+    if meta is None:
+        return {"n_words": 0, "n_partitions_removed": 0}
+    since = int(meta["since_batch"])
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(_part_path(index_path))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    staging = HPath(root, "_compact_staging")
+    merged = (
+        spark.read.option("basePath", _part_path(index_path))
+        .parquet(_part_path(index_path))
+        .filter(
+            (F.col("batch").cast("long") >= since)
+            & (F.col("batch").cast("long") <= through_batch)
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    merged.coalesce(files).write.mode("overwrite").parquet(str(staging))
+    n_words = spark.read.parquet(str(staging)).count()
+    removed = 0
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        b = name.split("=", 1)[1]
+        if b.isdigit() and int(b) <= through_batch:
+            fs.delete(status.getPath(), True)
+            removed += 1
+    target = HPath(root, f"batch={since}")
+    if not fs.rename(staging, target):
+        raise IOError(
+            f"compact_part_gate: rename {staging} -> {target} failed"
+        )
+    return {"n_words": n_words, "n_partitions_removed": removed}
 
 
 def process_epoch(
