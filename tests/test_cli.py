@@ -121,3 +121,55 @@ def test_curate_requires_model(spark, tmp_path):
 
     with pytest.raises(SystemExit, match="--model"):
         start_curate(spark, str(tmp_path), None, str(tmp_path / "o"))
+
+
+def test_compact_index_mode_end_to_end(spark, tmp_path, capsys):
+    """--compact-index (r13): folds the signature index's batch
+    partitions AND the partitioned-gate sidecar in one maintenance
+    call, defaulting through-batch to the highest batch present; the
+    compacted index still answers probes and the gate still covers."""
+    import json as _json
+    import os as _os
+
+    from tower_parse_spark.__main__ import run_compact_index
+    from tower_parse_spark.operators import bloom as B
+    from tower_parse_spark.streaming import neardup as ND
+
+    idx = str(tmp_path / "idx")
+    ver = str(tmp_path / "ver")
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64  # force the partitioned gate so both compact
+    try:
+        texts = [
+            "the quick brown fox jumps over the lazy dog today",
+            "pack my box with five dozen liquor jugs right now",
+            "sphinx of black quartz judge my vow and more words",
+        ]
+        for i, t in enumerate(texts):
+            b = spark.createDataFrame([(i + 1, t)], "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        assert run_compact_index(spark, idx, None) == 0
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert out[0]["through_batch"] == 2
+        assert out[0]["index"]["n_partitions_removed"] == 3
+        assert out[1]["part_gate"]["n_partitions_removed"] == 3
+        assert [
+            d
+            for d in _os.listdir(idx)
+            if d.startswith("batch=")
+        ] == ["batch=0"]
+        # the loop continues on the compacted layout: a near-dup of a
+        # pre-compaction doc still flags through the still-live gate
+        assert ND.read_part_gate(spark, idx, 3) is not None
+        b3 = spark.createDataFrame(
+            [(30, texts[0] + " once more")], "doc_id long, text string"
+        )
+        ND.process_epoch(b3, 3, idx, ver, band_gate=True)
+        rows = spark.read.option("basePath", ver).parquet(ver)
+        r30 = rows.filter("doc_id = 30").collect()
+        assert r30 and r30[0]["is_dup"]
+    finally:
+        B.MAX_GATE_BITS = orig

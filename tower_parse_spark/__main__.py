@@ -56,6 +56,21 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="DIR",
         help="stream-curate a jsonl document spool directory",
     )
+    mode.add_argument(
+        "--compact-index",
+        metavar="DIR",
+        help="compact a near-dup signature index (merge batch "
+        "partitions and the partitioned-gate sidecar); run with the "
+        "stream STOPPED or --through-batch strictly below the next "
+        "epoch id",
+    )
+    p.add_argument(
+        "--through-batch",
+        type=int,
+        default=None,
+        help="highest batch id to fold into the compacted partition "
+        "(default: the highest batch present in the index)",
+    )
     p.add_argument(
         "--model",
         help="quality-model artifact path (save_quality_model) for --curate",
@@ -144,6 +159,36 @@ def start_curate(
     )
 
 
+def run_compact_index(spark, index_path: str, through_batch: int | None) -> int:
+    """The --compact-index maintenance mode: fold the signature index's
+    ``batch=N`` partitions AND its partitioned-gate ``_bloom_part``
+    sidecar (when one exists) through *through_batch* — default the
+    highest batch present, which is only safe with the stream stopped
+    (the compact_minhash_index contract: through_batch must stay
+    strictly below the next epoch id, or the current epoch's replay
+    could merge rows it is about to overwrite). Prints one JSON line
+    per compaction so operators can log the row/partition deltas."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from tower_parse_spark.streaming import neardup as ND
+
+    if through_batch is None:
+        batches = (
+            spark.read.option("basePath", index_path)
+            .parquet(index_path)
+            .select(F.max(F.col("batch").cast("long")).alias("m"))
+            .collect()
+        )
+        through_batch = int(batches[0]["m"]) if batches and batches[0]["m"] is not None else 0
+    idx = ND.compact_minhash_index(spark, index_path, through_batch)
+    print(json.dumps({"index": idx, "through_batch": through_batch}))
+    gate = ND.compact_part_gate(spark, index_path, through_batch)
+    print(json.dumps({"part_gate": gate, "through_batch": through_batch}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from tower_parse_spark.session import get_spark
@@ -176,6 +221,10 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df.show(args.limit, truncate=False)
         return 0
+    if args.compact_index is not None:
+        return run_compact_index(
+            spark, args.compact_index, args.through_batch
+        )
     if args.curate:
         q = start_curate(
             spark, args.curate, args.model, args.out, args.lm_model
