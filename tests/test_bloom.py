@@ -335,3 +335,42 @@ def test_part_gate_geometry_headroom_2e34(spark):
     assert present <= kept  # no false negatives at the wide geometry
     # at 100 keys in 2^34 bits, FP ~ 0: novel keys should all be pruned
     assert len(kept - present) == 0
+
+
+def test_exact_dedup_part_gate_verdict_identical(spark):
+    """r13: a PREBUILT partitioned filter over the history hashes keeps
+    the exact-dedup fast path gated past MAX_GATE_BITS instead of
+    degrading to the plain anti-join — and the output row set must be
+    exactly the plain path's, across true dups, in-batch dups, and
+    novel rows."""
+    from tower_parse_spark.operators.dedup import incremental_exact_dedup
+
+    hist_docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("history doc %d body", F.col("id")).alias("text"),
+    )
+    history = hist_docs.select(
+        F.md5(F.col("text")).alias("text_hash")
+    ).distinct()
+    words = B.bloom_delta_words(history, "text_hash", BITS, K)
+    batch = spark.createDataFrame(
+        [
+            (1000, "history doc 7 body"),   # true history dup
+            (1001, "brand new document a"),
+            (1002, "brand new document a"), # in-batch dup of 1001
+            (1003, "brand new document b"),
+        ],
+        "doc_id long, text string",
+    )
+    gated = B.incremental_exact_dedup_bloom(
+        batch, history, part_gate=(words, BITS, K)
+    )
+    plain = incremental_exact_dedup(batch, history)
+    key = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["text"]) for r in df.collect()
+    )
+    assert key(gated) == key(plain)
+    assert [d for d, _ in key(gated)] == [1001, 1003]
+    # and the plan never held the filter: no from_json literal gate
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "from_json" not in plan

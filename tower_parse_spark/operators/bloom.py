@@ -243,6 +243,7 @@ def incremental_exact_dedup_bloom(
     n_hashes: int = N_HASHES,
     history_count: int | None = None,
     target_fp: float = 0.01,
+    part_gate: "tuple[DataFrame, int, int] | None" = None,
 ) -> DataFrame:
     """Verdict-identical fast path for
     :func:`tower_parse_spark.operators.dedup.incremental_exact_dedup`:
@@ -266,10 +267,24 @@ def incremental_exact_dedup_bloom(
     anti-join (:func:`~tower_parse_spark.operators.dedup.
     incremental_exact_dedup`) — identical output, no driver-side
     bitset. An explicit *n_bits* bypasses the cap (the caller owns the
-    driver/plan cost)."""
+    driver/plan cost).
+
+    *part_gate* (r13, the streaming near-dup gate's scale form applied
+    to the exact path): a PREBUILT partitioned filter over the history
+    hashes as ``(words DataFrame (word_idx, word), n_bits, n_hashes)``
+    — e.g. maintained at compaction time with
+    :func:`bloom_delta_words`, never rebuilt per call and never on the
+    driver. When given, it replaces both the literal gate and the
+    over-cap plain-anti-join fallback: batch keys are pruned by
+    :func:`part_gate_filter` (no false negatives, so verdict-identical
+    — pytest-pinned) and only maybe-present rows pay the exact
+    anti-join. The per-call build sizing logic is deliberately NOT
+    applied to this path: building a partitioned filter per call costs
+    a groupBy shuffle comparable to the anti-join it would save — the
+    partitioned form only pays off persisted (see SCALE.md r13)."""
     from pyspark.sql import Window as W
 
-    if n_bits is None:
+    if part_gate is None and n_bits is None:
         auto_bits = (
             bloom_size_for(history_count, target_fp)
             if history_count is not None
@@ -292,6 +307,16 @@ def incremental_exact_dedup_bloom(
     hist = history.select(
         F.col(history_hash_col).alias("text_hash")
     ).distinct()
+    if part_gate is not None:
+        p_words, p_bits, p_hashes = part_gate
+        maybe = part_gate_filter(
+            in_batch, "text_hash", p_words, p_bits, p_hashes
+        )
+        definitely_new = in_batch.join(
+            maybe.select("text_hash"), "text_hash", "left_anti"
+        )
+        survivors = maybe.join(hist, "text_hash", "left_anti")
+        return definitely_new.unionByName(survivors)
     # the filter rides the plan as one folded literal (bloom_lit) — a
     # crossJoined one-row bloom column would be COPIED into every batch
     # row by UnsafeRow materialization (r10)
