@@ -182,6 +182,7 @@ def compact_line(
     spread_pct: dict[str, float] | None = None,
     cal: float | None = None,
     protect: set[str] | None = None,
+    cal_end: float | None = None,
 ) -> str:
     """The driver-contract line: {"metric","value","unit","queries","sf"}
     plus ``sp`` — per-query run-to-run spread as an INTEGER-percent array
@@ -232,6 +233,10 @@ def compact_line(
         # machine-speed scalar (r9): ~12 bytes, included BEFORE the
         # truncation loop so the budget accounts for it
         compact["cal"] = cal
+    if cal_end is not None:
+        # end-of-run re-probe (r13): within-run drift witness — a large
+        # cal->cal2 gap marks this artifact as drift-contaminated
+        compact["cal2"] = cal_end
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
@@ -330,6 +335,8 @@ def main() -> int:
     except Exception:
         cal = None  # never let the probe break the perf record
 
+    cal_end = None  # re-probed AFTER the timing loop (see below)
+
     import gc
     import traceback
 
@@ -370,6 +377,20 @@ def main() -> int:
         runs[name] = [round(s, 3) for s in samples]
         spread_pct[name] = round(100.0 * (max(samples) - best) / best, 1)
 
+    # END-of-run machine-speed probe (r13): a same-code pair measured
+    # 12 cal-adjusted flags purely from memory-reclaim drift DURING the
+    # slower run (cal 0.830 vs 0.924 between runs; reclaim stalls hit
+    # short shuffle-bound queries harder than the compute-bound probe,
+    # so the single start-of-run cal under-corrects). cal_end makes
+    # within-run drift measurable: a large cal->cal_end gap marks the
+    # artifact itself as drift-contaminated, so round_start can
+    # adjudicate "unstable machine" from the record instead of burning
+    # a standalone re-time on every flagged query.
+    try:
+        cal_end = calibrate(spark)
+    except Exception:
+        cal_end = None
+
     total = round(sum(times.values()), 3)
     spreads = sorted(spread_pct.values())
     noise_median = spreads[len(spreads) // 2] if spreads else 0.0
@@ -390,10 +411,17 @@ def main() -> int:
     }
     if cal is not None:
         enriched["cal"] = cal
+    if cal_end is not None:
+        enriched["cal_end"] = cal_end
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
-    print(compact_line(times, total, sf, spread_pct, cal, prev_truncated(times)))
+    print(
+        compact_line(
+            times, total, sf, spread_pct, cal, prev_truncated(times),
+            cal_end=cal_end,
+        )
+    )
     return 0
 
 

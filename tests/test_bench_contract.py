@@ -350,3 +350,42 @@ def test_prev_truncated_reads_latest_artifact(tmp_path, monkeypatch):
     assert bench.prev_truncated(times) == {a, b}
     (tmp_path / "BENCH_r11.json").write_text("not json")
     assert bench.prev_truncated(times) == set()  # unparseable -> r10 behavior
+
+
+def test_bench_regress_reports_within_run_drift(tmp_path):
+    """r13: an artifact whose end-of-run cal re-probe (cal2) diverges
+    >15% from its start-of-run cal is marked machine_unstable in the
+    comparison output — the witness for reclaim-stall runs whose
+    per-query flags are drift, not plan changes. Stable pairs carry no
+    marker, and the marker never auto-dismisses flags (exit code
+    unchanged)."""
+    import subprocess
+    import sys
+
+    def artifact(path, sec, cal, cal2):
+        times = {"some_query_name_x": sec}
+        line = bench.compact_line(
+            times, sec, 0.1, {"some_query_name_x": 2.0}, cal, cal_end=cal2
+        )
+        path.write_text(json.dumps({"n": 8, "parsed": json.loads(line)}))
+
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    artifact(old, 1.0, 0.80, 0.81)   # stable run
+    artifact(new, 1.6, 0.80, 0.99)   # 24% within-run drift + a flag
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert [u["artifact"] for u in out["machine_unstable"]] == ["new"]
+    assert out["machine_unstable"][0]["drift_pct"] > 15
+    assert proc.returncode == 1  # the marker informs, it does not waive
+    # stable pair: no marker
+    artifact(new, 1.0, 0.80, 0.84)
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "machine_unstable" not in out
+    assert proc.returncode == 0

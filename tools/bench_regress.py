@@ -163,6 +163,26 @@ def main() -> int:
             out["total_ratio_cal_adj"] = round(
                 total_new / total_old / cal_ratio, 3
             )
+    # within-run drift witness (r13): bench.py re-probes cal at the END
+    # of the run ("cal2"/"cal_end"). A start->end gap over 15% means the
+    # machine's speed CHANGED DURING that run (memory-reclaim stalls in
+    # a same-code r13 pair produced 12 cal-adjusted flags this way —
+    # the single start-of-run cal under-corrects non-uniform drift), so
+    # per-query flags from such a pair carry an explicit instability
+    # marker for the round_start adjudication instead of demanding a
+    # standalone re-time each. Flags still gate the exit code — the
+    # marker informs the adjudication, it does not auto-dismiss.
+    unstable = []
+    for label, art in (("old", old), ("new", new)):
+        c0 = art.get("cal")
+        c1 = art.get("cal2", art.get("cal_end"))
+        if c0 and c1 and abs(c1 - c0) / c0 > 0.15:
+            unstable.append(
+                {"artifact": label, "cal": c0, "cal_end": c1,
+                 "drift_pct": round(100.0 * (c1 - c0) / c0, 1)}
+            )
+    if unstable:
+        out["machine_unstable"] = unstable
     print(json.dumps(out))
     return 1 if regressions or masked_regressions else 0
 
