@@ -158,3 +158,80 @@ def test_phash_band_blocking_at_64_bits_with_sign_bit(spark):
     }
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 2
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def _ppm(width, height, pixel_fn, comment=False):
+    """Synthesize a binary P6 payload: pixel_fn(x, y) -> (r, g, b)."""
+    header = b"P6\n"
+    if comment:
+        header += b"# synthetic test image\n"
+    header += f"{width} {height}\n255\n".encode()
+    raster = bytearray()
+    for y in range(height):
+        for x in range(width):
+            raster.extend(pixel_fn(x, y))
+    return header + bytes(raster)
+
+
+def test_decode_ppm_real_pixels_no_optional_deps():
+    """r13: P6 PPM decodes for REAL (header parse + numpy raster) with
+    zero optional dependencies — actual dimensions from actual pixel
+    data, including a commented header, through decode_real's
+    dispatch."""
+    p = _ppm(20, 10, lambda x, y: (x, y, 0), comment=True)
+    want = {"n_bytes": len(p), "width": 20, "height": 10, "format": "ppm"}
+    assert M.decode_ppm(p) == want
+    assert M.decode_real(p) == want  # dispatch, no Pillow needed
+
+
+def test_decode_ppm_rejects_malformed():
+    import pytest as _pytest
+
+    good = _ppm(4, 3, lambda x, y: (1, 2, 3))
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_ppm(good[:-5])  # raster cut short
+    with _pytest.raises(ValueError, match="maxval"):
+        M.decode_ppm(b"P6\n4 3\n65535\n" + b"\x00" * 72)
+    with _pytest.raises(ValueError, match="dimensions"):
+        M.decode_ppm(b"P6\n0 3\n255\n")
+    with _pytest.raises(ValueError, match="P6"):
+        M.decode_ppm(b"P5\n4 3\n255\n" + b"\x00" * 12)
+
+
+def test_decode_real_ppm_through_arrow_path(spark):
+    """The real-decode mapInPandas path, HERMETIC: real pixels flow
+    through the Arrow batches in this container (the Pillow-gated twin
+    of this test needs the optional dep; this one always runs)."""
+    p1 = _ppm(20, 10, lambda x, y: (x * 12, 0, 0))
+    p2 = _ppm(33, 7, lambda x, y: (0, y * 30, 255))
+    df = spark.createDataFrame(
+        [(1, p1), (2, p2)], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in M.decode_payloads(df, decoder=M.decode_real).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (20, 10, "ppm")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (33, 7, "ppm")
+
+
+def test_phash_ppm_tracks_real_gradients():
+    """The numpy dHash must respond to actual pixel structure: a
+    left-to-right brightening gradient sets NO bits (left cell always
+    darker), the mirrored gradient sets ALL 32, identical payloads
+    collide, and a small local edit moves few bits (the near-dup
+    property the Hamming-band blocking is built on)."""
+    brighter = _ppm(36, 16, lambda x, y: (x * 7, x * 7, x * 7))
+    darker = _ppm(36, 16, lambda x, y: ((35 - x) * 7,) * 3)
+    assert M.phash_ppm(brighter) == 0
+    assert M.phash_ppm(darker) == 0xFFFFFFFF
+    assert M.phash_real(brighter) == 0  # dispatch without Pillow
+    assert M.phash_ppm(brighter) == M.phash_ppm(
+        _ppm(36, 16, lambda x, y: (x * 7, x * 7, x * 7))
+    )
+    # tweak one pixel: a REAL near-duplicate stays within a small
+    # Hamming distance of the original
+    tweaked = bytearray(brighter)
+    tweaked[-1] = 255
+    d = bin(M.phash_ppm(brighter) ^ M.phash_ppm(bytes(tweaked))).count("1")
+    assert d <= 2

@@ -49,23 +49,92 @@ def decode_stub(payload: bytes) -> dict:
     }
 
 
+def _parse_ppm(payload: bytes):
+    """Parse a binary PPM (P6) image with NO third-party decoder: the
+    format is a whitespace-delimited ASCII header (magic, width, height,
+    maxval, ``#`` comments allowed) followed by raw RGB bytes — the
+    classic uncompressed interchange format, decodable from the public
+    netpbm spec alone. Returns ``(width, height, HxWx3 uint8 ndarray)``;
+    raises ValueError on anything malformed (wrong magic, maxval > 255,
+    truncated pixel data)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize the header: fields separated by whitespace, # starts a
+    # comment through end-of-line (netpbm spec)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(payload[start:pos])
+    try:
+        width, height, maxval = (int(f) for f in fields)
+    except ValueError as exc:
+        raise ValueError(f"non-numeric PPM header fields {fields}") from exc
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad PPM dimensions {width}x{height}")
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    pos += 1  # exactly ONE whitespace byte after maxval (spec)
+    need = width * height * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(
+            f"PPM raster truncated: need {need} bytes, have {len(raster)}"
+        )
+    import numpy as np
+
+    return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(
+        height, width, 3
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """REAL decode of a binary PPM (P6) payload — same contract as
+    :func:`decode_stub` / :func:`decode_real`, zero optional
+    dependencies (header parse + numpy reshape, :func:`_parse_ppm`).
+    Exists so the real-decode path is exercisable HERMETICALLY in
+    containers without Pillow: actual pixels, actual dimensions, not
+    length arithmetic."""
+    width, height, _ = _parse_ppm(payload)
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": height,
+        "format": "ppm",
+    }
+
+
 def decode_real(payload: bytes) -> dict:
-    """Real image decode via Pillow — the optional-dependency production
-    decoder behind the same contract as :func:`decode_stub` (n_bytes /
-    width / height / format). Pillow is not baked into this container,
-    so the import is gated: where it is absent the error names the
-    dependency instead of failing mid-executor with a bare ImportError.
-    ``tests/test_multimodal.py::test_decode_real_with_pillow`` exercises
-    the full mapInPandas path wherever Pillow IS installed
-    (pytest.importorskip)."""
+    """Real image decode behind the same contract as
+    :func:`decode_stub` (n_bytes / width / height / format). P6 PPM
+    payloads decode with NO optional dependency (:func:`decode_ppm` —
+    numpy only, real pixels), so the real path runs hermetically in
+    this container for that format; every other format routes through
+    Pillow, whose import is gated: where it is absent the error names
+    the dependency instead of failing mid-executor with a bare
+    ImportError. ``tests/test_multimodal.py::test_decode_real_with_
+    pillow`` exercises the Pillow half wherever it IS installed
+    (pytest.importorskip); the PPM half is tested unconditionally."""
     import io
 
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - container lacks PIL
         raise NotImplementedError(
-            "decode_real needs the optional 'pillow' dependency "
-            "(pip install pillow); decode_stub is the hermetic default"
+            "decode_real needs the optional 'pillow' dependency for "
+            "non-PPM formats (pip install pillow); decode_stub is the "
+            "hermetic default and P6 PPM decodes without Pillow"
         ) from exc
     with Image.open(io.BytesIO(payload)) as im:
         return {
@@ -216,20 +285,55 @@ def phash_stub(payload: bytes, bits: int = PHASH_BITS) -> int:
     return _signed64(h)
 
 
+def phash_ppm(payload: bytes) -> int:
+    """Real 32-bit dHash over a P6 PPM payload with numpy only (the
+    Krawetz difference hash, same bit layout as :func:`phash_real`):
+    ITU-R 601 luma, 9x4 area resize by block means over linspace
+    boundaries, bit = left cell brighter than its right neighbour.
+    Hermetic — actual pixel comparisons, no Pillow — so the real-hash
+    path (and its Hamming-band blocking downstream) is testable in
+    this container on real gradients, not just byte-length stubs."""
+    import numpy as np
+
+    _, _, rgb = _parse_ppm(payload)
+    luma = (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    )
+    h_px, w_px = luma.shape
+    ys = np.linspace(0, h_px, 5).astype(int)
+    xs = np.linspace(0, w_px, 10).astype(int)
+    cells = np.empty((4, 9))
+    for r in range(4):
+        for c in range(9):
+            block = luma[ys[r] : max(ys[r + 1], ys[r] + 1),
+                         xs[c] : max(xs[c + 1], xs[c] + 1)]
+            cells[r, c] = block.mean()
+    h = 0
+    for r in range(4):
+        for c in range(8):
+            if cells[r, c] > cells[r, c + 1]:
+                h |= 1 << (r * 8 + c)
+    return h
+
+
 def phash_real(payload: bytes) -> int:
-    """Real 32-bit dHash via Pillow (Krawetz's difference hash, public
+    """Real 32-bit dHash (Krawetz's difference hash, public
     methodology): decode, resize to 9x4 grayscale, bit = left pixel
-    brighter than its right neighbour. Optional-dependency gate
-    mirrors :func:`decode_real`; exercised under importorskip where
-    Pillow exists."""
+    brighter than its right neighbour. P6 PPM payloads hash with NO
+    optional dependency (:func:`phash_ppm`); other formats decode via
+    Pillow with the same gated import as :func:`decode_real`;
+    exercised under importorskip where Pillow exists."""
     import io
 
+    if payload.startswith(b"P6"):
+        return phash_ppm(payload)
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - container lacks PIL
         raise NotImplementedError(
-            "phash_real needs the optional 'pillow' dependency "
-            "(pip install pillow); phash_stub is the hermetic default"
+            "phash_real needs the optional 'pillow' dependency for "
+            "non-PPM formats (pip install pillow); phash_stub is the "
+            "hermetic default and P6 PPM hashes without Pillow"
         ) from exc
     with Image.open(io.BytesIO(payload)) as im:
         g = im.convert("L").resize((9, 4))
