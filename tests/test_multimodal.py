@@ -274,3 +274,53 @@ def test_features_ppm_real_pixel_statistics():
     assert all(abs(fb[j] - fa[j]) < 1e-9 for j in range(3, 6))  # stds same
     solid = M.features_ppm(_ppm(8, 8, lambda x, y: (7, 7, 7)))
     assert solid[3:] == [0.0, 0.0, 0.0]
+
+
+def test_phash_real_pillow_branch_shares_the_ppm_kernel(monkeypatch):
+    """ADVICE r13: the Pillow branch must hash through the SAME resize
+    kernel as the PPM branch (_dhash_rgb), so identical pixel content
+    in different container formats cannot band differently. Pinned
+    hermetically with a fake in-process Pillow whose decode yields the
+    exact pixels of a matching PPM: the two phash_real calls must be
+    bit-identical."""
+    import sys
+    import types
+
+    import numpy as np
+
+    w, h = 24, 12
+    px = lambda x, y: ((x * 11) % 256, (y * 23) % 256, ((x + y) * 5) % 256)
+    ppm = _ppm(w, h, px)
+    _, _, rgb = M._parse_ppm(ppm)
+
+    class _FakeImage:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self._arr  # np.asarray() of an ndarray is itself
+
+    fake_image_mod = types.SimpleNamespace(
+        open=lambda buf: _FakeImage(rgb)
+    )
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    fake_png = b"\x89PNG-not-really" + bytes(16)  # non-P6: Pillow branch
+    assert not fake_png.startswith(b"P6")
+    assert M.phash_real(fake_png) == M.phash_ppm(ppm)
+    # and the kernel responds to real structure through the fake too
+    grad = _ppm(w, h, lambda x, y: (x * 10, x * 10, x * 10))
+    _, _, grad_rgb = M._parse_ppm(grad)
+    monkeypatch.setattr(
+        fake_image_mod, "open", lambda buf: _FakeImage(grad_rgb)
+    )
+    assert M.phash_real(fake_png) == M.phash_ppm(grad) == 0

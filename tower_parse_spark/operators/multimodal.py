@@ -332,9 +332,22 @@ def phash_ppm(payload: bytes) -> int:
     Hermetic — actual pixel comparisons, no Pillow — so the real-hash
     path (and its Hamming-band blocking downstream) is testable in
     this container on real gradients, not just byte-length stubs."""
+    _, _, rgb = _parse_ppm(payload)
+    return _dhash_rgb(rgb)
+
+
+def _dhash_rgb(rgb) -> int:
+    """The ONE dHash kernel every real-hash path shares (ADVICE r13):
+    HxWx3 uint8 array -> ITU-R 601 luma -> 9x4 area resize by block
+    means over linspace boundaries -> bit = left cell brighter than its
+    right neighbour. Pillow-decoded compressed formats feed the SAME
+    kernel as P6 PPM payloads, so identical pixel content hashes
+    identically regardless of container format or whether Pillow is
+    installed — cross-format near-dup banding never depends on which
+    decoder ran (pinned by test_multimodal.py's fake-Pillow kernel
+    test)."""
     import numpy as np
 
-    _, _, rgb = _parse_ppm(payload)
     luma = (
         0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     )
@@ -357,11 +370,17 @@ def phash_ppm(payload: bytes) -> int:
 
 def phash_real(payload: bytes) -> int:
     """Real 32-bit dHash (Krawetz's difference hash, public
-    methodology): decode, resize to 9x4 grayscale, bit = left pixel
-    brighter than its right neighbour. P6 PPM payloads hash with NO
-    optional dependency (:func:`phash_ppm`); other formats decode via
-    Pillow with the same gated import as :func:`decode_real`;
-    exercised under importorskip where Pillow exists."""
+    methodology): decode to RGB pixels, then the shared
+    :func:`_dhash_rgb` kernel (luma, 9x4 block-mean resize, left>right
+    bits). P6 PPM payloads decode with NO optional dependency
+    (:func:`phash_ppm`); other formats decode via Pillow with the same
+    gated import as :func:`decode_real` — but the RESIZE KERNEL is the
+    numpy one on BOTH paths (Pillow only decodes; it never resizes), so
+    the same pixel content in a PPM and a PNG hashes to the same bits
+    and cross-format near-dup banding cannot miss pairs on a kernel
+    mismatch (ADVICE r13; previously the Pillow branch used Pillow's
+    own bicubic resize). Exercised under importorskip where Pillow
+    exists, and against a fake in-process Pillow everywhere."""
     import io
 
     if payload.startswith(b"P6"):
@@ -374,15 +393,10 @@ def phash_real(payload: bytes) -> int:
             "non-PPM formats (pip install pillow); phash_stub is the "
             "hermetic default and P6 PPM hashes without Pillow"
         ) from exc
+    import numpy as np
+
     with Image.open(io.BytesIO(payload)) as im:
-        g = im.convert("L").resize((9, 4))
-        px = g.load()
-        h = 0
-        for r in range(4):
-            for c in range(8):
-                if px[c, r] > px[c + 1, r]:
-                    h |= 1 << (r * 8 + c)
-        return h
+        return _dhash_rgb(np.asarray(im.convert("RGB")))
 
 
 def _phash_stub_vectorized(lens, bits: int = PHASH_BITS) -> list:
