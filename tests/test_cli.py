@@ -126,8 +126,11 @@ def test_curate_requires_model(spark, tmp_path):
 def test_compact_index_mode_end_to_end(spark, tmp_path, capsys):
     """--compact-index (r13): folds the signature index's batch
     partitions AND the partitioned-gate sidecar in one maintenance
-    call, defaulting through-batch to the highest batch present; the
-    compacted index still answers probes and the gate still covers."""
+    call. Default through-batch is the highest batch present MINUS ONE
+    (ADVICE r13): a non-graceful stop replays the max epoch on
+    restart, and that replay must not find its own rows already folded
+    into batch=0 (self-flagging). The compacted index still answers
+    probes and the gate still covers."""
     import json as _json
     import os as _os
 
@@ -153,17 +156,34 @@ def test_compact_index_mode_end_to_end(spark, tmp_path, capsys):
             _json.loads(line)
             for line in capsys.readouterr().out.strip().splitlines()
         ]
-        assert out[0]["through_batch"] == 2
-        assert out[0]["index"]["n_partitions_removed"] == 3
-        assert out[1]["part_gate"]["n_partitions_removed"] == 3
-        assert [
+        assert out[0]["through_batch"] == 1  # max=2, default = max-1
+        assert out[0]["index"]["n_partitions_removed"] == 2
+        assert out[1]["part_gate"]["n_partitions_removed"] == 2
+        assert sorted(
             d
             for d in _os.listdir(idx)
             if d.startswith("batch=")
-        ] == ["batch=0"]
+        ) == ["batch=0", "batch=2"]  # the replayable max epoch survives
         # the loop continues on the compacted layout: a near-dup of a
         # pre-compaction doc still flags through the still-live gate
         assert ND.read_part_gate(spark, idx, 3) is not None
+        # a REPLAY of the max epoch is still safe: its probe reads
+        # batch < 2, which no longer contains its own rows
+        b_replay = spark.createDataFrame(
+            [(3, texts[2])], "doc_id long, text string"
+        )
+        ND.process_epoch(b_replay, 2, idx, ver, band_gate=True)
+        replay_rows = (
+            spark.read.option("basePath", ver)
+            .parquet(ver)
+            .filter("doc_id = 3")
+            .collect()
+        )
+        assert replay_rows and not replay_rows[0]["is_dup"]  # no self-flag
+        # explicit --through-batch=max remains available for a stream
+        # known committed through max
+        assert run_compact_index(spark, idx, 2) == 0
+        capsys.readouterr()
         b3 = spark.createDataFrame(
             [(30, texts[0] + " once more")], "doc_id long, text string"
         )

@@ -740,3 +740,113 @@ def test_compact_part_gate_preserves_probes(spark, tmp_path):
         assert r30 and r30[0][3] is True
     finally:
         B.MAX_GATE_BITS = orig
+
+
+def test_compact_part_gate_noop_below_since(spark, tmp_path):
+    """ADVICE r13: through_batch < since_batch is an explicit no-op —
+    no merge, no deletes, no rename (Hadoop rename into an existing
+    batch=since dir would nest the staging dir INSIDE it) — and the
+    gate keeps covering."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        for i, rows in enumerate([[(1, T_A)], [(2, T_B)]]):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        # manufacture since_batch=1 by forcing the rebuild path at 1
+        ND._write_part_meta(spark, idx, since_batch=1, covered_through=1)
+        before = sorted(
+            d for d in os.listdir(ND._part_path(idx)) if d.startswith("batch=")
+        )
+        res = ND.compact_part_gate(spark, idx, through_batch=0)
+        assert res == {"n_words": 0, "n_partitions_removed": 0}
+        after = sorted(
+            d for d in os.listdir(ND._part_path(idx)) if d.startswith("batch=")
+        )
+        assert after == before and "_compact_staging" not in os.listdir(
+            ND._part_path(idx)
+        )
+        meta = ND._read_part_meta(spark, idx)
+        assert (int(meta["since_batch"]), int(meta["covered_through"])) == (1, 1)
+    finally:
+        B.MAX_GATE_BITS = orig
+
+
+def test_compact_part_gate_crash_degrades_to_gate_off(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (medium): a crash inside compaction's destructive
+    window must read as GATE OFF (ungated probes — exact, unpruned),
+    never as a live meta row vouching for deleted delta rows (silent
+    false negatives). The meta row is deleted before the first
+    destructive step and rewritten only after the rename; simulate the
+    worst crash point by failing the final meta rewrite, then verify
+    the next epoch's rebuild path restores coverage."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        batches = [[(1, T_A)], [(2, T_B)], [(3, T_C)]]
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        assert ND.read_part_gate(spark, idx, 3) is not None
+
+        real_writer = ND._write_part_meta
+
+        def crash_writer(*a, **k):
+            raise RuntimeError("simulated crash before meta rewrite")
+
+        monkeypatch.setattr(ND, "_write_part_meta", crash_writer)
+        try:
+            ND.compact_part_gate(spark, idx, 2)
+        except RuntimeError:
+            pass
+        monkeypatch.setattr(ND, "_write_part_meta", real_writer)
+
+        # the window state: merged partition in place, meta GONE
+        assert ND._read_part_meta(spark, idx) is None
+        assert ND.read_part_gate(spark, idx, 3) is None  # gate off, not wrong
+        # the loop keeps running correctly ungated, and the rebuild
+        # path restores a covering gate for later epochs
+        b3 = spark.createDataFrame(
+            [(30, T_A + " once more")], "doc_id long, text string"
+        )
+        ND.process_epoch(b3, 3, idx, ver, band_gate=True)
+        r30 = [r for r in _verdict_rows(spark, ver) if r[0] == 30]
+        assert r30 and r30[0][3] is True  # still exact during gate-off
+        meta = ND._read_part_meta(spark, idx)
+        assert meta is not None and int(meta["covered_through"]) == 3
+        assert ND.read_part_gate(spark, idx, 4) is not None
+    finally:
+        B.MAX_GATE_BITS = orig
+
+
+def test_compact_part_gate_preserves_recorded_geometry(spark, tmp_path):
+    """The post-rename meta rewrite must carry the sidecar's RECORDED
+    geometry, not the current constants: rewriting a drifted sidecar's
+    meta with new constants would vouch old-geometry rows past
+    read_part_gate's drift check (false negatives)."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig_cap, orig_bits = B.MAX_GATE_BITS, B.PART_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    try:
+        for i, rows in enumerate([[(1, T_A)], [(2, T_B)], [(3, T_C)]]):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        # constants drift AFTER the sidecar was written
+        B.PART_GATE_BITS = orig_bits * 2
+        assert ND.read_part_gate(spark, idx, 3) is None  # drift: gate off
+        ND.compact_part_gate(spark, idx, 2)
+        meta = ND._read_part_meta(spark, idx)
+        assert int(meta["n_bits"]) == orig_bits  # recorded, not current
+        # reverting the constants revalidates the compacted sidecar
+        B.PART_GATE_BITS = orig_bits
+        assert ND.read_part_gate(spark, idx, 3) is not None
+    finally:
+        B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits

@@ -163,10 +163,13 @@ def run_compact_index(spark, index_path: str, through_batch: int | None) -> int:
     """The --compact-index maintenance mode: fold the signature index's
     ``batch=N`` partitions AND its partitioned-gate ``_bloom_part``
     sidecar (when one exists) through *through_batch* — default the
-    highest batch present, which is only safe with the stream stopped
-    (the compact_minhash_index contract: through_batch must stay
-    strictly below the next epoch id, or the current epoch's replay
-    could merge rows it is about to overwrite). Prints one JSON line
+    highest batch present MINUS ONE (ADVICE r13): a non-gracefully
+    stopped stream replays its last epoch on restart, and that
+    replayed probe at N=max must not read its own rows folded into
+    batch=0 (self-flagging, plus a duplicate row set in the index) —
+    only epochs that can no longer replay are compacted by default.
+    Pass --through-batch explicitly (e.g. =max) only when the
+    checkpoint is known committed through max. Prints one JSON line
     per compaction so operators can log the row/partition deltas."""
     import json
 
@@ -181,7 +184,12 @@ def run_compact_index(spark, index_path: str, through_batch: int | None) -> int:
             .select(F.max(F.col("batch").cast("long")).alias("m"))
             .collect()
         )
-        through_batch = int(batches[0]["m"]) if batches and batches[0]["m"] is not None else 0
+        max_batch = (
+            int(batches[0]["m"])
+            if batches and batches[0]["m"] is not None
+            else 0
+        )
+        through_batch = max(max_batch - 1, 0)
     idx = ND.compact_minhash_index(spark, index_path, through_batch)
     print(json.dumps({"index": idx, "through_batch": through_batch}))
     gate = ND.compact_part_gate(spark, index_path, through_batch)

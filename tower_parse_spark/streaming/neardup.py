@@ -102,12 +102,27 @@ def _read_part_meta(spark, index_path: str):
 
 
 def _write_part_meta(
-    spark, index_path: str, since_batch: int, covered_through: int
+    spark,
+    index_path: str,
+    since_batch: int,
+    covered_through: int,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
 ) -> None:
+    """Geometry defaults to the CURRENT constants (the epoch write
+    path); compaction passes the sidecar's RECORDED geometry through
+    explicitly — rewriting a drifted-geometry sidecar's meta with the
+    new constants would vouch old-geometry rows past read_part_gate's
+    drift check (false negatives)."""
     from tower_parse_spark.operators import bloom as B
 
     spark.createDataFrame(
-        [(B.PART_GATE_BITS, B.PART_GATE_HASHES, since_batch, covered_through)],
+        [(
+            B.PART_GATE_BITS if n_bits is None else int(n_bits),
+            B.PART_GATE_HASHES if n_hashes is None else int(n_hashes),
+            since_batch,
+            covered_through,
+        )],
         "n_bits long, n_hashes long, since_batch long, covered_through long",
     ).coalesce(1).write.mode("overwrite").parquet(_part_meta_path(index_path))
 
@@ -538,19 +553,41 @@ def compact_part_gate(
     bit_or preserves exactly the union of set bits over the merged
     range, so every probe at epoch N > through_batch sees an identical
     gate. Partitions BELOW since_batch (pre-geometry-drift leftovers
-    the probe already excludes) are deleted, not merged. The meta row
-    is untouched — since_batch/covered_through still describe the
-    compacted layout. Run between epochs with *through_batch* strictly
-    below the next epoch id, same contract as compact_minhash_index;
-    a replayed epoch in the merged range simply rewrites its (now
-    redundant — the merged row is a superset, false-positive-only)
-    batch delta. No-op when no partitioned gate exists.
+    the probe already excludes) are deleted, not merged. Run between
+    epochs with *through_batch* strictly below the next epoch id, same
+    contract as compact_minhash_index; a replayed epoch in the merged
+    range simply rewrites its (now redundant — the merged row is a
+    superset, false-positive-only) batch delta. No-op when no
+    partitioned gate exists or *through_batch* < since_batch (nothing
+    in range; proceeding would also trip Hadoop rename-into-existing
+    semantics, moving staging INSIDE batch=since — ADVICE r13).
+
+    Crash safety (ADVICE r13): the destructive window here is WORSE
+    than compact_minhash_index's — staging is underscore-prefixed and
+    invisible to discovery, so a crash between deleting the source
+    partitions and renaming staging into place would leave the meta
+    row vouching (covered_through) for delta rows that no longer
+    exist: probes would gate with missing bits, i.e. silent FALSE
+    NEGATIVES, the one failure class the gate must never have. So the
+    meta row is DELETED before the first destructive step and
+    rewritten (same recorded geometry, same since/covered_through)
+    only after the rename succeeds: a crash anywhere in the window
+    degrades to gate-off — read_part_gate returns None, probes run
+    ungated (exact, just unpruned) — and the next epoch's
+    _part_gate_update rebuild path restores coverage from the full
+    index. Recovery from a crashed compaction is therefore automatic;
+    the leftover _compact_staging dir is invisible to probes and is
+    overwritten by the next compaction run.
 
     Returns {"n_words", "n_partitions_removed"}."""
     meta = _read_part_meta(spark, index_path)
     if meta is None:
         return {"n_words": 0, "n_partitions_removed": 0}
     since = int(meta["since_batch"])
+    if through_batch < since:
+        return {"n_words": 0, "n_partitions_removed": 0}
+    covered = int(meta["covered_through"])
+    n_bits, n_hashes = int(meta["n_bits"]), int(meta["n_hashes"])
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     root = HPath(_part_path(index_path))
@@ -569,6 +606,9 @@ def compact_part_gate(
     )
     merged.coalesce(files).write.mode("overwrite").parquet(str(staging))
     n_words = spark.read.parquet(str(staging)).count()
+    # disable the gate BEFORE any destructive step (see docstring): a
+    # crash from here until the final meta rewrite reads as "no gate"
+    fs.delete(HPath(_part_meta_path(index_path)), True)
     removed = 0
     for status in fs.listStatus(root):
         if not status.isDirectory():
@@ -583,8 +623,12 @@ def compact_part_gate(
     target = HPath(root, f"batch={since}")
     if not fs.rename(staging, target):
         raise IOError(
-            f"compact_part_gate: rename {staging} -> {target} failed"
+            f"compact_part_gate: rename {staging} -> {target} failed "
+            "(gate left disabled; next epoch rebuilds it)"
         )
+    _write_part_meta(
+        spark, index_path, since, covered, n_bits=n_bits, n_hashes=n_hashes
+    )
     return {"n_words": n_words, "n_partitions_removed": removed}
 
 
