@@ -148,6 +148,19 @@ CAL_ROWS_PER_SLOT = 37_500_000
 #: artifact) so fresh checkouts and --all sweeps behave identically.
 FAST_QUERY_SEC = 1.5
 
+#: |cal -> cal_end| within-run drift past which the whole headline loop
+#: is RE-RUN once and the better-witnessed attempt becomes the emitted
+#: artifact (r14, VERDICT r13 #2). BENCH_r13 is the motivating example:
+#: its end-of-run probe read -37.3% vs its start probe — every raw
+#: number in that artifact is machine drift, the witness fired exactly
+#: as designed, and yet the contaminated run became the round's
+#: permanent record while the definitive quiet run lived only in
+#: SCALE.md prose. Detection without a retry leaves the record
+#: unusable; one retry (~the suite's own cost, paid only on drifty
+#: runs) makes the RECORD drift-proof. Matches bench_regress's
+#: machine_unstable threshold so the two tools agree on "unstable".
+DRIFT_RETRY_PCT = 15.0
+
 
 def calibrate(spark) -> float:
     """Machine-speed calibration scalar (seconds, best of 3): a fixed,
@@ -183,6 +196,7 @@ def compact_line(
     cal: float | None = None,
     protect: set[str] | None = None,
     cal_end: float | None = None,
+    retry_note: dict | None = None,
 ) -> str:
     """The driver-contract line: {"metric","value","unit","queries","sf"}
     plus ``sp`` — per-query run-to-run spread as an INTEGER-percent array
@@ -237,6 +251,13 @@ def compact_line(
         # end-of-run re-probe (r13): within-run drift witness — a large
         # cal->cal2 gap marks this artifact as drift-contaminated
         compact["cal2"] = cal_end
+    if retry_note is not None:
+        # drift-retry marker (r14, VERDICT r13 #2): this artifact is the
+        # better-witnessed of TWO runs; "rtd" = the DISCARDED run's
+        # within-run drift percent (int), proof the retry fired and what
+        # it replaced — enough for bench_regress adjudication without
+        # prose. The full discard record is in the enriched line.
+        compact["rtd"] = int(round(retry_note["discarded_drift_pct"] or 0))
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
@@ -302,47 +323,36 @@ def prev_truncated(times: dict[str, float]) -> set[str]:
     return set()
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
+def _drift_pct(suite: dict) -> float | None:
+    """Within-run machine drift: cal -> cal_end percent change, or None
+    when either probe failed."""
+    cal, cal_end = suite.get("cal"), suite.get("cal_end")
+    if not cal or not cal_end:
+        return None
+    return round(100.0 * (cal_end - cal) / cal, 1)
 
-    import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-    spark = get_spark("bench")
+def run_suite(spark, qs, names, sf_dir: str) -> dict:
+    """ONE full timing pass: start-of-run cal probe, the best-of-N
+    timing loop, end-of-run cal probe. Returns {"times", "runs",
+    "spread_pct", "errors", "cal", "cal_end"} so main() can re-run the
+    whole pass when the two probes disagree (DRIFT_RETRY_PCT) and emit
+    the better-witnessed attempt as the round's artifact.
 
-    # Warm-up: JVM + codegen + parquet footer caches, plus the Python
-    # worker pool (Arrow path) at the tiny SF so mapInPandas queries
-    # measure steady state rather than worker cold-start, plus one
-    # throwaway streaming query (Structured Streaming class-loading +
-    # state-store init dominated streaming_late_data's first timed run:
-    # driver r5 spread [6.8, 2.8] s = 145% — VERDICT r5 item 6). Warm-up
-    # failures are non-fatal — they only cost the first timed query its
-    # cache.
-    for warm in (
-        lambda: qs["q1_pricing_summary"](spark, sf_dir),
-        lambda: qs["multimodal_decode"](spark, "/root/testdata/sf0.001"),
-        lambda: qs["streaming_late_data"](spark, "/root/testdata/sf0.001"),
-    ):
-        try:
-            materialize(warm())
-        except Exception:
-            pass
+    The END-of-run probe (r13): a same-code pair measured 12
+    cal-adjusted flags purely from memory-reclaim drift DURING the
+    slower run (cal 0.830 vs 0.924 between runs; reclaim stalls hit
+    short shuffle-bound queries harder than the compute-bound probe,
+    so the single start-of-run cal under-corrects). cal_end makes
+    within-run drift measurable; since r14 it is also actionable —
+    see DRIFT_RETRY_PCT."""
+    import gc
+    import traceback
 
     try:
         cal = calibrate(spark)
     except Exception:
         cal = None  # never let the probe break the perf record
-
-    cal_end = None  # re-probed AFTER the timing loop (see below)
-
-    import gc
-    import traceback
-
-    names = HEADLINE
-    if "--all" in sys.argv:
-        names = list(qs)
 
     times: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -377,19 +387,91 @@ def main() -> int:
         runs[name] = [round(s, 3) for s in samples]
         spread_pct[name] = round(100.0 * (max(samples) - best) / best, 1)
 
-    # END-of-run machine-speed probe (r13): a same-code pair measured
-    # 12 cal-adjusted flags purely from memory-reclaim drift DURING the
-    # slower run (cal 0.830 vs 0.924 between runs; reclaim stalls hit
-    # short shuffle-bound queries harder than the compute-bound probe,
-    # so the single start-of-run cal under-corrects). cal_end makes
-    # within-run drift measurable: a large cal->cal_end gap marks the
-    # artifact itself as drift-contaminated, so round_start can
-    # adjudicate "unstable machine" from the record instead of burning
-    # a standalone re-time on every flagged query.
     try:
         cal_end = calibrate(spark)
     except Exception:
         cal_end = None
+    return {
+        "times": times,
+        "runs": runs,
+        "spread_pct": spread_pct,
+        "errors": errors,
+        "cal": cal,
+        "cal_end": cal_end,
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("bench")
+
+    # Warm-up: JVM + codegen + parquet footer caches, plus the Python
+    # worker pool (Arrow path) at the tiny SF so mapInPandas queries
+    # measure steady state rather than worker cold-start, plus one
+    # throwaway streaming query (Structured Streaming class-loading +
+    # state-store init dominated streaming_late_data's first timed run:
+    # driver r5 spread [6.8, 2.8] s = 145% — VERDICT r5 item 6). Warm-up
+    # failures are non-fatal — they only cost the first timed query its
+    # cache.
+    for warm in (
+        lambda: qs["q1_pricing_summary"](spark, sf_dir),
+        lambda: qs["multimodal_decode"](spark, "/root/testdata/sf0.001"),
+        lambda: qs["streaming_late_data"](spark, "/root/testdata/sf0.001"),
+    ):
+        try:
+            materialize(warm())
+        except Exception:
+            pass
+
+    names = HEADLINE
+    if "--all" in sys.argv:
+        names = list(qs)
+
+    suite = run_suite(spark, qs, names, sf_dir)
+    retry_note = None
+    drift = _drift_pct(suite)
+    if (
+        drift is not None
+        and abs(drift) > DRIFT_RETRY_PCT
+        and "--no-retry" not in sys.argv
+    ):
+        # the artifact of record must not be a drift-contaminated run
+        # (VERDICT r13 #2): re-run the whole loop once and emit the
+        # better-witnessed attempt, recording the discard explicitly so
+        # bench_regress adjudicates from the record, not prose
+        print(
+            json.dumps(
+                {
+                    "note": "within-run cal drift "
+                    f"{drift}% > {DRIFT_RETRY_PCT}%: re-running the "
+                    "headline loop once",
+                }
+            ),
+            file=sys.stderr,
+        )
+        retry = run_suite(spark, qs, names, sf_dir)
+        retry_drift = _drift_pct(retry)
+        keep_retry = retry_drift is not None and abs(retry_drift) < abs(drift)
+        discarded = suite if keep_retry else retry
+        retry_note = {
+            "kept": "retry" if keep_retry else "first",
+            "discarded_cal": discarded["cal"],
+            "discarded_cal2": discarded["cal_end"],
+            "discarded_drift_pct": _drift_pct(discarded),
+            "discarded_total": round(sum(discarded["times"].values()), 3),
+        }
+        if keep_retry:
+            suite = retry
+
+    times, runs = suite["times"], suite["runs"]
+    spread_pct, errors = suite["spread_pct"], suite["errors"]
+    cal, cal_end = suite["cal"], suite["cal_end"]
 
     total = round(sum(times.values()), 3)
     spreads = sorted(spread_pct.values())
@@ -413,13 +495,15 @@ def main() -> int:
         enriched["cal"] = cal
     if cal_end is not None:
         enriched["cal_end"] = cal_end
+    if retry_note is not None:
+        enriched["retry"] = retry_note
     if errors:
         enriched["errors"] = errors
     print(json.dumps(enriched))
     print(
         compact_line(
             times, total, sf, spread_pct, cal, prev_truncated(times),
-            cal_end=cal_end,
+            cal_end=cal_end, retry_note=retry_note,
         )
     )
     return 0
