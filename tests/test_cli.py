@@ -142,6 +142,7 @@ def test_compact_index_mode_end_to_end(spark, tmp_path, capsys):
     ver = str(tmp_path / "ver")
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64  # force the partitioned gate so both compact
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         texts = [
             "the quick brown fox jumps over the lazy dog today",

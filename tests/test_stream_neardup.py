@@ -358,6 +358,7 @@ def test_band_gate_cap_disables_gate_not_correctness(spark, tmp_path):
     b0 = spark.createDataFrame([(1, T_A), (2, T_B)], "doc_id long, text string")
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64  # any real corpus sizes over this
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -403,6 +404,7 @@ def test_band_gate_cap_disables_through_streaming_path(spark, tmp_path):
     )
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -458,6 +460,7 @@ def test_band_gate_tombstone_self_heals_on_raised_cap(spark, tmp_path):
     b0 = spark.createDataFrame([(1, T_A), (2, T_B)], "doc_id long, text string")
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         ND.process_epoch(b0, 0, idx, ver, band_gate=True)
         assert int(ND._read_gate_row(spark, idx, 0)["n_bits"]) == 0
@@ -502,6 +505,7 @@ def test_part_gate_stays_active_past_cap_verdict_identical(spark, tmp_path):
     spool = _spool(tmp_path, batches)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64  # any real corpus sizes over this
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -603,6 +607,7 @@ def test_part_gate_declines_on_fp_saturation_and_geometry_drift(spark, tmp_path)
     idx, ver, _ = _paths(tmp_path)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         b0 = spark.createDataFrame([(1, T_A)], "doc_id long, text string")
         ND.process_epoch(b0, 0, idx, ver, band_gate=True)
@@ -634,6 +639,7 @@ def test_write_gate_bloom_recovers_missing_n_keys(spark, tmp_path):
     idx, ver, _ = _paths(tmp_path)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         b0 = spark.createDataFrame(
             [(1, T_A), (2, T_B)], "doc_id long, text string"
@@ -681,6 +687,7 @@ def test_compact_part_gate_preserves_probes(spark, tmp_path):
     idx, ver, _ = _paths(tmp_path)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         batches = [
             [(1, T_A), (2, T_B)],
@@ -752,6 +759,7 @@ def test_compact_part_gate_noop_below_since(spark, tmp_path):
     idx, ver, _ = _paths(tmp_path)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         for i, rows in enumerate([[(1, T_A)], [(2, T_B)]]):
             b = spark.createDataFrame(rows, "doc_id long, text string")
@@ -788,6 +796,7 @@ def test_compact_part_gate_crash_degrades_to_gate_off(spark, tmp_path, monkeypat
     idx, ver, _ = _paths(tmp_path)
     orig = B.MAX_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         batches = [[(1, T_A)], [(2, T_B)], [(3, T_C)]]
         for i, rows in enumerate(batches):
@@ -835,6 +844,7 @@ def test_compact_part_gate_preserves_recorded_geometry(spark, tmp_path):
     idx, ver, _ = _paths(tmp_path)
     orig_cap, orig_bits = B.MAX_GATE_BITS, B.PART_GATE_BITS
     B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
     try:
         for i, rows in enumerate([[(1, T_A)], [(2, T_B)], [(3, T_C)]]):
             b = spark.createDataFrame(rows, "doc_id long, text string")
@@ -847,6 +857,147 @@ def test_compact_part_gate_preserves_recorded_geometry(spark, tmp_path):
         assert int(meta["n_bits"]) == orig_bits  # recorded, not current
         # reverting the constants revalidates the compacted sidecar
         B.PART_GATE_BITS = orig_bits
+        assert ND.read_part_gate(spark, idx, 3) is not None
+    finally:
+        B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits
+
+
+def test_part_gate_engagement_floor(spark, tmp_path):
+    """r14 (VERDICT r13 #3a): below PART_GATE_MIN_KEYS the tombstoned
+    probe runs UNGATED (the gate's fixed join overhead beats the
+    pruning under the measured crossover) while the sidecar keeps
+    accumulating per-epoch deltas — so the epoch that crosses the floor
+    engages an already-covering gate with NO rebuild, and verdicts are
+    exact throughout."""
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 1_000  # floor far above this toy corpus
+    try:
+        batches = [[(1, T_A)], [(2, T_B)], [(30, T_A + " once more")]]
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        # verdicts stayed exact through the ungated phase
+        r30 = [r for r in _verdict_rows(spark, ver) if r[0] == 30]
+        assert r30 and r30[0][3] is True
+        # the probe path (n_keys from the tombstone) refused the gate...
+        row = ND._read_gate_row(spark, idx, 2)
+        n_keys = int(row["n_keys"])
+        assert 0 < n_keys < 1_000
+        assert ND.read_part_gate(spark, idx, 3, n_keys=n_keys) is None
+        # ...but the sidecar kept covering: every epoch wrote its delta
+        part_dirs = sorted(
+            d for d in os.listdir(ND._part_path(idx)) if d.startswith("batch=")
+        )
+        assert part_dirs == ["batch=0", "batch=1", "batch=2"]
+        meta = ND._read_part_meta(spark, idx)
+        assert int(meta["covered_through"]) == 2
+        # crossing the floor engages WITHOUT any rebuild or new write
+        B.PART_GATE_MIN_KEYS = n_keys
+        gate = ND.read_part_gate(spark, idx, 3, n_keys=n_keys)
+        assert gate is not None
+        # and the engaged gate has no false negatives over the index
+        from tower_parse_spark.operators.bloom import part_gate_filter
+
+        indexed = spark.read.option("basePath", idx).parquet(idx).select(
+            "band_key"
+        )
+        words, nb, nh = gate
+        passed = {
+            r["band_key"]
+            for r in part_gate_filter(indexed, "band_key", words, nb, nh).collect()
+        }
+        assert {r["band_key"] for r in indexed.collect()} <= passed
+    finally:
+        B.MAX_GATE_BITS = orig
+
+
+def test_rebit_part_gate_migrates_geometry(spark, tmp_path):
+    """r14 (VERDICT r13 #3b): raising PART_GATE_BITS geometry-drifts
+    the live sidecar (gate correctly disables); rebit_part_gate is the
+    offline handover — rebuild from the full index at the new geometry,
+    gate comes back ACTIVE and verdict-identical (no false negatives
+    over the indexed keys, near-dups still flag, replays stay safe)."""
+    from tower_parse_spark.operators import bloom as B
+    from tower_parse_spark.operators.bloom import part_gate_filter
+
+    idx, ver, _ = _paths(tmp_path)
+    orig_cap, orig_bits = B.MAX_GATE_BITS, B.PART_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
+    try:
+        batches = [[(1, T_A)], [(2, T_B)], [(3, T_C)]]
+        for i, rows in enumerate(batches):
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        # deployment raises the geometry -> drift -> gate off
+        B.PART_GATE_BITS = orig_bits * 2
+        assert ND.read_part_gate(spark, idx, 3) is None
+        report = ND.rebit_part_gate(spark, idx)
+        assert report["n_bits"] == orig_bits * 2
+        assert report["since_batch"] == 2
+        # active at the new geometry, one consolidated partition
+        gate = ND.read_part_gate(spark, idx, 3)
+        assert gate is not None and gate[1] == orig_bits * 2
+        part_dirs = sorted(
+            d for d in os.listdir(ND._part_path(idx)) if d.startswith("batch=")
+        )
+        assert part_dirs == ["batch=2"]
+        # no false negatives over every indexed key
+        indexed = spark.read.option("basePath", idx).parquet(idx).select(
+            "band_key", "doc_id"
+        )
+        words, nb, nh = gate
+        passed = {
+            r["band_key"]
+            for r in part_gate_filter(
+                indexed, "band_key", words, nb, nh
+            ).collect()
+        }
+        assert {r["band_key"] for r in indexed.collect()} <= passed
+        # the loop continues at the new geometry: near-dup still flags,
+        # novel doc still passes
+        b3 = spark.createDataFrame(
+            [(30, T_A + " once more"), (31, "wholly novel words here yes")],
+            "doc_id long, text string",
+        )
+        ND.process_epoch(b3, 3, idx, ver, band_gate=True)
+        rows = {r[0]: r for r in _verdict_rows(spark, ver)}
+        assert rows[30][3] is True and rows[31][3] is False
+        # empty/missing index: explicit no-op
+        empty = str(tmp_path / "empty_idx")
+        assert ND.rebit_part_gate(spark, empty)["since_batch"] is None
+    finally:
+        B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits
+
+
+def test_rebit_cli_end_to_end(spark, tmp_path, capsys):
+    """--compact-index --rebit BITS: index compaction runs, the sidecar
+    is rebuilt at BITS (replacing, not merging, the old-geometry
+    deltas), and the report line carries the new geometry."""
+    import json as _json
+
+    from tower_parse_spark.__main__ import run_compact_index
+    from tower_parse_spark.operators import bloom as B
+
+    idx, ver, _ = _paths(tmp_path)
+    orig_cap, orig_bits = B.MAX_GATE_BITS, B.PART_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
+    try:
+        for i, t in enumerate([T_A, T_B, T_C]):
+            b = spark.createDataFrame([(i + 1, t)], "doc_id long, text string")
+            ND.process_epoch(b, i, idx, ver, band_gate=True)
+        assert run_compact_index(spark, idx, None, rebit=orig_bits * 2) == 0
+        out = [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert out[1]["part_gate_rebit"]["n_bits"] == orig_bits * 2
+        B.PART_GATE_BITS = orig_bits * 2
         assert ND.read_part_gate(spark, idx, 3) is not None
     finally:
         B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits

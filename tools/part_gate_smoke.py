@@ -17,6 +17,16 @@ incremental_minhash_dedup_with_banded, part-gated vs ungated.
 Prints one JSON line; numbers land in SCALE.md.
 
 Usage: python tools/part_gate_smoke.py [index_keys] [batch_docs] [reps]
+       [--cold]
+
+``--cold`` (r14, VERDICT r13 #4): evict the index and gate parquet
+files from the OS page cache (sync + posix_fadvise DONTNEED, no
+privileges needed) before EVERY timed sample, in both arms equally.
+local[32] cannot demonstrate the past-the-cliff structural claim warm —
+at ~60M keys (~12 GB index) the arms thrash the cache unevenly and the
+spread blows out (SCALE.md r13) — but a 1000-executor cluster reads the
+index from distributed storage where neither arm gets it for free;
+cold-per-sample is the local stand-in for that IO symmetry.
 """
 
 from __future__ import annotations
@@ -41,13 +51,41 @@ from tower_parse_spark.operators.dedup import (  # noqa: E402
 from tower_parse_spark.session import get_spark  # noqa: E402
 
 
+def _evict_page_cache(*dirs: str) -> None:
+    """Drop every file under *dirs* from the OS page cache: sync (so
+    dirty pages become evictable) then POSIX_FADV_DONTNEED per file.
+    Unprivileged, Linux; makes the next read pay real IO — the local
+    stand-in for a cluster reading the index from distributed
+    storage."""
+    os.sync()
+    for d in dirs:
+        for root, _sub, files in os.walk(d):
+            for fn in files:
+                p = os.path.join(root, fn)
+                try:
+                    fd = os.open(p, os.O_RDONLY)
+                except OSError:
+                    continue
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+
+
 def main() -> int:
-    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    batch_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
-    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cold = "--cold" in sys.argv
+    n_keys = int(pos[0]) if len(pos) > 0 else 10_000_000
+    batch_docs = int(pos[1]) if len(pos) > 1 else 2_000
+    reps = int(pos[2]) if len(pos) > 2 else 3
     spark = get_spark("part_gate_smoke")
     work = tempfile.mkdtemp(prefix="part_gate_smoke_")
-    out: dict = {"index_keys": n_keys, "batch_docs": batch_docs, "reps": reps}
+    out: dict = {
+        "index_keys": n_keys,
+        "batch_docs": batch_docs,
+        "reps": reps,
+        "cold": cold,
+    }
     try:
         # --- synthetic index: n_keys banded rows, real schema ---
         idx_path = os.path.join(work, "idx")
@@ -148,6 +186,8 @@ def main() -> int:
         samples: dict[str, list[float]] = {"ungated": [], "part_gated": []}
         for _ in range(reps):  # interleaved: machine drift cancels
             for mode, gate in (("ungated", None), ("part_gated", pg)):
+                if cold:
+                    _evict_page_cache(idx_path, words_path)
                 t0 = time.monotonic()
                 run(gate)
                 samples[mode].append(round(time.monotonic() - t0, 3))

@@ -69,7 +69,22 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="highest batch id to fold into the compacted partition "
-        "(default: the highest batch present in the index)",
+        "(default: the highest batch present in the index MINUS ONE — "
+        "the last epoch may replay after a non-graceful stop and must "
+        "not find its own rows compacted; pass =max explicitly only "
+        "when the checkpoint is known committed through max)",
+    )
+    p.add_argument(
+        "--rebit",
+        type=int,
+        default=None,
+        metavar="BITS",
+        help="with --compact-index: REBUILD the partitioned-gate "
+        "sidecar from the full index at this geometry (bits, multiple "
+        "of 64 — e.g. 17179869184 for 2^34) instead of merging the "
+        "old-geometry deltas; the offline migration for a deployment "
+        "raising bloom.PART_GATE_BITS near FP saturation (the running "
+        "stream must be configured with the same raised constant)",
     )
     p.add_argument(
         "--model",
@@ -159,7 +174,12 @@ def start_curate(
     )
 
 
-def run_compact_index(spark, index_path: str, through_batch: int | None) -> int:
+def run_compact_index(
+    spark,
+    index_path: str,
+    through_batch: int | None,
+    rebit: int | None = None,
+) -> int:
     """The --compact-index maintenance mode: fold the signature index's
     ``batch=N`` partitions AND its partitioned-gate ``_bloom_part``
     sidecar (when one exists) through *through_batch* — default the
@@ -192,8 +212,14 @@ def run_compact_index(spark, index_path: str, through_batch: int | None) -> int:
         through_batch = max(max_batch - 1, 0)
     idx = ND.compact_minhash_index(spark, index_path, through_batch)
     print(json.dumps({"index": idx, "through_batch": through_batch}))
-    gate = ND.compact_part_gate(spark, index_path, through_batch)
-    print(json.dumps({"part_gate": gate, "through_batch": through_batch}))
+    if rebit is not None:
+        # geometry migration replaces the sidecar wholesale — merging
+        # the old-geometry deltas first would be wasted work
+        gate = ND.rebit_part_gate(spark, index_path, n_bits=rebit)
+        print(json.dumps({"part_gate_rebit": gate}))
+    else:
+        gate = ND.compact_part_gate(spark, index_path, through_batch)
+        print(json.dumps({"part_gate": gate, "through_batch": through_batch}))
     return 0
 
 
@@ -231,7 +257,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.compact_index is not None:
         return run_compact_index(
-            spark, args.compact_index, args.through_batch
+            spark, args.compact_index, args.through_batch, rebit=args.rebit
         )
     if args.curate:
         q = start_curate(

@@ -82,6 +82,21 @@ PART_GATE_HASHES = 7
 #: is wasted work (nearly everything passes): the caller runs ungated
 PART_GATE_MAX_FP = 0.5
 
+#: Cost-aware engagement floor (r14, VERDICT r13 #3a): below this many
+#: index keys the partitioned gate's fixed probe overhead (the batch x k
+#: broadcast join against the delta scan, ~2 extra exchanges) exceeds
+#: what the pruning saves — the r13 behavior engaged it the moment the
+#: literal gate died (~7M keys at the cap), but the measured crossover
+#: vs ungated sits well past that (builder r13 A/B: 1.00x at 10M,
+#: 1.96x at 30M; the r13 verdict's own contended 10M re-run read
+#: 0.79x). Between MAX_GATE_BITS capacity and this floor the probe runs
+#: UNGATED (exact, just unpruned) while the sidecar keeps accumulating
+#: per-epoch deltas, so crossing the floor engages an already-covering
+#: gate with no rebuild. Floor pinned by tools/part_gate_smoke.py at
+#: 10/20/30M on a quiet machine (SCALE.md r14). Tests that force the
+#: partitioned gate at toy scale set this to 0 alongside MAX_GATE_BITS.
+PART_GATE_MIN_KEYS = 20_000_000
+
 
 def bloom_fp_rate(n_keys: int, n_bits: int, n_hashes: int) -> float:
     """Estimated false-positive rate of an (m=n_bits, k=n_hashes)

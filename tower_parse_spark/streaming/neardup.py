@@ -137,9 +137,14 @@ def read_part_gate(
     probe: no meta row, a geometry drift (PART_GATE_* constants changed
     since the deltas were written — OR-ing incompatible positions would
     create false negatives), under-coverage (covered_through <
-    before_batch - 1: keys indexed since would be missing), or an
+    before_batch - 1: keys indexed since would be missing), an
     estimated FP past PART_GATE_MAX_FP (*n_keys* given — gating would
-    pass nearly everything, so the join is wasted work). The words
+    pass nearly everything, so the join is wasted work), or *n_keys*
+    below PART_GATE_MIN_KEYS (r14, VERDICT r13 #3a: under the measured
+    crossover the gate's fixed join overhead costs more than the
+    pruning saves — run ungated until the index grows into it; the
+    sidecar keeps accumulating either way, so engagement at the floor
+    needs no rebuild). The words
     relation is the RAW union of delta partitions with batch >=
     since_batch — deliberately NOT pre-merged per word_idx:
     part_gate_filter's bit test is EXISTS-over-rows, and the merge was
@@ -156,6 +161,8 @@ def read_part_gate(
     ):
         return None
     if int(meta["covered_through"]) < before_batch - 1:
+        return None
+    if n_keys is not None and n_keys < B.PART_GATE_MIN_KEYS:
         return None
     if n_keys is not None and (
         B.bloom_fp_rate(n_keys, B.PART_GATE_BITS, B.PART_GATE_HASHES)
@@ -630,6 +637,90 @@ def compact_part_gate(
         spark, index_path, since, covered, n_bits=n_bits, n_hashes=n_hashes
     )
     return {"n_words": n_words, "n_partitions_removed": removed}
+
+
+def rebit_part_gate(
+    spark,
+    index_path: str,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    files: int = 1,
+) -> dict:
+    """Offline geometry migration for the partitioned gate (r14,
+    VERDICT r13 #3b — the ``--compact-index --rebit BITS`` CLI path):
+    rebuild the ``_bloom_part`` sidecar from the FULL signature index
+    at a NEW geometry (*n_bits*/*n_hashes*, default the current
+    ``bloom.PART_GATE_*`` constants).
+
+    Why this exists: the fixed 2^30 geometry saturates toward ~50% FP
+    near 10^9 keys (SCALE.md), and the deployment fix is raising
+    PART_GATE_BITS (2^34 headroom pytest-pinned, test_bloom.py). But
+    raising the constant alone GEOMETRY-DRIFTS the live sidecar —
+    read_part_gate correctly refuses to mix positions from different
+    geometries, so the gate silently disables until some future rebuild
+    epoch. This routine is the planned handover: run it with the
+    stream stopped (the compaction contract) after raising the
+    constants, and the gate comes back ACTIVE at the new geometry with
+    no coverage gap — the next probe gates immediately
+    (verdict-identical; the filter contents are rebuilt from the index
+    itself, the source of truth).
+
+    Crash safety mirrors compact_part_gate: the new delta is fully
+    staged before anything is destroyed, the meta row is deleted
+    before the destructive window, and the new-geometry meta is
+    written only after the rename — a crash anywhere degrades to
+    gate-off and the next epoch's rebuild path recovers (at whatever
+    geometry the constants then hold).
+
+    Returns {"n_words", "n_bits", "n_hashes", "since_batch"}; no-op
+    dict when the index has no batch partitions yet."""
+    from tower_parse_spark.operators import bloom as B
+
+    n_bits = B.PART_GATE_BITS if n_bits is None else int(n_bits)
+    n_hashes = B.PART_GATE_HASHES if n_hashes is None else int(n_hashes)
+    if n_bits % 64:
+        raise ValueError("n_bits must be a multiple of 64")
+    try:
+        idx = spark.read.option("basePath", index_path).parquet(index_path)
+    except AnalysisException:
+        return {"n_words": 0, "n_bits": n_bits, "n_hashes": n_hashes,
+                "since_batch": None}
+    row = idx.select(F.max(F.col("batch").cast("long")).alias("m")).collect()
+    if not row or row[0]["m"] is None:
+        return {"n_words": 0, "n_bits": n_bits, "n_hashes": n_hashes,
+                "since_batch": None}
+    max_batch = int(row[0]["m"])
+    keys = _read_index(spark, index_path, max_batch + 1).select("band_key")
+    delta = B.bloom_delta_words(keys, "band_key", n_bits, n_hashes)
+
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(_part_path(index_path))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    staging = HPath(root, "_compact_staging")
+    delta.coalesce(files).write.mode("overwrite").parquet(str(staging))
+    n_words = spark.read.parquet(str(staging)).count()
+    # gate OFF before the destructive window (compact_part_gate rule)
+    fs.delete(HPath(_part_meta_path(index_path)), True)
+    if fs.exists(root):
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith("batch="):
+                fs.delete(status.getPath(), True)
+    target = HPath(root, f"batch={max_batch}")
+    if not fs.rename(staging, target):
+        raise IOError(
+            f"rebit_part_gate: rename {staging} -> {target} failed "
+            "(gate left disabled; next epoch rebuilds it)"
+        )
+    # rebuilt-from-full-index semantics: since = covered = max_batch,
+    # the same conservative witness _part_gate_update's rebuild writes
+    _write_part_meta(
+        spark, index_path, max_batch, max_batch,
+        n_bits=n_bits, n_hashes=n_hashes,
+    )
+    return {"n_words": n_words, "n_bits": n_bits, "n_hashes": n_hashes,
+            "since_batch": max_batch}
 
 
 def process_epoch(
