@@ -184,3 +184,63 @@ def test_load_table_cache_sees_buried_change_in_nested_layout(spark, tmp_path):
     assert _table_fingerprint(d, "nation") == _table_fingerprint(
         d, "nation", deep=False
     )
+
+
+def test_deep_fingerprint_walks_once_per_changed_state(spark, tmp_path):
+    """VERDICT r13 #6: the auto-deepened fingerprint must not os.walk
+    the layout on EVERY load — the full walk runs once per CHANGED
+    state (memo keyed on a depth<=2 stat signature) and loads between
+    changes serve the memoized fingerprint. deep=True stays the
+    fresh-walk bypass."""
+    import os as _os
+
+    import tower_parse_spark.session as S
+
+    d = str(tmp_path)
+    tbl = f"{d}/region.parquet"
+    # two-level partitioning: files at depth 3, where the walk cost is
+    # O(files) but the memo signature is O(partition dirs)
+    spark.range(8).selectExpr(
+        "id as r_regionkey",
+        "cast(id % 2 as int) as part",
+        "cast(id % 2 as int) as sub",
+    ).write.partitionBy("part", "sub").parquet(tbl)
+
+    real_walk = _os.walk
+    calls = {"n": 0}
+
+    def counting_walk(*a, **k):
+        calls["n"] += 1
+        return real_walk(*a, **k)
+
+    _os.walk = counting_walk
+    try:
+        S._DEEP_FP_MEMO.clear()
+        fp1 = S._table_fingerprint(d, "region")
+        walks_first = calls["n"]
+        assert walks_first > 0  # the deep walk ran
+        fp2 = S._table_fingerprint(d, "region")
+        fp3 = S._table_fingerprint(d, "region")
+        assert fp2 == fp1 and fp3 == fp1
+        assert calls["n"] == walks_first  # NO further walks: memo hit
+        # a depth-3 change (new file inside part=1/sub=1) bumps its
+        # depth-2 parent dir, the signature misses the memo, one more
+        # walk runs, and the fingerprint moves
+        target = f"{tbl}/part=1/sub=1"
+        with open(_os.path.join(target, "extra.parquet.crc2"), "w") as f:
+            f.write("x")
+        fp4 = S._table_fingerprint(d, "region")
+        assert fp4 != fp1
+        assert calls["n"] == 2 * walks_first  # exactly one more walk
+        S._table_fingerprint(d, "region")
+        assert calls["n"] == 2 * walks_first  # and memoized again
+        # deep=True bypasses the memo (the documented escape hatch)
+        S._table_fingerprint(d, "region", deep=True)
+        assert calls["n"] == 3 * walks_first
+        # the memo key evicts superseded signatures: one entry per path
+        assert (
+            len([k for k in S._DEEP_FP_MEMO if k[0] == _os.path.abspath(tbl)])
+            == 1
+        )
+    finally:
+        _os.walk = real_walk

@@ -7,14 +7,25 @@ old, and queries never seen by the driver must be new this round
 (in-window, awaiting first evidence). The judge re-derives this by
 diffing CORRECTNESS files each round; this script does it mechanically.
 
-Usage: python tools/rotation_check.py [--next-round N]
+Usage: python tools/rotation_check.py [--next-round N] [--plan-drift]
   --next-round N  evaluate as if the round-N driver run will check the
                   CURRENT window (default: latest CORRECTNESS round + 1)
                   — i.e. "after the upcoming run, will every query be
                   green within the last two rounds?"
+  --plan-drift    ALSO recompute the optimized-plan digest of every
+                  DEFERRED query (tools/plan_digest.py, needs a Spark
+                  session + sf0.001 fixtures) and compare against the
+                  committed PLAN_DIGESTS.json: a deferred query whose
+                  plan changed since that record is RED (ADVICE r12 #1
+                  / VERDICT r13 #5 — plan rewrites must ride in the
+                  driver window, where the round's CORRECTNESS file
+                  covers them; the wholesale alternation satisfied the
+                  rule by luck until now). Run at round close, then
+                  refresh the record with `plan_digest.py --write`.
 
 Prints one JSON line {"ok": bool, "latest_green": {...}, "stale": [...],
-"never_green": [...]} and exits non-zero when the invariant would break.
+"never_green": [...], "plan_drift": [...]} and exits non-zero when the
+invariant would break.
 """
 
 from __future__ import annotations
@@ -71,20 +82,55 @@ def main() -> int:
         q for q, r in projected.items() if 0 < r < upcoming - 1
     )
     never = sorted(q for q, r in projected.items() if r == 0)
-    ok = not stale and not never
-    print(
-        json.dumps(
-            {
-                "ok": ok,
-                "upcoming_round": upcoming,
-                "registry": len(names),
-                "window": len(window),
-                "stale_after_run": stale,
-                "never_green_after_run": never,
-            }
-        )
+    out = {
+        "ok": not stale and not never,
+        "upcoming_round": upcoming,
+        "registry": len(names),
+        "window": len(window),
+        "stale_after_run": stale,
+        "never_green_after_run": never,
+    }
+
+    if "--plan-drift" in sys.argv:
+        drift = plan_drift(names, window)
+        out["plan_drift"] = drift
+        out["ok"] = out["ok"] and not drift
+    print(json.dumps(out))
+    return 0 if out["ok"] else 1
+
+
+def plan_drift(
+    names: "list[str]", window: "set[str]", digest_path: "str | None" = None
+) -> "list[str]":
+    """Deferred (out-of-window) queries whose optimized-plan digest no
+    longer matches the committed PLAN_DIGESTS.json — each is a plan
+    rewrite about to escape driver verification and must rotate into
+    the window (or the rewrite must wait a round). A missing record or
+    a query absent from it is treated as drift for deferred queries —
+    the record must be refreshed (`plan_digest.py --write`) every round
+    AFTER this check passes, never before."""
+    from tools import plan_digest as PD
+
+    path = digest_path or PD.DIGEST_FILE
+    try:
+        with open(path) as f:
+            recorded = json.load(f)["digests"]
+    except (OSError, ValueError, KeyError):
+        # no record at all: every deferred query is unverifiable —
+        # surface that loudly rather than passing vacuously
+        return sorted(q for q in names if q not in window)
+
+    deferred = [q for q in names if q not in window]
+    from tower_parse_spark.session import get_spark
+
+    spark = get_spark("rotation_plan_drift")
+    spark.sparkContext.setLogLevel("ERROR")
+    current = PD.compute_digests(spark, names=deferred)
+    return sorted(
+        q
+        for q in deferred
+        if recorded.get(q) != current.get(q)
     )
-    return 0 if ok else 1
 
 
 if __name__ == "__main__":
