@@ -324,3 +324,177 @@ def test_phash_real_pillow_branch_shares_the_ppm_kernel(monkeypatch):
         fake_image_mod, "open", lambda buf: _FakeImage(grad_rgb)
     )
     assert M.phash_real(fake_png) == M.phash_ppm(grad) == 0
+
+
+def _png(rgb, color_type=2, filters=None, palette=None):
+    """Hand-rolled PNG encoder for fixtures (spec-only, stdlib zlib):
+    8-bit depth, no interlace, per-row filter types chosen by the test
+    so every decode filter path (None/Sub/Up/Average/Paeth) is
+    exercised against an independent implementation."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    if color_type == 2:
+        px = rgb
+    elif color_type == 0:
+        px = rgb[:, :, :1]
+    elif color_type == 6:
+        px = np.concatenate(
+            [rgb, np.full((h, w, 1), 200, dtype=np.uint8)], axis=2
+        )
+    elif color_type == 3:
+        flat = rgb.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        palette = pal
+        px = inv.reshape(h, w, 1).astype(np.uint8)
+    else:
+        raise ValueError(color_type)
+    bpp = px.shape[2]
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = filters[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            a = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = cur - a
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            a = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            enc = cur - ((a + prev) >> 1)
+        elif f == 4:
+            enc = np.zeros_like(cur)
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = cur[x] - pred
+        else:
+            raise ValueError(f)
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = M._PNG_SIG + chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        out += chunk(b"PLTE", palette.astype("uint8").tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_parse_png_all_filters_roundtrip():
+    """The hermetic PNG decoder recovers exact pixels through every
+    filter type and color type (encoder is an independent
+    implementation of the same public spec)."""
+    import numpy as np
+
+    rng = [(x * 13 % 251, (y * 7 + x) % 251, (x ^ y) % 251)
+           for y in range(10) for x in range(9)]
+    rgb = np.array(rng, dtype=np.uint8).reshape(10, 9, 3)
+    for filters in ([0] * 10, [1] * 10, [2] * 10, [3] * 10, [4] * 10,
+                    [0, 1, 2, 3, 4, 4, 3, 2, 1, 0]):
+        w, h, got = M._parse_png(_png(rgb, filters=filters))
+        assert (w, h) == (9, 10)
+        assert (got == rgb).all(), f"filters={filters}"
+    # gray replicates, RGBA drops alpha, palette maps through PLTE
+    gray = np.repeat(rgb[:, :, :1], 3, axis=2)
+    assert (M._parse_png(_png(gray, color_type=0))[2] == gray).all()
+    assert (M._parse_png(_png(rgb, color_type=6))[2] == rgb).all()
+    small = (rgb // 64) * 64  # few distinct colors -> valid palette
+    assert (M._parse_png(_png(small, color_type=3))[2] == small).all()
+
+
+def test_decode_png_real_and_malformed():
+    import numpy as np
+    import pytest as _pytest
+
+    rgb = np.zeros((5, 7, 3), dtype=np.uint8)
+    p = _png(rgb)
+    want = {"n_bytes": len(p), "width": 7, "height": 5, "format": "png"}
+    assert M.decode_png(p) == want
+    assert M.decode_real(p) == want  # dispatch, no Pillow needed
+    with _pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"JFIF-nope")
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_png(p[:-20])  # cuts into the IDAT chunk, not just IEND
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    sixteen = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="unsupported"):
+        M.decode_png(sixteen)
+    interlaced = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="interlaced"):
+        M.decode_png(interlaced)
+
+
+def test_png_and_ppm_same_pixels_same_hash():
+    """The ADVICE r13 cross-format promise, now testable END-TO-END
+    hermetically: identical pixel content in a PPM and a PNG container
+    hashes to identical dHash bits through phash_real (both decoders ->
+    the one _dhash_rgb kernel), so cross-format near-dup banding can
+    never miss a pair on container format."""
+    import numpy as np
+
+    w, h = 24, 12
+    px = lambda x, y: ((x * 11) % 256, (y * 23) % 256, ((x + y) * 5) % 256)
+    ppm = _ppm(w, h, px)
+    _, _, rgb = M._parse_ppm(ppm)
+    png = _png(rgb, filters=[1, 2, 3, 4, 0, 1, 2, 3, 4, 0, 1, 2])
+    assert M.phash_real(png) == M.phash_ppm(ppm)
+    # and the hash tracks real structure through the PNG path too
+    grad = np.repeat(
+        np.repeat(np.arange(0, 240, 10, dtype=np.uint8)[None, :, None], h, 0),
+        3, 2,
+    )
+    assert M.phash_real(_png(grad)) == 0  # left always darker
+
+
+def test_decode_real_png_through_arrow_path(spark):
+    """PNG through the real-decode mapInPandas path, hermetic — the
+    compressed-format twin of the PPM Arrow test (r14: the Pillow gate
+    now covers only JPEG/WebP-class formats)."""
+    import numpy as np
+
+    p1 = _png(np.zeros((10, 20, 3), dtype=np.uint8))
+    p2 = _ppm(33, 7, lambda x, y: (0, y * 30, 255))
+    df = spark.createDataFrame(
+        [(1, p1), (2, p2)], "doc_id long, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in M.decode_payloads(df, decoder=M.decode_real).collect()
+    }
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (20, 10, "png")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (33, 7, "ppm")

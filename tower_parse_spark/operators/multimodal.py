@@ -113,28 +113,159 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(payload: bytes):
+    """Parse a (non-interlaced, 8-bit-depth) PNG with NO third-party
+    decoder — the spec (RFC 2083 / ISO 15948) plus stdlib ``zlib`` is
+    enough: signature, chunk walk (IHDR / PLTE / IDAT+ / IEND), inflate
+    the concatenated IDAT stream, un-filter scanlines (all five filter
+    types: None/Sub/Up/Average/Paeth), map the color type to RGB
+    (gray replicated, palette indexed via PLTE, alpha DISCARDED — the
+    same channel drop ``PIL.Image.convert("RGB")`` applies, so the
+    hermetic pixels match a Pillow decode bit-for-bit and both feed the
+    shared :func:`_dhash_rgb` kernel identically). Returns ``(width,
+    height, HxWx3 uint8 ndarray)``; raises ValueError on anything
+    malformed or unsupported (interlaced, 16-bit, truncated). Pure
+    Python + numpy: the Sub filter vectorizes as a mod-256 cumsum,
+    Up as a running add; Average/Paeth fall back to a per-pixel scan —
+    fine for the fixture-scale payloads this hermetic path exists for
+    (a Pillow install takes over decode speed-wise when present;
+    pixels, and therefore hashes, are identical either way)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # len + type + data + crc (crc not verified)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub: mod-256 cumsum per channel lane
+            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential by spec
+            cur = np.zeros(stride, dtype=np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                if ftype == 3:
+                    cur[x] = row[x] + ((a + b) >> 1)
+                else:
+                    c = pv[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = row[x] + pred
+                cur[x] &= 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    px = out.reshape(h, w, channels)
+    if color == 0:
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 2:
+        rgb = px
+    elif color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        rgb = plte[px[:, :, 0]]
+    elif color == 4:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:  # color == 6
+        rgb = px[:, :, :3]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL decode of a PNG payload with NO optional dependency
+    (:func:`_parse_png` — stdlib zlib + numpy), same contract as
+    :func:`decode_stub` / :func:`decode_real`. Removes the Pillow gate
+    for the most common compressed interchange format (r14; the gate
+    had stood since r5 for all compressed formats, PPM-only since
+    r13)."""
+    width, height, _ = _parse_png(payload)
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": height,
+        "format": "png",
+    }
+
+
 def decode_real(payload: bytes) -> dict:
     """Real image decode behind the same contract as
     :func:`decode_stub` (n_bytes / width / height / format). P6 PPM
-    payloads decode with NO optional dependency (:func:`decode_ppm` —
-    numpy only, real pixels), so the real path runs hermetically in
-    this container for that format; every other format routes through
-    Pillow, whose import is gated: where it is absent the error names
-    the dependency instead of failing mid-executor with a bare
-    ImportError. ``tests/test_multimodal.py::test_decode_real_with_
-    pillow`` exercises the Pillow half wherever it IS installed
-    (pytest.importorskip); the PPM half is tested unconditionally."""
+    and PNG payloads decode with NO optional dependency
+    (:func:`decode_ppm`, :func:`decode_png` — numpy + stdlib zlib,
+    real pixels), so the real path runs hermetically in this container
+    for both formats; every other format (JPEG/WebP-class) routes
+    through Pillow, whose import is gated: where it is absent the
+    error names the dependency instead of failing mid-executor with a
+    bare ImportError. When Pillow IS installed it takes the decode for
+    everything but PPM (it is faster); pixels — and therefore hashes,
+    via the shared :func:`_dhash_rgb` kernel — are identical either
+    way (fake-Pillow and round-trip tests pin this)."""
     import io
 
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     try:
         from PIL import Image
-    except ImportError as exc:  # pragma: no cover - container lacks PIL
+    except ImportError as exc:
+        if payload.startswith(_PNG_SIG):
+            return decode_png(payload)
         raise NotImplementedError(
             "decode_real needs the optional 'pillow' dependency for "
-            "non-PPM formats (pip install pillow); decode_stub is the "
-            "hermetic default and P6 PPM decodes without Pillow"
+            "non-PPM/PNG formats (pip install pillow); decode_stub is "
+            "the hermetic default and P6 PPM / PNG decode without "
+            "Pillow"
         ) from exc
     with Image.open(io.BytesIO(payload)) as im:
         return {
@@ -372,9 +503,10 @@ def phash_real(payload: bytes) -> int:
     """Real 32-bit dHash (Krawetz's difference hash, public
     methodology): decode to RGB pixels, then the shared
     :func:`_dhash_rgb` kernel (luma, 9x4 block-mean resize, left>right
-    bits). P6 PPM payloads decode with NO optional dependency
-    (:func:`phash_ppm`); other formats decode via Pillow with the same
-    gated import as :func:`decode_real` — but the RESIZE KERNEL is the
+    bits). P6 PPM and PNG payloads decode with NO optional dependency
+    (:func:`phash_ppm`, :func:`_parse_png`); other formats decode via
+    Pillow with the same gated import as :func:`decode_real` — and in
+    every case the RESIZE KERNEL is the
     numpy one on BOTH paths (Pillow only decodes; it never resizes), so
     the same pixel content in a PPM and a PNG hashes to the same bits
     and cross-format near-dup banding cannot miss pairs on a kernel
@@ -387,11 +519,14 @@ def phash_real(payload: bytes) -> int:
         return phash_ppm(payload)
     try:
         from PIL import Image
-    except ImportError as exc:  # pragma: no cover - container lacks PIL
+    except ImportError as exc:
+        if payload.startswith(_PNG_SIG):
+            _, _, rgb = _parse_png(payload)
+            return _dhash_rgb(rgb)
         raise NotImplementedError(
             "phash_real needs the optional 'pillow' dependency for "
-            "non-PPM formats (pip install pillow); phash_stub is the "
-            "hermetic default and P6 PPM hashes without Pillow"
+            "non-PPM/PNG formats (pip install pillow); phash_stub is "
+            "the hermetic default and P6 PPM / PNG hash without Pillow"
         ) from exc
     import numpy as np
 
