@@ -148,6 +148,31 @@ CAL_ROWS_PER_SLOT = 37_500_000
 #: artifact) so fresh checkouts and --all sweeps behave identically.
 FAST_QUERY_SEC = 1.5
 
+#: a SECOND trigger for the third sample (r14): any query whose
+#: best-of-2 spread exceeds this percent re-samples regardless of
+#: absolute time. The r14 close demonstrated the hole in the
+#: fast-only rule: incremental_minhash_dedup (1.7-2.2 s, a
+#: localCheckpoint-heavy plan with a measured 74% standalone band)
+#: recorded a 15.9% two-sample spread, flagged 1.31x against the
+#: drift-contaminated r13 artifact, and cost a standalone best-of-6
+#: adjudication — the same per-round tax rounds 8-13 paid for the
+#: sub-second class before best-of-3. A noisy pair is the signature of
+#: an under-measured band: the third sample both tightens the reported
+#: minimum and grows the recorded spread toward the true band, so the
+#: regression gate sees honest noise. ~25 s extra wall on the r14
+#: close mix (11 queries); recorded totals stay comparable (best-of-N
+#: sums). Sample counts remain DERIVABLE from the artifact (the
+#: bench_regress contract): final spread >= the triggering two-sample
+#: spread, so on a bv>=2 artifact "3 samples iff time < FAST_QUERY_SEC
+#: or sp > SPREAD_RESAMPLE_PCT" is exact.
+SPREAD_RESAMPLE_PCT = 15.0
+
+#: bench line format version: 2 = the spread-resample rule is active
+#: (bench_regress keys its sample-count inference on this; artifacts
+#: with cal2 but no bv are the r13 fast-only era, artifacts with
+#: neither are the best-of-2 era)
+BENCH_VERSION = 2
+
 #: |cal -> cal_end| within-run drift past which the whole headline loop
 #: is RE-RUN once and the better-witnessed attempt becomes the emitted
 #: artifact (r14, VERDICT r13 #2). BENCH_r13 is the motivating example:
@@ -242,6 +267,7 @@ def compact_line(
         "queries": times,
         "sp": sp_for(times),
         "sf": sf,
+        "bv": BENCH_VERSION,
     }
     if cal is not None:
         # machine-speed scalar (r9): ~12 bytes, included BEFORE the
@@ -370,9 +396,13 @@ def run_suite(spark, qs, names, sf_dir: str) -> dict:
                 # release localCheckpoint blocks of the finished run: the JVM
                 # frees them only when the Python-side DataFrame is collected
                 gc.collect()
-            if min(samples) < FAST_QUERY_SEC:
-                # sub-1.5s queries carry the round-to-round noise flags:
-                # a third sample tightens best-of-N where it matters
+            spread2 = 100.0 * (max(samples) - min(samples)) / min(samples)
+            if min(samples) < FAST_QUERY_SEC or spread2 > SPREAD_RESAMPLE_PCT:
+                # sub-1.5s queries carry the round-to-round noise flags
+                # (r13 rule), and a noisy best-of-2 pair at ANY time
+                # scale marks an under-measured band (r14 rule,
+                # SPREAD_RESAMPLE_PCT): a third sample tightens
+                # best-of-N exactly where the false flags live
                 t0 = time.monotonic()
                 materialize(qs[name](spark, sf_dir))
                 samples.append(time.monotonic() - t0)
@@ -486,6 +516,7 @@ def main() -> int:
     # is the LAST line and stays under the tail capture.
     enriched = {
         "detail": "runs_and_spread",
+        "bv": BENCH_VERSION,
         "queries": times,  # full dict even when the compact line truncates
         "runs": runs,
         "spread_pct": spread_pct,

@@ -515,3 +515,66 @@ def test_bench_regress_notes_sample_asymmetry_and_retries(tmp_path):
     )
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert "sample_asymmetry" not in out
+
+
+def test_spread_triggered_third_sample(monkeypatch):
+    """r14: a noisy best-of-2 pair (spread > SPREAD_RESAMPLE_PCT) takes
+    a third sample at ANY time scale — the under-measured-band hole the
+    fast-only rule left (the r14 close's 1.31x flag on a 74%-band
+    query that recorded a 15.9% two-sample spread). Quiet slow queries
+    stay at two samples; fast queries keep their r13 rule."""
+    ticks = iter(
+        [0, 2.0, 10, 12.8, 20, 22.1,    # noisy slow: 2.0/2.8 -> +2.1
+         30, 33.0, 40, 43.2,            # quiet slow: 3.0/3.2, no 3rd
+         50, 51.0, 60, 61.1, 70, 70.9]  # fast: 1.0/1.1 -> +0.9
+    )
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(ticks))
+    monkeypatch.setattr(bench, "materialize", lambda df: None)
+    monkeypatch.setattr(bench, "calibrate", lambda spark: 1.0)
+    qs = {n: (lambda spark, sf: None) for n in ("noisy", "quiet", "fast")}
+    suite = bench.run_suite(object(), qs, ["noisy", "quiet", "fast"], "sf")
+    assert [len(suite["runs"][n]) for n in ("noisy", "quiet", "fast")] == [3, 2, 3]
+    assert suite["times"] == {"noisy": 2.0, "quiet": 3.0, "fast": 0.9}
+    # the recorded spread grew toward the true band (>= the trigger)
+    assert suite["spread_pct"]["noisy"] >= 40.0
+
+
+def test_bv_marker_and_cross_era_inference(tmp_path):
+    """The compact line carries bv=2, and bench_regress infers sample
+    counts per era: on a bv>=2 artifact a slow query with sp > 15 is
+    best-of-3; on a cal2-only (r13) artifact the same query is
+    best-of-2 — so a bv2-vs-r13 pair notes it, and a bv2-vs-bv2 pair
+    does not."""
+    import subprocess
+    import sys
+
+    line = bench.compact_line({"x_q": 2.0}, 2.0, 0.1, {"x_q": 40.0}, 0.8)
+    assert json.loads(line)["bv"] == bench.BENCH_VERSION >= 2
+
+    def artifact(path, extra, sp):
+        parsed = {
+            "metric": "headline_queries_total", "value": 10.0,
+            "unit": "sec",
+            "queries": {"noisy_slow_q": 2.0, "quiet_slow_q": 8.0},
+            "sp": sp, "sf": 0.1, "cal": 0.8,
+        }
+        parsed.update(extra)
+        path.write_text(json.dumps({"n": 8, "parsed": parsed}))
+
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    artifact(old, {"cal2": 0.81}, [40, 5])            # r13 era
+    artifact(new, {"cal2": 0.82, "bv": 2}, [40, 5])   # r14 era
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["sample_asymmetry"] == ["noisy_slow_q"]  # not the quiet one
+    artifact(old, {"cal2": 0.81, "bv": 2}, [40, 5])   # same era
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert "sample_asymmetry" not in json.loads(
+        proc.stdout.strip().splitlines()[-1]
+    )

@@ -208,16 +208,28 @@ def main() -> int:
     try:
         sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
         from bench import FAST_QUERY_SEC as _fast
+        from bench import SPREAD_RESAMPLE_PCT as _resample
     except Exception:
-        _fast = 1.5
+        _fast, _resample = 1.5, 15.0
 
-    def n_samples(art: dict, t: float) -> int:
-        best_of_3_era = ("cal2" in art) or ("cal_end" in art)
-        return 3 if best_of_3_era and t < _fast else 2
+    def n_samples(art: dict, spread: dict, name: str, t: float) -> int:
+        # three eras, each identifiable from the artifact itself:
+        # bv>=2 (r14+): 3rd sample iff fast OR noisy pair — final
+        # spread >= the triggering two-sample spread, so sp > threshold
+        # is an exact witness; cal2-without-bv (r13): fast-only rule;
+        # neither: best-of-2 everywhere.
+        if art.get("bv", 0) >= 2:
+            return 3 if (
+                t < _fast or (spread.get(name) or 0.0) > _resample
+            ) else 2
+        if ("cal2" in art) or ("cal_end" in art):
+            return 3 if t < _fast else 2
+        return 2
 
     asym = sorted(
         n for n in common
-        if n_samples(old, oq[n]) != n_samples(new, nq[n])
+        if n_samples(old, old_spread, n, oq[n])
+        != n_samples(new, new_spread, n, nq[n])
     )
     if asym:
         out["sample_asymmetry"] = asym
