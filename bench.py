@@ -43,7 +43,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tower_parse_spark.session import get_spark  # noqa: E402
+# NOTE: no pyspark import at module level — tools/bench_regress.py and
+# the contract tests import this module ONLY for its constants and
+# pure-Python helpers (compact_line, run_suite), and must not pay the
+# multi-second pyspark import (or silently fall back to stale hardcoded
+# constants when it fails). get_spark is imported inside main().
 
 # Representative headline set: relational (scan/join/agg/window), ingest
 # (regex extract + count packs), and the LLM-pipeline families (dedup,
@@ -282,8 +286,11 @@ def compact_line(
         # better-witnessed of TWO runs; "rtd" = the DISCARDED run's
         # within-run drift percent (int), proof the retry fired and what
         # it replaced — enough for bench_regress adjudication without
-        # prose. The full discard record is in the enriched line.
-        compact["rtd"] = int(round(retry_note["discarded_drift_pct"] or 0))
+        # prose. The full discard record is in the enriched line. None
+        # when the discarded run's drift was unmeasurable (a cal probe
+        # failed) — 0 would falsely read as "discarded a quiet run".
+        d = retry_note["discarded_drift_pct"]
+        compact["rtd"] = None if d is None else int(round(d))
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) <= COMPACT_LINE_BUDGET:
         return line
@@ -397,7 +404,16 @@ def run_suite(spark, qs, names, sf_dir: str) -> dict:
                 # frees them only when the Python-side DataFrame is collected
                 gc.collect()
             spread2 = 100.0 * (max(samples) - min(samples)) / min(samples)
-            if min(samples) < FAST_QUERY_SEC or spread2 > SPREAD_RESAMPLE_PCT:
+            # trigger on the INT-ROUNDED spread: the compact artifact
+            # records sp as integers, and the inference contract
+            # ("3 samples iff sp > threshold on a bv>=2 artifact") must
+            # hold after that rounding — a raw `spread2 > 15` trigger
+            # at spread 15.2 records sp=15 and reads as best-of-2
+            # (review r14). int(round(final)) >= int(round(spread2)) by
+            # monotonicity, so the recorded witness stays exact.
+            if min(samples) < FAST_QUERY_SEC or int(
+                round(spread2)
+            ) > SPREAD_RESAMPLE_PCT:
                 # sub-1.5s queries carry the round-to-round noise flags
                 # (r13 rule), and a noisy best-of-2 pair at ANY time
                 # scale marks an under-measured band (r14 rule,
@@ -437,6 +453,8 @@ def main() -> int:
     sf = float(m.group(1)) if m else 0.0
 
     import __spark_entry__ as entrymod
+
+    from tower_parse_spark.session import get_spark
 
     qs = entrymod.queries()
     spark = get_spark("bench")

@@ -416,7 +416,11 @@ def _run_main(monkeypatch, capsys, suites, argv=("bench.py",)):
         pass
 
     monkeypatch.setattr(bench, "run_suite", fake_run_suite)
-    monkeypatch.setattr(bench, "get_spark", lambda name: _DummySpark())
+    # main() imports get_spark lazily (bench stays pyspark-free at
+    # module level) — patch it at its source module
+    monkeypatch.setattr(
+        "tower_parse_spark.session.get_spark", lambda name: _DummySpark()
+    )
     monkeypatch.setattr("sys.argv", list(argv))
     assert bench.main() == 0
     lines = [
@@ -578,3 +582,35 @@ def test_bv_marker_and_cross_era_inference(tmp_path):
     assert "sample_asymmetry" not in json.loads(
         proc.stdout.strip().splitlines()[-1]
     )
+
+
+def test_spread_trigger_matches_recorded_rounding(monkeypatch):
+    """Review r14: the trigger fires on the INT-ROUNDED spread so the
+    compact artifact's integer sp remains an exact sample-count
+    witness — a 15.2% pair (records sp=15) must NOT take a third
+    sample, a 15.6% pair (records sp>=16) must."""
+    ticks = iter(
+        [0, 2.0, 10, 12.304,              # spread 15.2% -> no 3rd
+         20, 22.0, 30, 33.12, 40, 42.2]   # spread 15.6% -> 3rd
+    )
+    monkeypatch.setattr(bench.time, "monotonic", lambda: next(ticks))
+    monkeypatch.setattr(bench, "materialize", lambda df: None)
+    monkeypatch.setattr(bench, "calibrate", lambda spark: 1.0)
+    qs = {n: (lambda spark, sf: None) for n in ("edge_lo", "edge_hi")}
+    suite = bench.run_suite(object(), qs, ["edge_lo", "edge_hi"], "sf")
+    assert [len(suite["runs"][n]) for n in ("edge_lo", "edge_hi")] == [2, 3]
+
+
+def test_rtd_none_when_discarded_drift_unmeasurable(monkeypatch, capsys):
+    """Review r14: a retry whose cal probe failed has unknowable drift;
+    the marker must record null, not a false 'discarded a 0%-drift
+    run'."""
+    drifty = _fake_suite({"q1_pricing_summary": 7.0}, 1.0, 1.6)   # +60%
+    broken = _fake_suite({"q1_pricing_summary": 6.0}, 1.0, None)  # no cal2
+    enriched, compact, n_calls = _run_main(monkeypatch, capsys, [drifty, broken])
+    assert n_calls == 2
+    # unmeasurable retry is the one discarded; its drift goes on record
+    # as null, and the kept run is the measured (if drifty) first pass
+    assert compact["queries"]["q1_pricing_summary"] == 7.0
+    assert compact["rtd"] is None
+    assert enriched["retry"]["discarded_drift_pct"] is None

@@ -244,3 +244,32 @@ def test_deep_fingerprint_walks_once_per_changed_state(spark, tmp_path):
         )
     finally:
         _os.walk = real_walk
+
+
+def test_deep_fingerprint_sees_depth4_create(spark, tmp_path):
+    """Review r14: the memo signature must catch a Spark-committer
+    create at ANY nesting depth. Three-level partitioning (files at
+    depth 4): a new file inside an existing leaf dir bumps only that
+    depth-3 dir's mtime — invisible to a depth<=2 signature, caught by
+    the dirs-at-every-depth stats."""
+    import os as _os
+
+    import tower_parse_spark.session as S
+
+    d = str(tmp_path)
+    tbl = f"{d}/region.parquet"
+    spark.range(8).selectExpr(
+        "id as r_regionkey",
+        "cast(id % 2 as int) as y",
+        "cast(id % 2 as int) as m",
+        "cast(id % 2 as int) as dd",
+    ).write.partitionBy("y", "m", "dd").parquet(tbl)
+    S._DEEP_FP_MEMO.clear()
+    fp1 = S._table_fingerprint(d, "region")
+    assert S._table_fingerprint(d, "region") == fp1  # memo hit
+    leaf = f"{tbl}/y=1/m=1/dd=1"
+    assert _os.path.isdir(leaf)
+    with open(_os.path.join(leaf, "part-extra.parquet.tmp2"), "w") as f:
+        f.write("x")
+    fp2 = S._table_fingerprint(d, "region")
+    assert fp2 != fp1  # signature missed the memo, walk re-ran

@@ -498,3 +498,95 @@ def test_decode_real_png_through_arrow_path(spark):
     }
     assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (20, 10, "png")
     assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (33, 7, "ppm")
+
+
+def test_unsupported_png_names_pillow_without_it():
+    """Review r14: a VALID PNG beyond the hermetic subset must fail the
+    same way a JPEG does — NotImplementedError naming the pillow remedy
+    — not an environment-dependent bare ValueError; malformed payloads
+    stay ValueError."""
+    import struct
+    import sys
+    import zlib
+
+    import pytest as _pytest
+
+    if "PIL" in sys.modules or _has_pil():
+        _pytest.skip("Pillow installed — the gated branch never runs")
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    interlaced = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        M.decode_real(interlaced)
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        M.phash_real(interlaced)
+    # malformed (not merely unsupported) stays ValueError through the
+    # same dispatch
+    import numpy as np
+
+    with _pytest.raises(ValueError, match="truncated"):
+        M.decode_real(_png(np.zeros((2, 2, 3), dtype=np.uint8))[:-20])
+
+
+def _has_pil():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_parse_png_rejects_bomb_and_bad_chunks():
+    """Review r14: the inflate is bounded by the declared raster size
+    (a tiny payload declaring 1x1 but carrying a huge compressed stream
+    must fail fast as a length mismatch, not materialize gigabytes);
+    non-13-byte IHDR and out-of-range palette indices are ValueError,
+    not struct.error / IndexError."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    bomb = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (64 * 1024 * 1024), 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 256 * 1024  # highly compressible: a real bomb shape
+    with _pytest.raises(ValueError, match="length mismatch"):
+        M._parse_png(bomb)
+
+    short_ihdr = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIB", 1, 1, 8))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IHDR length"):
+        M._parse_png(short_ihdr)
+
+    # palette index 5 with a 2-entry PLTE
+    raster = zlib.compress(b"\x00" + bytes([0, 5]))
+    oob = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))
+        + chunk(b"IDAT", raster)
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        M._parse_png(oob)

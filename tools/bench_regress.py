@@ -90,6 +90,19 @@ def main() -> int:
         d = d.get("parsed", d) or d
         return expand_sp(d)
 
+    # shared thresholds: import from bench.py (which is pyspark-free at
+    # module level precisely so this stays cheap) instead of duplicating
+    # literals that would silently desynchronize the two tools
+    try:
+        sys.path.insert(
+            0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        from bench import DRIFT_RETRY_PCT as _drift_bar
+        from bench import FAST_QUERY_SEC as _fast
+        from bench import SPREAD_RESAMPLE_PCT as _resample
+    except Exception:
+        _fast, _resample, _drift_bar = 1.5, 15.0, 15.0
+
     old, new = load(sys.argv[1]), load(sys.argv[2])
     oq, nq = old["queries"], new["queries"]
     # machine-speed normalization (r9): only when BOTH sides measured it
@@ -177,7 +190,7 @@ def main() -> int:
     for label, art in (("old", old), ("new", new)):
         c0 = art.get("cal")
         c1 = art.get("cal2", art.get("cal_end"))
-        if c0 and c1 and abs(c1 - c0) / c0 > 0.15:
+        if c0 and c1 and abs(c1 - c0) / c0 > _drift_bar / 100.0:
             unstable.append(
                 {"artifact": label, "cal": c0, "cal_end": c1,
                  "drift_pct": round(100.0 * (c1 - c0) / c0, 1)}
@@ -205,13 +218,6 @@ def main() -> int:
     # arrays, so the prefix comparison ADVICE offered is impossible from
     # the record — the note is the feasible half, and it marks exactly
     # the queries whose ratios carry the one-sided bias.
-    try:
-        sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-        from bench import FAST_QUERY_SEC as _fast
-        from bench import SPREAD_RESAMPLE_PCT as _resample
-    except Exception:
-        _fast, _resample = 1.5, 15.0
-
     def n_samples(art: dict, spread: dict, name: str, t: float) -> int:
         # three eras, each identifiable from the artifact itself:
         # bv>=2 (r14+): 3rd sample iff fast OR noisy pair — final

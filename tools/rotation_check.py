@@ -114,7 +114,8 @@ def plan_drift(
     path = digest_path or PD.DIGEST_FILE
     try:
         with open(path) as f:
-            recorded = json.load(f)["digests"]
+            doc = json.load(f)
+        recorded = doc["digests"]
     except (OSError, ValueError, KeyError):
         # no record at all: every deferred query is unverifiable —
         # surface that loudly rather than passing vacuously
@@ -125,7 +126,12 @@ def plan_drift(
 
     spark = get_spark("rotation_plan_drift")
     spark.sparkContext.setLogLevel("ERROR")
-    current = PD.compute_digests(spark, names=deferred)
+    # recompute at the SAME sf_dir the record was written against (the
+    # record stores it): comparing digests across fixture scales would
+    # flag scale-coupled plan strings as false drift
+    current = PD.compute_digests(
+        spark, sf_dir=doc.get("sf_dir", PD.DEFAULT_SF_DIR), names=deferred
+    )
     return sorted(
         q
         for q in deferred

@@ -116,6 +116,15 @@ def decode_ppm(payload: bytes) -> dict:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+class UnsupportedPngError(ValueError):
+    """A VALID PNG using features the hermetic decoder deliberately
+    omits (interlace, 16-bit depth, exotic color types). Distinct from
+    plain ValueError (malformed payload) so the Pillow-gated dispatch
+    can name the optional dependency as the remedy for exactly the
+    payloads Pillow WOULD decode — environment-independent behavior
+    per payload class (review r14)."""
+
+
 def _parse_png(payload: bytes):
     """Parse a (non-interlaced, 8-bit-depth) PNG with NO third-party
     decoder — the spec (RFC 2083 / ISO 15948) plus stdlib ``zlib`` is
@@ -148,8 +157,12 @@ def _parse_png(payload: bytes):
             raise ValueError("truncated PNG chunk")
         pos += 12 + length  # len + type + data + crc (crc not verified)
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad PNG IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError(f"bad PNG PLTE length {length}")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -160,19 +173,30 @@ def _parse_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
-    if depth != 8 or comp != 0 or filt != 0:
-        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"invalid PNG (comp={comp}, filter_method={filt})")
+    if depth != 8:
+        raise UnsupportedPngError(f"unsupported PNG bit depth {depth}")
     if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
+        raise UnsupportedPngError("interlaced (Adam7) PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
-        raise ValueError(f"unknown PNG color type {color}")
+        raise UnsupportedPngError(f"unknown PNG color type {color}")
+    stride = w * channels
+    expected = h * (stride + 1)
+    # bound the inflate to the declared raster size BEFORE materializing
+    # anything: a tiny payload can declare a 1x1 IHDR yet carry a
+    # multi-GB compressed stream (decompression bomb) — cap at
+    # expected+1 so over-length is detected without allocating it
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
+    # max_length=expected+1 makes BOTH failure modes read as a length
+    # mismatch: a short stream inflates to < expected, an over-long one
+    # returns exactly expected+1 bytes (and no more)
+    if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
@@ -215,6 +239,11 @@ def _parse_png(payload: bytes):
     elif color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
+        if int(px.max()) >= len(plte):
+            raise ValueError(
+                f"PNG palette index {int(px.max())} out of range "
+                f"({len(plte)} entries)"
+            )
         rgb = plte[px[:, :, 0]]
     elif color == 4:
         rgb = np.repeat(px[:, :, :1], 3, axis=2)
@@ -260,7 +289,18 @@ def decode_real(payload: bytes) -> dict:
         from PIL import Image
     except ImportError as exc:
         if payload.startswith(_PNG_SIG):
-            return decode_png(payload)
+            try:
+                return decode_png(payload)
+            except UnsupportedPngError as sub:
+                # a VALID PNG beyond the hermetic subset (interlaced,
+                # 16-bit, ...): Pillow would decode it, so name the
+                # remedy — same error class a JPEG gets here, instead
+                # of an environment-dependent ValueError
+                raise NotImplementedError(
+                    f"decode_real: {sub} — the hermetic decoder covers "
+                    "8-bit non-interlaced PNGs; install the optional "
+                    "'pillow' dependency for the rest"
+                ) from sub
         raise NotImplementedError(
             "decode_real needs the optional 'pillow' dependency for "
             "non-PPM/PNG formats (pip install pillow); decode_stub is "
@@ -521,7 +561,14 @@ def phash_real(payload: bytes) -> int:
         from PIL import Image
     except ImportError as exc:
         if payload.startswith(_PNG_SIG):
-            _, _, rgb = _parse_png(payload)
+            try:
+                _, _, rgb = _parse_png(payload)
+            except UnsupportedPngError as sub:
+                raise NotImplementedError(
+                    f"phash_real: {sub} — the hermetic decoder covers "
+                    "8-bit non-interlaced PNGs; install the optional "
+                    "'pillow' dependency for the rest"
+                ) from sub
             return _dhash_rgb(rgb)
         raise NotImplementedError(
             "phash_real needs the optional 'pillow' dependency for "

