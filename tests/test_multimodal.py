@@ -590,3 +590,36 @@ def test_parse_png_rejects_bomb_and_bad_chunks():
     )
     with _pytest.raises(ValueError, match="palette index"):
         M._parse_png(oob)
+
+
+def test_parse_png_roundtrip_property():
+    """Property: decode(encode(img)) == img for arbitrary sizes, pixel
+    content, per-row filter choices, and color types — the two
+    implementations are independent readings of the same public spec,
+    so agreement across the randomized space pins both."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 23),
+        h=st.integers(1, 17),
+        seed=st.integers(0, 2**31 - 1),
+        color=st.sampled_from([0, 2, 3, 6]),
+        fseed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, seed, color, fseed):
+        rng = np.random.RandomState(seed)
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if color == 0:  # gray container: all channels equal
+            rgb = np.repeat(rgb[:, :, :1], 3, axis=2)
+        if color == 3:  # palette container: <=256 distinct colors
+            rgb = (rgb // 52) * 52
+        filters = list(np.random.RandomState(fseed).randint(0, 5, size=h))
+        got_w, got_h, got = M._parse_png(_png(rgb, color_type=color, filters=filters))
+        assert (got_w, got_h) == (w, h)
+        assert (got == rgb).all()
+
+    check()
