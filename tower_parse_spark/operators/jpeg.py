@@ -1,0 +1,350 @@
+"""Hermetic baseline-JPEG decoder — public spec (ITU-T T.81), stdlib +
+numpy only.
+
+Completes the multimodal real-decode family (PPM r13, PNG r14): with
+this, ``decode_real`` / ``phash_real`` handle the three dominant
+interchange formats with NO optional dependency, and the Pillow gate
+shrinks to progressive/arithmetic JPEG, WebP and friends. Scope is
+baseline sequential DCT (SOF0; SOF1's extended-sequential huffman
+decodes identically at 8-bit): huffman entropy decoding with byte
+un-stuffing and restart markers, dequantization, zigzag, float IDCT,
+chroma upsampling for any sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
+...), JFIF full-range BT.601 YCbCr->RGB, grayscale replication.
+Valid-but-unsupported streams (progressive SOF2, arithmetic coding,
+12-bit precision, hierarchical) raise :class:`UnsupportedJpegError`
+so the multimodal dispatch can name Pillow as the remedy, exactly the
+PNG contract.
+
+Like the PNG path, this is the hermetic correctness reference, not a
+throughput engine: the entropy decode is a per-symbol Python loop
+(the IDCT and color transform are vectorized numpy). An installed
+Pillow takes over decode speed-wise; pixels may differ from Pillow's
+by IDCT/upsampling rounding (JPEG decoders are not bit-specified).
+What the tests pin: round-trip fidelity against an independent
+spec-derived encoder (PSNR floors; dHash bit-identity through the
+round-trip on smooth content), clean full-stream decode of real
+encoder output shipped in this container (grayscale, 4:2:0, and a
+100 KB photo with restart markers), and the Unsupported/malformed
+error contract."""
+
+from __future__ import annotations
+
+
+class UnsupportedJpegError(ValueError):
+    """A VALID JPEG using features outside the baseline subset
+    (progressive, arithmetic coding, 12-bit, hierarchical). Distinct
+    from plain ValueError (malformed payload) so the Pillow-gated
+    dispatch can name the optional dependency as the remedy."""
+
+
+#: zigzag scan order: index i of the scan -> (row, col) flattened index
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_matrix():
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+class _HuffTable:
+    """Canonical JPEG huffman table: decode one symbol by reading bits
+    MSB-first, extending the code until it matches (max 16 bits, per
+    spec)."""
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, handling
+    0xFF00 byte stuffing and stopping at (reporting) restart/other
+    markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing 0xFF marker is hit
+
+    def _fill(self) -> bool:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                return self.nbits > 0
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                if nxt == 0x00:
+                    self.pos += 2  # stuffed literal 0xFF
+                elif nxt is None:
+                    return self.nbits > 0
+                else:
+                    self.marker = nxt  # scan ends here (RST or EOI/..)
+                    return self.nbits > 0
+            else:
+                self.pos += 1
+                b = d[self.pos - 1]
+            self.buf = (self.buf << 8) | b
+            self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("JPEG entropy stream truncated")
+        if self.nbits == 0:
+            raise ValueError("JPEG entropy stream truncated")
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _HuffTable) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Byte-align, consume the expected RSTn marker (cheap spec
+        interpretation: discard buffered bits, marker must be next)."""
+        self.buf = 0
+        self.nbits = 0
+        if self.marker is None:
+            # marker not yet seen: it must be at the current byte pos
+            if (
+                self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+            ):
+                self.marker = self.data[self.pos + 1]
+                self.pos += 0
+            else:
+                raise ValueError("expected JPEG restart marker")
+        if self.marker != 0xD0 + (n % 8):
+            raise ValueError(
+                f"JPEG restart marker out of sequence: "
+                f"got {self.marker:#x}, want {0xD0 + (n % 8):#x}"
+            )
+        self.pos += 2  # consume FF Dn
+        self.marker = None
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _parse_jpeg(payload: bytes):
+    """Decode a baseline JPEG to ``(width, height, HxWx3 uint8 RGB)``.
+    Raises ValueError on malformed streams, UnsupportedJpegError on
+    valid-but-out-of-scope ones (see module docstring)."""
+    import numpy as np
+
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None  # (w, h, components)
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise UnsupportedJpegError("16-bit JPEG quant table")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated DQT")
+                qt[tq] = np.frombuffer(
+                    seg[p + 1:p + 65], dtype=np.uint8
+                ).astype(np.float64)
+                p += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline huffman
+            if seg[0] != 8:
+                raise UnsupportedJpegError(
+                    f"JPEG precision {seg[0]} (8-bit only)"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nf = seg[5]
+            if h == 0 or w == 0:
+                raise ValueError("bad JPEG dimensions")
+            if nf not in (1, 3):
+                raise UnsupportedJpegError(f"JPEG with {nf} components")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpegError(
+                f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1:p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17:p + 17 + n])
+                if len(symbols) != n:
+                    raise ValueError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(
+                    (c for c in frame[2] if c["id"] == cid), None
+                )
+                if comp is None:
+                    raise ValueError("JPEG scan references unknown component")
+                scan.append((comp, tt >> 4, tt & 15))
+            if len(scan) != len(frame[2]):
+                raise UnsupportedJpegError("multi-scan JPEG")
+            return _decode_scan(
+                payload, pos + 2 + seglen, frame, scan, qt,
+                huff_dc, huff_ac, restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG has no scan data (missing SOS)")
+
+
+def _decode_scan(
+    payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    import numpy as np
+
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax == 0 or vmax == 0 or any(
+        c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4) for c in comps
+    ):
+        raise ValueError("bad JPEG sampling factors")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _idct_matrix()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(comps)
+    zz = np.array(_ZIGZAG)
+    n_mcu = mcux * mcuy
+    rst_count = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.align_and_expect_rst(rst_count)
+            rst_count += 1
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (comp, td, ta) in enumerate(scan):
+            if td not in huff_dc or ta not in huff_ac:
+                raise ValueError("JPEG scan references missing huffman table")
+            q = qt[comp["tq"]]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    coefs = np.zeros(64, dtype=np.float64)
+                    s = reader.decode(huff_dc[td])
+                    if s > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[ci] += diff
+                    coefs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        coefs[k] = _extend(reader.receive(s), s)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zz] = coefs * q
+                    spatial = m.T @ block.reshape(8, 8) @ m + 128.0
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+    out = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        ych = np.clip(out[0], 0, 255)
+        rgb = np.repeat(ych[:, :, None], 3, axis=2)
+        return w, h, rgb.round().astype(np.uint8)
+    y, cb, cr = out
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return w, h, np.clip(rgb.round(), 0, 255).astype(np.uint8)

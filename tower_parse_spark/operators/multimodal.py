@@ -252,6 +252,24 @@ def _parse_png(payload: bytes):
     return w, h, np.ascontiguousarray(rgb)
 
 
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL decode of a baseline JPEG with NO optional dependency
+    (operators/jpeg.py — ITU-T T.81 huffman + IDCT, stdlib + numpy),
+    same contract as :func:`decode_stub` / :func:`decode_real` (r14;
+    with PPM and PNG this closes the hermetic-decode gap for the three
+    dominant interchange formats — Pillow now gates only
+    progressive/arithmetic JPEG, WebP and rarer formats)."""
+    from tower_parse_spark.operators.jpeg import _parse_jpeg
+
+    width, height, _ = _parse_jpeg(payload)
+    return {
+        "n_bytes": len(payload),
+        "width": width,
+        "height": height,
+        "format": "jpeg",
+    }
+
+
 def decode_png(payload: bytes) -> dict:
     """REAL decode of a PNG payload with NO optional dependency
     (:func:`_parse_png` — stdlib zlib + numpy), same contract as
@@ -294,18 +312,30 @@ def decode_real(payload: bytes) -> dict:
             except UnsupportedPngError as sub:
                 # a VALID PNG beyond the hermetic subset (interlaced,
                 # 16-bit, ...): Pillow would decode it, so name the
-                # remedy — same error class a JPEG gets here, instead
+                # remedy — same error class a WebP gets here, instead
                 # of an environment-dependent ValueError
                 raise NotImplementedError(
                     f"decode_real: {sub} — the hermetic decoder covers "
                     "8-bit non-interlaced PNGs; install the optional "
                     "'pillow' dependency for the rest"
                 ) from sub
+        if payload.startswith(b"\xff\xd8"):
+            from tower_parse_spark.operators.jpeg import (
+                UnsupportedJpegError,
+            )
+
+            try:
+                return decode_jpeg(payload)
+            except UnsupportedJpegError as sub:
+                raise NotImplementedError(
+                    f"decode_real: {sub} — the hermetic decoder covers "
+                    "baseline sequential JPEG; install the optional "
+                    "'pillow' dependency for the rest"
+                ) from sub
         raise NotImplementedError(
             "decode_real needs the optional 'pillow' dependency for "
-            "non-PPM/PNG formats (pip install pillow); decode_stub is "
-            "the hermetic default and P6 PPM / PNG decode without "
-            "Pillow"
+            "formats beyond PPM/PNG/baseline-JPEG (pip install "
+            "pillow); decode_stub is the hermetic default"
         ) from exc
     with Image.open(io.BytesIO(payload)) as im:
         return {
@@ -570,10 +600,25 @@ def phash_real(payload: bytes) -> int:
                     "'pillow' dependency for the rest"
                 ) from sub
             return _dhash_rgb(rgb)
+        if payload.startswith(b"\xff\xd8"):
+            from tower_parse_spark.operators.jpeg import (
+                UnsupportedJpegError,
+                _parse_jpeg,
+            )
+
+            try:
+                _, _, rgb = _parse_jpeg(payload)
+            except UnsupportedJpegError as sub:
+                raise NotImplementedError(
+                    f"phash_real: {sub} — the hermetic decoder covers "
+                    "baseline sequential JPEG; install the optional "
+                    "'pillow' dependency for the rest"
+                ) from sub
+            return _dhash_rgb(rgb)
         raise NotImplementedError(
             "phash_real needs the optional 'pillow' dependency for "
-            "non-PPM/PNG formats (pip install pillow); phash_stub is "
-            "the hermetic default and P6 PPM / PNG hash without Pillow"
+            "formats beyond PPM/PNG/baseline-JPEG (pip install "
+            "pillow); phash_stub is the hermetic default"
         ) from exc
     import numpy as np
 
