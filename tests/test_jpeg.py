@@ -320,3 +320,158 @@ def test_malformed_streams_are_valueerror():
     )
     with pytest.raises(ValueError, match="quant table"):
         _parse_jpeg(missing_tables)
+
+
+def _find_marker(payload: bytes, marker: int) -> int:
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos + 1] == marker:
+            return pos
+        pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+    raise AssertionError(f"marker {marker:#x} not found")
+
+
+def test_noninterleaved_single_component_with_subsampling_factors():
+    """Review r14 #1: per T.81 A.2 a one-component scan is
+    NON-interleaved (one data unit per MCU, raster over the component's
+    own dims) regardless of its sampling factors — jpegtran -grayscale
+    keeps the source Y's 2x2 factors. Same entropy data, SOF patched
+    from 1x1 to 2x2, must decode to identical pixels (for nf=1 the
+    component's subsampled dims ARE the image dims)."""
+    xs, ys = np.meshgrid(np.arange(24), np.arange(16))
+    img = np.repeat((xs * 9 + ys * 4).clip(0, 255).astype(np.uint8)[:, :, None], 3, 2)
+    p = _jpeg(img, gray=True)
+    _, _, want = _parse_jpeg(p)
+    sof = _find_marker(p, 0xC0)
+    assert p[sof + 4 + 7] == 0x11
+    patched = bytearray(p)
+    patched[sof + 4 + 7] = 0x22
+    gw, gh, got = _parse_jpeg(bytes(patched))
+    assert (gw, gh) == (24, 16)
+    assert (got == want).all()
+
+
+def test_fill_bytes_before_markers():
+    """Review r14 #2: any number of 0xFF fill bytes may precede a
+    marker (T.81 B.1.1.2) — the walk must skip them, not read the
+    marker byte as a segment-length high byte."""
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    p = _jpeg(img)
+    _, _, want = _parse_jpeg(p)
+    sof = _find_marker(p, 0xC0)
+    stuffed = p[:sof] + b"\xff\xff\xff" + p[sof:]
+    gw, gh, got = _parse_jpeg(stuffed)
+    assert (gw, gh) == (8, 8) and (got == want).all()
+
+
+def test_adobe_rgb_transform_zero():
+    """Review r14 #3: a 3-component frame with APP14 transform=0 (or
+    'R','G','B' component ids) stores RGB directly — rotating it
+    through the YCbCr matrix would hash the wrong pixels. The encoder
+    variant stores the raw channels and stamps APP14; decode must
+    return ~the original RGB, not a color-rotated smear."""
+    import struct
+
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    # stay near mid-gray so the pre-inverted channels remain in range
+    img = np.stack(
+        [128 + xs * 3, 128 - ys * 3, 128 + xs + ys], axis=2
+    ).clip(0, 255).astype(np.uint8)
+    p = _jpeg_rgb_stored(img)
+    gw, gh, got = _parse_jpeg(p)
+    assert (gw, gh) == (16, 16)
+    assert _psnr(img, got) > 30
+    # the same stream WITHOUT the APP14 marker color-rotates (sanity
+    # that the test is not vacuous): psnr collapses
+    app14 = _find_marker(p, 0xEE)
+    seglen = int.from_bytes(p[app14 + 2:app14 + 4], "big")
+    stripped = p[:app14] + p[app14 + 2 + seglen:]
+    _, _, rotated = _parse_jpeg(stripped)
+    assert _psnr(img, rotated) < 20
+
+
+def _jpeg_rgb_stored(rgb):
+    """Adobe transform=0 variant: channels stored as-is + APP14."""
+    import struct
+
+    base = _jpeg(rgb)
+    # re-encode with identity 'YCbCr': easiest correct construction is
+    # to feed channels that make the encoder's YCbCr equal the RGB we
+    # want stored... instead, build it directly: reuse _jpeg on an
+    # image whose YCbCr equals rgb. Invert the BT.601 full-range
+    # transform.
+    r = np.asarray(rgb, dtype=np.float64)
+    y, cb, cr = r[:, :, 0], r[:, :, 1] - 128.0, r[:, :, 2] - 128.0
+    inv_r = y + 1.402 * cr
+    inv_g = y - 0.344136 * cb - 0.714136 * cr
+    inv_b = y + 1.772 * cb
+    pre = np.stack([inv_r, inv_g, inv_b], axis=2)
+    if pre.min() < 0 or pre.max() > 255:
+        # keep test inputs inside the invertible range
+        raise AssertionError("test image leaves the invertible range")
+    p = _jpeg(pre.round().astype(np.uint8))
+    app14 = (
+        bytes([0xFF, 0xEE])
+        + struct.pack(">H", 2 + 12)
+        + b"Adobe"
+        + bytes([0x65, 0, 0, 0, 0, 0])
+        + bytes([0])  # transform = 0: stored as-is
+    )
+    sof = _find_marker(p, 0xC0)
+    return p[:sof] + app14 + p[sof:]
+
+
+def test_malformed_dht_and_sos_are_valueerror():
+    """Review r14 #4: short DHT/SOF/SOS segments raise ValueError per
+    the contract, never IndexError."""
+    import struct
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    bad_dht = (
+        b"\xff\xd8"
+        + chunk(0xC4, bytes(10))  # counts cut short
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="truncated DHT"):
+        _parse_jpeg(bad_dht)
+    with pytest.raises(ValueError, match="truncated SOF"):
+        _parse_jpeg(b"\xff\xd8" + chunk(0xC0, b"\x08\x00") + b"\xff\xd9")
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(ValueError, match="truncated SOS"):
+        _parse_jpeg(
+            b"\xff\xd8" + chunk(0xC0, sof) + chunk(0xDA, b"") + b"\xff\xd9"
+        )
+
+
+def test_nondivisible_sampling_is_unsupported_not_malformed():
+    """Review r14 #6: H/V up to 4 are legal; non-divisible combinations
+    (3-vs-2) need fractional upsampling we don't do — that is
+    UNSUPPORTED (pillow-remediable), not malformed."""
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    p = bytearray(_jpeg(img))
+    sof = _find_marker(bytes(p), 0xC0)
+    p[sof + 4 + 7] = 0x31          # comp 1: 3x1
+    p[sof + 4 + 10] = 0x21         # comp 2: 2x1 -> 3 % 2 != 0
+    with pytest.raises(UnsupportedJpegError, match="non-divisible"):
+        _parse_jpeg(bytes(p))
+    # factor 5 is outright invalid per spec -> malformed
+    p[sof + 4 + 7] = 0x51
+    with pytest.raises(ValueError, match="sampling"):
+        _parse_jpeg(bytes(p))
+
+
+def test_decode_jpeg_metadata_is_header_only():
+    """Review r14 #5: metadata dims come from the SOF walk; a stream
+    whose SCAN data is garbage still yields metadata (like any header
+    decoder), while phash_real's full decode correctly rejects it."""
+    img = np.full((8, 16, 3), 50, dtype=np.uint8)
+    p = _jpeg(img)
+    sos = _find_marker(p, 0xDA)
+    seglen = int.from_bytes(p[sos + 2:sos + 4], "big")
+    corrupted = p[: sos + 2 + seglen] + b"\x00\x01" + b"\xff\xd9"
+    meta = M.decode_jpeg(corrupted)
+    assert (meta["width"], meta["height"]) == (16, 8)
+    with pytest.raises(ValueError):
+        _parse_jpeg(corrupted)

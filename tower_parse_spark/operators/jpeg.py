@@ -175,9 +175,15 @@ def _parse_jpeg(payload: bytes):
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (w, h, components)
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform flag, when present
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
+        # any number of 0xFF FILL bytes may precede a marker (T.81
+        # B.1.1.2) — skip them, or the marker byte would be parsed as
+        # a segment-length high byte (review r14)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD8:  # stray SOI
             pos += 2
@@ -186,7 +192,7 @@ def _parse_jpeg(payload: bytes):
             break
         seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
         seg = payload[pos + 4:pos + 2 + seglen]
-        if len(seg) != seglen - 2:
+        if seglen < 2 or len(seg) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             p = 0
@@ -201,24 +207,7 @@ def _parse_jpeg(payload: bytes):
                 ).astype(np.float64)
                 p += 65
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline huffman
-            if seg[0] != 8:
-                raise UnsupportedJpegError(
-                    f"JPEG precision {seg[0]} (8-bit only)"
-                )
-            h = int.from_bytes(seg[1:3], "big")
-            w = int.from_bytes(seg[3:5], "big")
-            nf = seg[5]
-            if h == 0 or w == 0:
-                raise ValueError("bad JPEG dimensions")
-            if nf not in (1, 3):
-                raise UnsupportedJpegError(f"JPEG with {nf} components")
-            comps = []
-            for i in range(nf):
-                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
-            frame = (w, h, comps)
+            frame = _parse_sof(seg)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(
@@ -228,6 +217,8 @@ def _parse_jpeg(payload: bytes):
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated DHT")
                 tc, th = seg[p] >> 4, seg[p] & 15
                 counts = list(seg[p + 1:p + 17])
                 n = sum(counts)
@@ -239,11 +230,23 @@ def _parse_jpeg(payload: bytes):
                 )
                 p += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI")
             restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            # APP14: transform 0 = components are stored as-is (RGB
+            # for a 3-component frame), 1 = YCbCr (review r14: without
+            # this, Adobe-RGB baselines get color-rotated and hash
+            # differently than a Pillow decode of the same bytes)
+            adobe_transform = seg[11]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not seg:
+                raise ValueError("truncated SOS")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS")
             scan = []
             for i in range(ns):
                 cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -258,32 +261,128 @@ def _parse_jpeg(payload: bytes):
             return _decode_scan(
                 payload, pos + 2 + seglen, frame, scan, qt,
                 huff_dc, huff_ac, restart_interval,
+                rgb_stored=_is_rgb_stored(frame[2], adobe_transform),
             )
         # APPn / COM / others: skip
         pos += 2 + seglen
     raise ValueError("JPEG has no scan data (missing SOS)")
 
 
+def _parse_sof(seg):
+    """Validated (w, h, components) from a baseline SOF segment."""
+    if len(seg) < 6:
+        raise ValueError("truncated SOF")
+    if seg[0] != 8:
+        raise UnsupportedJpegError(f"JPEG precision {seg[0]} (8-bit only)")
+    h = int.from_bytes(seg[1:3], "big")
+    w = int.from_bytes(seg[3:5], "big")
+    nf = seg[5]
+    if h == 0 or w == 0:
+        raise ValueError("bad JPEG dimensions")
+    if nf not in (1, 3):
+        raise UnsupportedJpegError(f"JPEG with {nf} components")
+    if len(seg) < 6 + 3 * nf:
+        raise ValueError("truncated SOF")
+    comps = []
+    for i in range(nf):
+        cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+        comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+    return (w, h, comps)
+
+
+def _is_rgb_stored(comps, adobe_transform) -> bool:
+    """Three-component frames are YCbCr unless APP14 says transform=0
+    or the component ids literally spell 'R','G','B' (both valid
+    baseline encodings, T.81 + Adobe TN 5116)."""
+    if len(comps) != 3:
+        return False
+    if adobe_transform == 0:
+        return True
+    if adobe_transform in (1, 2):
+        return False
+    return [c["id"] for c in comps] == [0x52, 0x47, 0x42]  # 'R','G','B'
+
+
+def parse_dimensions(payload: bytes) -> "tuple[int, int]":
+    """(width, height) from the SOF header alone — no entropy decode.
+    The metadata path (decode_jpeg) uses this: a megapixel image's
+    dimensions cost a marker walk, not a full per-symbol Python decode
+    (review r14). Raises the same ValueError / UnsupportedJpegError
+    contract as :func:`_parse_jpeg` for the header portion."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if seglen < 2 or len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1):
+            w, h, _comps = _parse_sof(seg)
+            return w, h
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpegError(
+                f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
+                "arithmetic/hierarchical)"
+            )
+        if marker == 0xDA:
+            break
+        pos += 2 + seglen
+    raise ValueError("JPEG has no frame header (missing SOF)")
+
+
 def _decode_scan(
-    payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+    payload, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval,
+    rgb_stored=False,
 ):
     import numpy as np
 
     w, h, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    if hmax == 0 or vmax == 0 or any(
-        c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4) for c in comps
+    if any(
+        not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps
     ):
         raise ValueError("bad JPEG sampling factors")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        # legal per spec but needs fractional upsampling (e.g. 3-vs-2)
+        raise UnsupportedJpegError(
+            "JPEG with non-divisible sampling factors"
+        )
+    # Per T.81 A.2: a SINGLE-component scan is NON-interleaved — one
+    # 8x8 data unit per MCU, raster order over that component's OWN
+    # (subsampled) dimensions, regardless of its sampling factors
+    # (review r14: jpegtran -grayscale keeps the source Y's 2x2
+    # factors; the interleaved tiling would desync on such files).
+    non_interleaved = len(scan) == 1
+    if non_interleaved:
+        comp0 = scan[0][0]
+        cw = -(-w * comp0["h"] // hmax)
+        ch = -(-h * comp0["v"] // vmax)
+        mcux = -(-cw // 8)
+        mcuy = -(-ch // 8)
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
     m = _idct_matrix()
     planes = []
     for c in comps:
-        planes.append(
-            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
-        )
+        if non_interleaved:
+            shape = (mcuy * 8, mcux * 8)
+        else:
+            shape = (mcuy * c["v"] * 8, mcux * c["h"] * 8)
+        planes.append(np.zeros(shape, dtype=np.float64))
         if c["tq"] not in qt:
             raise ValueError(f"JPEG missing quant table {c['tq']}")
     reader = _BitReader(payload, pos)
@@ -301,39 +400,50 @@ def _decode_scan(
             if td not in huff_dc or ta not in huff_ac:
                 raise ValueError("JPEG scan references missing huffman table")
             q = qt[comp["tq"]]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coefs = np.zeros(64, dtype=np.float64)
-                    s = reader.decode(huff_dc[td])
-                    if s > 11:
-                        raise ValueError("invalid JPEG DC category")
-                    diff = _extend(reader.receive(s), s) if s else 0
-                    pred[ci] += diff
-                    coefs[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(huff_ac[ta])
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coefs[k] = _extend(reader.receive(s), s)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[zz] = coefs * q
-                    spatial = m.T @ block.reshape(8, 8) @ m + 128.0
+            blocks = (
+                [(0, 0)]
+                if non_interleaved
+                else [
+                    (by, bx)
+                    for by in range(comp["v"])
+                    for bx in range(comp["h"])
+                ]
+            )
+            for by, bx in blocks:
+                coefs = np.zeros(64, dtype=np.float64)
+                s = reader.decode(huff_dc[td])
+                if s > 11:
+                    raise ValueError("invalid JPEG DC category")
+                diff = _extend(reader.receive(s), s) if s else 0
+                pred[ci] += diff
+                coefs[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = reader.decode(huff_ac[ta])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    coefs[k] = _extend(reader.receive(s), s)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[zz] = coefs * q
+                spatial = m.T @ block.reshape(8, 8) @ m + 128.0
+                if non_interleaved:
+                    y0, x0 = my * 8, mx * 8
+                else:
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+                planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
+        if not non_interleaved and (c["h"] != hmax or c["v"] != vmax):
             p = np.repeat(
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
@@ -342,6 +452,11 @@ def _decode_scan(
         ych = np.clip(out[0], 0, 255)
         rgb = np.repeat(ych[:, :, None], 3, axis=2)
         return w, h, rgb.round().astype(np.uint8)
+    if rgb_stored:
+        # components ARE R,G,B (Adobe transform=0 / 'RGB' ids): no
+        # color rotation — matches what any full decoder produces
+        rgb = np.stack(out, axis=2)
+        return w, h, np.clip(rgb.round(), 0, 255).astype(np.uint8)
     y, cb, cr = out
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -252,16 +252,53 @@ def _parse_png(payload: bytes):
     return w, h, np.ascontiguousarray(rgb)
 
 
-def decode_jpeg(payload: bytes) -> dict:
-    """REAL decode of a baseline JPEG with NO optional dependency
-    (operators/jpeg.py — ITU-T T.81 huffman + IDCT, stdlib + numpy),
-    same contract as :func:`decode_stub` / :func:`decode_real` (r14;
-    with PPM and PNG this closes the hermetic-decode gap for the three
-    dominant interchange formats — Pillow now gates only
-    progressive/arithmetic JPEG, WebP and rarer formats)."""
-    from tower_parse_spark.operators.jpeg import _parse_jpeg
+def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
+    """The shared no-Pillow dispatch (review r14 — one code path, not
+    four, for the format sniff and the Unsupported->NotImplementedError
+    conversion): route PNG / baseline-JPEG payloads to the hermetic
+    decoders; convert their valid-but-unsupported errors into
+    NotImplementedError naming the pillow remedy (the same error class
+    a WebP gets, instead of an environment-dependent ValueError);
+    malformed payloads keep raising ValueError."""
+    from tower_parse_spark.operators.jpeg import UnsupportedJpegError
 
-    width, height, _ = _parse_jpeg(payload)
+    if payload.startswith(_PNG_SIG):
+        fn, coverage, exc_cls = (
+            png_fn, "8-bit non-interlaced PNGs", UnsupportedPngError
+        )
+    elif payload.startswith(b"\xff\xd8"):
+        fn, coverage, exc_cls = (
+            jpeg_fn, "baseline sequential JPEG", UnsupportedJpegError
+        )
+    else:
+        raise NotImplementedError(
+            f"{caller} needs the optional 'pillow' dependency for "
+            "formats beyond PPM/PNG/baseline-JPEG (pip install "
+            "pillow); the stub path is the hermetic default"
+        ) from import_exc
+    try:
+        return fn(payload)
+    except exc_cls as sub:
+        raise NotImplementedError(
+            f"{caller}: {sub} — the hermetic decoder covers {coverage}; "
+            "install the optional 'pillow' dependency for the rest"
+        ) from sub
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL metadata decode of a baseline JPEG with NO optional
+    dependency (operators/jpeg.py — ITU-T T.81), same contract as
+    :func:`decode_stub` / :func:`decode_real` (r14; with PPM and PNG
+    this closes the hermetic-decode gap for the three dominant
+    interchange formats — Pillow now gates only progressive/arithmetic
+    JPEG, WebP and rarer formats). Dimensions come from the SOF header
+    walk alone — metadata for a megapixel image must not pay the full
+    per-symbol entropy decode (that runs only where pixels are needed:
+    :func:`phash_real` via ``jpeg._parse_jpeg``); like every header
+    decoder, this validates the header, not the scan data."""
+    from tower_parse_spark.operators.jpeg import parse_dimensions
+
+    width, height = parse_dimensions(payload)
     return {
         "n_bytes": len(payload),
         "width": width,
@@ -306,37 +343,8 @@ def decode_real(payload: bytes) -> dict:
     try:
         from PIL import Image
     except ImportError as exc:
-        if payload.startswith(_PNG_SIG):
-            try:
-                return decode_png(payload)
-            except UnsupportedPngError as sub:
-                # a VALID PNG beyond the hermetic subset (interlaced,
-                # 16-bit, ...): Pillow would decode it, so name the
-                # remedy — same error class a WebP gets here, instead
-                # of an environment-dependent ValueError
-                raise NotImplementedError(
-                    f"decode_real: {sub} — the hermetic decoder covers "
-                    "8-bit non-interlaced PNGs; install the optional "
-                    "'pillow' dependency for the rest"
-                ) from sub
-        if payload.startswith(b"\xff\xd8"):
-            from tower_parse_spark.operators.jpeg import (
-                UnsupportedJpegError,
-            )
-
-            try:
-                return decode_jpeg(payload)
-            except UnsupportedJpegError as sub:
-                raise NotImplementedError(
-                    f"decode_real: {sub} — the hermetic decoder covers "
-                    "baseline sequential JPEG; install the optional "
-                    "'pillow' dependency for the rest"
-                ) from sub
-        raise NotImplementedError(
-            "decode_real needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/baseline-JPEG (pip install "
-            "pillow); decode_stub is the hermetic default"
-        ) from exc
+        return _hermetic_fallback("decode_real", decode_png, decode_jpeg,
+                                  payload, exc)
     with Image.open(io.BytesIO(payload)) as im:
         return {
             "n_bytes": len(payload),
@@ -590,36 +598,17 @@ def phash_real(payload: bytes) -> int:
     try:
         from PIL import Image
     except ImportError as exc:
-        if payload.startswith(_PNG_SIG):
-            try:
-                _, _, rgb = _parse_png(payload)
-            except UnsupportedPngError as sub:
-                raise NotImplementedError(
-                    f"phash_real: {sub} — the hermetic decoder covers "
-                    "8-bit non-interlaced PNGs; install the optional "
-                    "'pillow' dependency for the rest"
-                ) from sub
-            return _dhash_rgb(rgb)
-        if payload.startswith(b"\xff\xd8"):
-            from tower_parse_spark.operators.jpeg import (
-                UnsupportedJpegError,
-                _parse_jpeg,
-            )
+        from tower_parse_spark.operators.jpeg import _parse_jpeg
 
-            try:
-                _, _, rgb = _parse_jpeg(payload)
-            except UnsupportedJpegError as sub:
-                raise NotImplementedError(
-                    f"phash_real: {sub} — the hermetic decoder covers "
-                    "baseline sequential JPEG; install the optional "
-                    "'pillow' dependency for the rest"
-                ) from sub
-            return _dhash_rgb(rgb)
-        raise NotImplementedError(
-            "phash_real needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/baseline-JPEG (pip install "
-            "pillow); phash_stub is the hermetic default"
-        ) from exc
+        return _dhash_rgb(
+            _hermetic_fallback(
+                "phash_real",
+                lambda p: _parse_png(p)[2],
+                lambda p: _parse_jpeg(p)[2],
+                payload,
+                exc,
+            )
+        )
     import numpy as np
 
     with Image.open(io.BytesIO(payload)) as im:
