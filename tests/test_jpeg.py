@@ -475,3 +475,50 @@ def test_decode_jpeg_metadata_is_header_only():
     assert (meta["width"], meta["height"]) == (16, 8)
     with pytest.raises(ValueError):
         _parse_jpeg(corrupted)
+
+
+def test_jpeg_roundtrip_property():
+    """Property: decode(encode(img)) stays within quantization loss for
+    arbitrary sizes, content, grayscale, and restart intervals —
+    encoder and decoder are independent readings of T.81, so agreement
+    across the randomized space pins both (the PNG property test's
+    lossy sibling: PSNR floor instead of bit equality)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 25),
+        h=st.integers(1, 19),
+        seed=st.integers(0, 2**31 - 1),
+        gray=st.booleans(),
+        rst=st.sampled_from([0, 1, 3]),
+        smooth=st.booleans(),
+    )
+    def check(w, h, seed, gray, rst, smooth):
+        rng = np.random.RandomState(seed)
+        if smooth:
+            base = rng.randint(30, 220)
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            img = np.stack(
+                [base + xs, base + ys, base + xs + ys], axis=2
+            ).clip(0, 255).astype(np.uint8)
+        else:
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gw, gh, got = _parse_jpeg(_jpeg(img, gray=gray, restart_interval=rst))
+        assert (gw, gh) == (w, h) and got.shape == (h, w, 3)
+        ref = img
+        if gray:
+            yy = (
+                0.299 * img[:, :, 0]
+                + 0.587 * img[:, :, 1]
+                + 0.114 * img[:, :, 2]
+            )
+            ref = np.repeat(
+                yy.round().clip(0, 255).astype(np.uint8)[:, :, None], 3, 2
+            )
+        # flat-16/24 quant tables: smooth content round-trips tightly,
+        # random noise bounded by the quantizer's worst case
+        assert _psnr(ref, got) > (28 if smooth else 20)
+
+    check()
