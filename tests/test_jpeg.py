@@ -522,3 +522,27 @@ def test_jpeg_roundtrip_property():
         assert _psnr(ref, got) > (28 if smooth else 20)
 
     check()
+
+
+def test_fill_byte_edge_cases_from_review():
+    """Review r14 round 2 (both reproduced before the fix): a payload
+    that is all fill bytes after SOI must raise ValueError (not
+    IndexError), through BOTH walks; and fill bytes before an RSTn
+    marker inside the entropy stream are legal and must decode
+    identically."""
+    from tower_parse_spark.operators.jpeg import parse_dimensions
+
+    for fn in (_parse_jpeg, parse_dimensions):
+        with pytest.raises(ValueError, match="truncated|fill"):
+            fn(b"\xff\xd8" + b"\xff" * 4)
+    # fill byte before the first restart marker
+    xs, ys = np.meshgrid(np.arange(16), np.arange(24))
+    img = np.stack([xs * 9, ys * 7, xs + ys], axis=2).clip(0, 255).astype(
+        np.uint8
+    )
+    p = _jpeg(img, restart_interval=2)
+    _, _, want = _parse_jpeg(p)
+    rst_at = p.index(b"\xff\xd0")
+    stuffed = p[:rst_at] + b"\xff" + p[rst_at:]
+    gw, gh, got = _parse_jpeg(stuffed)
+    assert (gw, gh) == (16, 24) and (got == want).all()

@@ -98,6 +98,11 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
                 if nxt == 0x00:
                     self.pos += 2  # stuffed literal 0xFF
+                elif nxt == 0xFF:
+                    # FILL byte before a marker (T.81 B.1.1.2) — legal
+                    # in the entropy stream too, e.g. before an RSTn
+                    self.pos += 1
+                    continue
                 elif nxt is None:
                     return self.nbits > 0
                 else:
@@ -139,13 +144,17 @@ class _BitReader:
         self.buf = 0
         self.nbits = 0
         if self.marker is None:
-            # marker not yet seen: it must be at the current byte pos
-            if (
-                self.pos + 1 < len(self.data)
-                and self.data[self.pos] == 0xFF
+            # marker not yet seen: it must be at the current byte pos,
+            # possibly behind fill bytes
+            d = self.data
+            while (
+                self.pos + 1 < len(d)
+                and d[self.pos] == 0xFF
+                and d[self.pos + 1] == 0xFF
             ):
-                self.marker = self.data[self.pos + 1]
-                self.pos += 0
+                self.pos += 1
+            if self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+                self.marker = d[self.pos + 1]
             else:
                 raise ValueError("expected JPEG restart marker")
         if self.marker != 0xD0 + (n % 8):
@@ -161,39 +170,62 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _segments(payload: bytes):
+    """Yield ``(marker, seg, next_pos)`` for every marker segment in
+    the header stream — the ONE marker walk both :func:`_parse_jpeg`
+    and :func:`parse_dimensions` consume (review r14: two hand-rolled
+    copies had already diverged and shared an out-of-bounds bug on
+    fill-byte tails). Handles the SOI check, any number of 0xFF fill
+    bytes before a marker (T.81 B.1.1.2) with bounds-safe termination,
+    stray SOI, EOI, and segment-length validation. Standalone restart
+    markers are illegal outside a scan and read as malformed."""
+    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG (fill bytes at EOF)")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            return
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            raise ValueError(
+                f"standalone marker {marker:#x} outside a scan"
+            )
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if seglen < 2 or len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        yield marker, seg, pos + 2 + seglen
+        pos += 2 + seglen
+
+
+_SOF_UNSUPPORTED = (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                    0xCB, 0xCD, 0xCE, 0xCF)
+
+
 def _parse_jpeg(payload: bytes):
     """Decode a baseline JPEG to ``(width, height, HxWx3 uint8 RGB)``.
     Raises ValueError on malformed streams, UnsupportedJpegError on
     valid-but-out-of-scope ones (see module docstring)."""
     import numpy as np
 
-    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (no SOI)")
-    pos = 2
     qt: dict[int, "np.ndarray"] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (w, h, components)
     restart_interval = 0
     adobe_transform = None  # APP14 color-transform flag, when present
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"JPEG marker expected at offset {pos}")
-        # any number of 0xFF FILL bytes may precede a marker (T.81
-        # B.1.1.2) — skip them, or the marker byte would be parsed as
-        # a segment-length high byte (review r14)
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD8:  # stray SOI
-            pos += 2
-            continue
-        if marker == 0xD9:  # EOI before SOS
-            break
-        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
-        seg = payload[pos + 4:pos + 2 + seglen]
-        if seglen < 2 or len(seg) != seglen - 2:
-            raise ValueError("truncated JPEG segment")
+    for marker, seg, next_pos in _segments(payload):
         if marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
@@ -208,8 +240,7 @@ def _parse_jpeg(payload: bytes):
                 p += 65
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline huffman
             frame = _parse_sof(seg)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in _SOF_UNSUPPORTED:
             raise UnsupportedJpegError(
                 f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
                 "arithmetic/hierarchical)"
@@ -259,12 +290,11 @@ def _parse_jpeg(payload: bytes):
             if len(scan) != len(frame[2]):
                 raise UnsupportedJpegError("multi-scan JPEG")
             return _decode_scan(
-                payload, pos + 2 + seglen, frame, scan, qt,
+                payload, next_pos, frame, scan, qt,
                 huff_dc, huff_ac, restart_interval,
                 rgb_stored=_is_rgb_stored(frame[2], adobe_transform),
             )
         # APPn / COM / others: skip
-        pos += 2 + seglen
     raise ValueError("JPEG has no scan data (missing SOS)")
 
 
@@ -309,36 +339,17 @@ def parse_dimensions(payload: bytes) -> "tuple[int, int]":
     dimensions cost a marker walk, not a full per-symbol Python decode
     (review r14). Raises the same ValueError / UnsupportedJpegError
     contract as :func:`_parse_jpeg` for the header portion."""
-    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (no SOI)")
-    pos = 2
-    while pos + 4 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise ValueError(f"JPEG marker expected at offset {pos}")
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD8:
-            pos += 2
-            continue
-        if marker == 0xD9:
-            break
-        seglen = int.from_bytes(payload[pos + 2:pos + 4], "big")
-        seg = payload[pos + 4:pos + 2 + seglen]
-        if seglen < 2 or len(seg) != seglen - 2:
-            raise ValueError("truncated JPEG segment")
+    for marker, seg, _next_pos in _segments(payload):
         if marker in (0xC0, 0xC1):
             w, h, _comps = _parse_sof(seg)
             return w, h
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                      0xCB, 0xCD, 0xCE, 0xCF):
+        if marker in _SOF_UNSUPPORTED:
             raise UnsupportedJpegError(
                 f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
                 "arithmetic/hierarchical)"
             )
         if marker == 0xDA:
             break
-        pos += 2 + seglen
     raise ValueError("JPEG has no frame header (missing SOF)")
 
 
@@ -390,6 +401,22 @@ def _decode_scan(
     zz = np.array(_ZIGZAG)
     n_mcu = mcux * mcuy
     rst_count = 0
+    # constant per scan component — hoisted out of the MCU loop
+    # (review r14: rebuilding the list per MCU is pure waste on an
+    # already per-symbol-Python hot path)
+    scan_blocks = [
+        [(0, 0)]
+        if non_interleaved
+        else [
+            (by, bx)
+            for by in range(comp["v"])
+            for bx in range(comp["h"])
+        ]
+        for comp, _td, _ta in scan
+    ]
+    for comp, td, ta in scan:
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError("JPEG scan references missing huffman table")
     for mcu in range(n_mcu):
         if restart_interval and mcu and mcu % restart_interval == 0:
             reader.align_and_expect_rst(rst_count)
@@ -397,19 +424,8 @@ def _decode_scan(
             pred = [0] * len(comps)
         my, mx = divmod(mcu, mcux)
         for ci, (comp, td, ta) in enumerate(scan):
-            if td not in huff_dc or ta not in huff_ac:
-                raise ValueError("JPEG scan references missing huffman table")
             q = qt[comp["tq"]]
-            blocks = (
-                [(0, 0)]
-                if non_interleaved
-                else [
-                    (by, bx)
-                    for by in range(comp["v"])
-                    for bx in range(comp["h"])
-                ]
-            )
-            for by, bx in blocks:
+            for by, bx in scan_blocks[ci]:
                 coefs = np.zeros(64, dtype=np.float64)
                 s = reader.decode(huff_dc[td])
                 if s > 11:
