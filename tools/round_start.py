@@ -11,10 +11,16 @@ FIRST each round, before touching code.
    surviving regression must be adjudicated in SCALE.md (deliberate
    feature cost, noise shown by a standalone interleaved re-time, or a
    fix).
+3. Plan-digest record state (r14, VERDICT r13 #5, STATIC — no Spark):
+   PLAN_DIGESTS.json must exist and cover every registry query, or the
+   close-time `rotation_check --plan-drift` gate has nothing to compare
+   against (a missing/stale record reads every deferred query as
+   drift). The full drift RECOMPUTE runs at round close; this is the
+   cheap don't-forget witness at round start.
 
-Prints one JSON object combining both, exits non-zero if the rotation
-is stale or the adjudication found regressions (a reminder to write the
-SCALE.md record, not a build failure).
+Prints one JSON object combining all three, exits non-zero if the
+rotation is stale, the adjudication found regressions, or the digest
+record is missing/incomplete (a reminder, not a build failure).
 """
 
 from __future__ import annotations
@@ -77,10 +83,38 @@ def main() -> int:
         except (ValueError, IndexError):
             out["bench"] = {"error": reg.stderr[-500:]}
 
+    out["plan_digests"] = plan_digest_state()
+
     print(json.dumps(out))
     rotation_ok = bool(out["rotation"].get("ok"))
     regressions = out["bench"].get("regressions") or []
-    return 0 if rotation_ok and not regressions else 1
+    digests_ok = bool(out["plan_digests"].get("ok"))
+    return 0 if rotation_ok and not regressions and digests_ok else 1
+
+
+def plan_digest_state() -> dict:
+    """Static check that the committed PLAN_DIGESTS.json covers the
+    current registry (existence + key coverage only — the expensive
+    digest recompute belongs to the round-CLOSE `rotation_check
+    --plan-drift` run)."""
+    path = os.path.join(REPO, "PLAN_DIGESTS.json")
+    try:
+        with open(path) as f:
+            recorded = set(json.load(f)["digests"])
+    except (OSError, ValueError, KeyError) as exc:
+        return {"ok": False, "error": f"unreadable {path}: {exc}"}
+    sys.path.insert(0, REPO)
+    from tower_parse_spark.queries import registry
+
+    names = set(registry())
+    missing = sorted(names - recorded)
+    return {
+        "ok": not missing,
+        "recorded": len(recorded),
+        "registry": len(names),
+        "missing": missing,
+        "stale_extra": sorted(recorded - names),
+    }
 
 
 if __name__ == "__main__":
