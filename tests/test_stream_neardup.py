@@ -12,6 +12,7 @@ import glob
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from tower_parse_spark.streaming import neardup as ND
@@ -991,13 +992,19 @@ def test_rebit_cli_end_to_end(spark, tmp_path, capsys):
         for i, t in enumerate([T_A, T_B, T_C]):
             b = spark.createDataFrame([(i + 1, t)], "doc_id long, text string")
             ND.process_epoch(b, i, idx, ver, band_gate=True)
+        # the documented workflow: raise the deployed constant FIRST,
+        # then migrate — a --rebit that disagrees with the constants is
+        # rejected (ADVICE r14: read_part_gate could never engage it)
+        with pytest.raises(ValueError, match="deployed bloom.PART_GATE"):
+            run_compact_index(spark, idx, None, rebit=orig_bits * 2)
+        capsys.readouterr()  # drop the pre-failure compaction report
+        B.PART_GATE_BITS = orig_bits * 2
         assert run_compact_index(spark, idx, None, rebit=orig_bits * 2) == 0
         out = [
             _json.loads(line)
             for line in capsys.readouterr().out.strip().splitlines()
         ]
         assert out[1]["part_gate_rebit"]["n_bits"] == orig_bits * 2
-        B.PART_GATE_BITS = orig_bits * 2
         assert ND.read_part_gate(spark, idx, 3) is not None
     finally:
         B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits

@@ -680,6 +680,20 @@ def rebit_part_gate(
     n_hashes = B.PART_GATE_HASHES if n_hashes is None else int(n_hashes)
     if n_bits % 64:
         raise ValueError("n_bits must be a multiple of 64")
+    if n_bits != B.PART_GATE_BITS or n_hashes != B.PART_GATE_HASHES:
+        # ADVICE r14: read_part_gate engages a sidecar only when its
+        # recorded geometry EQUALS the deployed constants — migrating to
+        # any other geometry "succeeds" but leaves the gate permanently
+        # disabled with no signal. The workflow is: raise
+        # bloom.PART_GATE_BITS/_HASHES in the deployment first, then run
+        # --rebit (bare, or with the matching value).
+        raise ValueError(
+            f"rebit geometry ({n_bits} bits / {n_hashes} hashes) differs "
+            f"from the deployed bloom.PART_GATE_* constants "
+            f"({B.PART_GATE_BITS} / {B.PART_GATE_HASHES}); read_part_gate "
+            "can never engage such a sidecar — raise the constants first, "
+            "then re-run --rebit"
+        )
     try:
         idx = spark.read.option("basePath", index_path).parquet(index_path)
     except AnalysisException:
