@@ -584,6 +584,43 @@ def test_bv_marker_and_cross_era_inference(tmp_path):
     )
 
 
+def test_regress_inference_rounds_enriched_float_spread(tmp_path):
+    """ADVICE r14: bench.py's trigger compares the INT-ROUNDED spread,
+    so an enriched artifact's float spread_pct in (15.0, 15.5) belongs
+    to a best-of-2 query — bench_regress must round before comparing or
+    it misclassifies the pair as asymmetric against a compact artifact
+    that (correctly) recorded sp=15 for the same measurement."""
+    import subprocess
+    import sys
+
+    base = {
+        "metric": "headline_queries_total", "value": 10.0, "unit": "sec",
+        "queries": {"edge_q": 2.0}, "sf": 0.1, "cal": 0.8,
+        "cal2": 0.81, "bv": 2,
+    }
+    old, new = tmp_path / "old.json", tmp_path / "new.json"
+    old.write_text(json.dumps({"n": 8, "parsed": {**base, "sp": [15]}}))
+    new.write_text(json.dumps(
+        {"n": 8, "parsed": {**base, "spread_pct": {"edge_q": 15.2}}}
+    ))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert "sample_asymmetry" not in out
+    # a spread that DID trigger (rounds past 15) still notes asymmetry
+    new.write_text(json.dumps(
+        {"n": 8, "parsed": {**base, "spread_pct": {"edge_q": 15.6}}}
+    ))
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old), str(new)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["sample_asymmetry"] == ["edge_q"]
+
+
 def test_spread_trigger_matches_recorded_rounding(monkeypatch):
     """Review r14: the trigger fires on the INT-ROUNDED spread so the
     compact artifact's integer sp remains an exact sample-count

@@ -445,6 +445,33 @@ def test_malformed_dht_and_sos_are_valueerror():
         )
 
 
+def test_dnl_deferred_height_is_unsupported_not_malformed():
+    """ADVICE r14: SOF height 0 with the line count deferred to a DNL
+    marker is VALID T.81 (B.2.2) — it must raise UnsupportedJpegError
+    (dispatch converts it to the install-pillow remedy), never plain
+    ValueError ("malformed"); width 0 stays malformed."""
+    import struct
+
+    from tower_parse_spark.operators.jpeg import parse_dimensions
+
+    def chunk(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sof(w, h):
+        return chunk(
+            0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+        )
+
+    dnl = b"\xff\xd8" + sof(8, 0) + b"\xff\xd9"
+    zero_w = b"\xff\xd8" + sof(0, 8) + b"\xff\xd9"
+    for fn in (_parse_jpeg, parse_dimensions):
+        with pytest.raises(UnsupportedJpegError, match="DNL"):
+            fn(dnl)
+        with pytest.raises(ValueError, match="bad JPEG dimensions") as exc:
+            fn(zero_w)
+        assert type(exc.value) is ValueError  # malformed, not unsupported
+
+
 def test_nondivisible_sampling_is_unsupported_not_malformed():
     """Review r14 #6: H/V up to 4 are legal; non-divisible combinations
     (3-vs-2) need fractional upsampling we don't do — that is

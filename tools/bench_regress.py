@@ -225,8 +225,14 @@ def main() -> int:
         # is an exact witness; cal2-without-bv (r13): fast-only rule;
         # neither: best-of-2 everywhere.
         if art.get("bv", 0) >= 2:
+            # mirror bench.py's trigger EXACTLY: it compares
+            # int(round(spread2)) > threshold, so an enriched float
+            # spread in (15.0, 15.5) did NOT trigger a third sample —
+            # comparing the raw float here would misclassify it
+            # (ADVICE r14). Compact sp is already int-rounded; rounding
+            # it again is a no-op.
             return 3 if (
-                t < _fast or (spread.get(name) or 0.0) > _resample
+                t < _fast or int(round(spread.get(name) or 0.0)) > _resample
             ) else 2
         if ("cal2" in art) or ("cal_end" in art):
             return 3 if t < _fast else 2

@@ -307,7 +307,14 @@ def _parse_sof(seg):
     h = int.from_bytes(seg[1:3], "big")
     w = int.from_bytes(seg[3:5], "big")
     nf = seg[5]
-    if h == 0 or w == 0:
+    if h == 0:
+        # T.81 B.2.2: frame height 0 defers the line count to a DNL
+        # marker after the first scan — legal, just unimplemented here
+        # (ADVICE r14: keep the error-class contract — the dispatch
+        # converts UnsupportedJpegError to the install-pillow remedy,
+        # not "malformed")
+        raise UnsupportedJpegError("DNL-deferred JPEG height (T.81 B.2.2)")
+    if w == 0:
         raise ValueError("bad JPEG dimensions")
     if nf not in (1, 3):
         raise UnsupportedJpegError(f"JPEG with {nf} components")
