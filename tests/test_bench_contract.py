@@ -584,6 +584,78 @@ def test_bv_marker_and_cross_era_inference(tmp_path):
     )
 
 
+def _regress(old_path, new_path):
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/bench_regress.py", str(old_path), str(new_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_superseded_sidecar_totals_only(tmp_path):
+    """VERDICT r14 #4: a totals-only .superseded.json fixes the headline
+    comparison (total_ratio_quiet from the quiet totals) while per-query
+    values stay raw under the machine_unstable marker — and the output
+    says so."""
+    def artifact(path, value, cal, cal2):
+        path.write_text(json.dumps({"n": 8, "parsed": {
+            "metric": "headline_queries_total", "value": value,
+            "unit": "sec", "queries": {"a_q": value}, "sp": [5],
+            "sf": 0.1, "cal": cal, "cal2": cal2, "bv": 2,
+        }}))
+
+    old, new = tmp_path / "BENCH_r88.json", tmp_path / "BENCH_r89.json"
+    artifact(old, 90.0, 1.2, 0.7)   # contaminated: -42% within-run drift
+    artifact(new, 64.0, 0.8, 0.81)
+    (tmp_path / "BENCH_r88.superseded.json").write_text(json.dumps(
+        {"reason": "machine_unstable r88", "quiet_total": 65.0,
+         "quiet_cal": 0.82}
+    ))
+    out = _regress(old, new)
+    (note,) = out["superseded"]
+    assert note["artifact"] == "old"
+    assert note["raw_total"] == 90.0 and note["quiet_total"] == 65.0
+    assert note["per_query_replaced"] is False
+    assert out["total_ratio_quiet"] == round(64.0 / 65.0, 3)
+    # raw per-query comparison unchanged; instability still on record
+    assert out["total_ratio"] == round(64.0 / 90.0, 3)
+    assert out["machine_unstable"][0]["artifact"] == "old"
+    assert "contaminated" in out["note"]
+
+
+def test_superseded_sidecar_with_per_query_record(tmp_path):
+    """A sidecar that preserved the quiet run's per-query values replaces
+    the contaminated measurements wholesale — ratios, cal gating and the
+    drift witness all come from the quiet record (no stale cal2 left
+    behind to pair with the quiet cal)."""
+    def artifact(path, value, qtime, cal, cal2):
+        path.write_text(json.dumps({"n": 8, "parsed": {
+            "metric": "headline_queries_total", "value": value,
+            "unit": "sec", "queries": {"a_q": qtime}, "sp": [5],
+            "sf": 0.1, "cal": cal, "cal2": cal2, "bv": 2,
+        }}))
+
+    old, new = tmp_path / "BENCH_r88.json", tmp_path / "BENCH_r89.json"
+    artifact(old, 90.0, 9.0, 1.2, 0.7)
+    artifact(new, 6.2, 6.2, 0.8, 0.81)
+    (tmp_path / "BENCH_r88.superseded.json").write_text(json.dumps({
+        "reason": "machine_unstable r88", "quiet_total": 6.0,
+        "quiet_cal": 0.82,
+        "queries": {"a_q": 6.0}, "spread_pct": {"a_q": 4.0},
+    }))
+    out = _regress(old, new)
+    assert out["superseded"][0]["per_query_replaced"] is True
+    # 6.2 vs quiet 6.0 (not vs contaminated 9.0): inside the noise bar
+    assert out["total_ratio"] == round(6.2 / 6.0, 3)
+    assert out["regressions"] == [] and out["improvements"] == []
+    # the contaminated cal/cal2 pair is gone -> no machine_unstable
+    assert "machine_unstable" not in out
+    assert "replaced from the quiet record" in out["note"]
+
+
 def test_regress_inference_rounds_enriched_float_spread(tmp_path):
     """ADVICE r14: bench.py's trigger compares the INT-ROUNDED spread,
     so an enriched artifact's float spread_pct in (15.0, 15.5) belongs

@@ -31,6 +31,15 @@ separate ``masked_regressions`` list (and symmetric
 ``masked_improvements``) and count toward the non-zero exit, so they
 reach adjudication instead of vanishing.
 
+Superseded artifacts (r15, VERDICT r14 #4): a `<stem>.superseded.json`
+sidecar next to a BENCH artifact marks that round's driver run as
+permanently contaminated (machine_unstable) and carries the definitive
+quiet re-run — `quiet_total`/`quiet_cal` always, per-query `queries`/
+`spread_pct` when preserved. With per-query data the quiet record
+replaces the contaminated one wholesale; totals-only sidecars fix the
+headline (`total_ratio_quiet`) while per-query ratios keep the raw
+values under the machine_unstable marker. The output says which.
+
 Usage: python tools/bench_regress.py OLD.json NEW.json
 Prints one JSON line: {"regressions": [...], "masked_regressions":
 [...], "improvements": [...], "common": N, "total_ratio": r}. Exit 1 if
@@ -88,7 +97,21 @@ def main() -> int:
                     d.update(part)
         # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
         d = d.get("parsed", d) or d
-        return expand_sp(d)
+        d = expand_sp(d)
+        # superseded-artifact sidecar (r15, VERDICT r14 #4): a round
+        # whose driver artifact is permanently machine_unstable (e.g.
+        # BENCH_r13's -37.3% within-run drift, which predates bench.py's
+        # drift-retry) records its definitive quiet-run totals in
+        # <stem>.superseded.json so trend tooling reads ONE record
+        # instead of re-deriving the route-around from SCALE.md prose
+        sidecar = _os.path.splitext(path)[0] + ".superseded.json"
+        if _os.path.exists(sidecar):
+            try:
+                d["_superseded"] = json.load(open(sidecar))
+                d["_superseded"]["_file"] = _os.path.basename(sidecar)
+            except ValueError:
+                pass
+        return d
 
     # shared thresholds: import from bench.py (which is pyspark-free at
     # module level precisely so this stays cheap) instead of duplicating
@@ -104,6 +127,48 @@ def main() -> int:
         _fast, _resample, _drift_bar = 1.5, 15.0, 15.0
 
     old, new = load(sys.argv[1]), load(sys.argv[2])
+    # apply superseded sidecars BEFORE anything reads the artifacts: the
+    # quiet re-run is the definitive record for that round. A sidecar
+    # with per-query "queries" replaces the contaminated measurements
+    # wholesale (cal/cal2/spread too — they belong to the same run); a
+    # totals-only sidecar cannot fix per-query ratios, so those keep the
+    # raw values (still guarded by the machine_unstable marker) and only
+    # the headline total is preferred.
+    superseded_notes = []
+    for label, art in (("old", old), ("new", new)):
+        sup = art.pop("_superseded", None)
+        if not sup:
+            continue
+        note = {
+            "artifact": label,
+            "sidecar": sup.get("_file"),
+            "reason": sup.get("reason"),
+            "raw_total": art.get("value"),
+        }
+        if "queries" in sup:
+            # coherent quiet-run record: per-query values, spread and
+            # cal witnesses all come from the SAME run, so swap them as
+            # a unit (cal2 defaults to quiet_cal — a totals+cal sidecar
+            # without an end probe must not leave the contaminated cal2
+            # behind to pair with the quiet cal)
+            for k_src, k_dst in (
+                ("queries", "queries"), ("spread_pct", "spread_pct"),
+                ("quiet_cal", "cal"), ("quiet_cal2", "cal2"),
+            ):
+                if k_src in sup:
+                    art[k_dst] = sup[k_src]
+            if "quiet_cal" in sup and "quiet_cal2" not in sup:
+                art.pop("cal2", None)
+                art.pop("cal_end", None)
+        # totals-only sidecar: per-query ratios cannot be fixed, so the
+        # raw values stay (machine_unstable keeps firing on the
+        # artifact's own cal witnesses) and only the headline total is
+        # preferred
+        if "quiet_total" in sup:
+            art["value"] = sup["quiet_total"]
+            note["quiet_total"] = sup["quiet_total"]
+        note["per_query_replaced"] = "queries" in sup
+        superseded_notes.append(note)
     oq, nq = old["queries"], new["queries"]
     # machine-speed normalization (r9): only when BOTH sides measured it
     old_cal, new_cal = old.get("cal"), new.get("cal")
@@ -165,6 +230,21 @@ def main() -> int:
         "common": len(common),
         "total_ratio": round(total_new / total_old, 3) if total_old else None,
     }
+    if superseded_notes:
+        out["superseded"] = superseded_notes
+        ov, nv = old.get("value"), new.get("value")
+        if ov and nv:
+            # the preferred cross-round headline: quiet totals where a
+            # sidecar supplied them, the artifact's own otherwise
+            out["total_ratio_quiet"] = round(nv / ov, 3)
+        out["note"] = (
+            "superseded artifact(s): quiet-run totals preferred "
+            "(total_ratio_quiet); per-query values "
+            + ("replaced from the quiet record"
+               if all(s["per_query_replaced"] for s in superseded_notes)
+               else "remain from the contaminated run — adjudicate "
+                    "per-query flags via machine_unstable")
+        )
     if cal_ratio:
         out["cal_ratio"] = round(cal_ratio, 3)
         out["masked_regressions"] = sorted(
