@@ -975,6 +975,125 @@ def test_rebit_part_gate_migrates_geometry(spark, tmp_path):
         B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits
 
 
+def test_auto_compaction_cadence_bounded_and_verdict_identical(spark, tmp_path):
+    """r15 (VERDICT r14 #5): compact_every=K folds the index, the
+    partitioned-gate deltas and the literal-gate history every K epochs
+    from inside the epoch body — after 3K epochs the partition counts
+    are bounded (~K+1) instead of one-per-epoch, every verdict is
+    identical to an uncompacted run, the gate stays ACTIVE, and a
+    replay of the compaction epoch itself is idempotent."""
+    from tower_parse_spark.operators import bloom as B
+
+    orig_cap = B.MAX_GATE_BITS
+    B.MAX_GATE_BITS = 64
+    B.PART_GATE_MIN_KEYS = 0  # toy scale: engagement floor off
+    try:
+        k = 3
+        epochs = []  # 3K epochs: one novel doc each + one exact dup of T_A
+        for i in range(3 * k):
+            novel = " ".join(f"w{i}x{j}" for j in range(10))
+            rows = [(10 * i + 1, novel)]
+            rows.append((10 * i + 2, T_A) if i else (2, T_A))
+            epochs.append(
+                spark.createDataFrame(rows, "doc_id long, text string")
+            )
+
+        def run(idx, ver, compact_every):
+            for i, batch in enumerate(epochs):
+                ND.process_epoch(
+                    batch, i, idx, ver, band_gate=True,
+                    compact_every=compact_every,
+                )
+
+        idx_a, ver_a = str(tmp_path / "idxA"), str(tmp_path / "verA")
+        idx_b, ver_b = str(tmp_path / "idxB"), str(tmp_path / "verB")
+        run(idx_a, ver_a, None)
+        run(idx_b, ver_b, k)
+
+        def verdicts(ver):
+            return {
+                r.doc_id: (r.is_dup, r.in_batch_dup, r.n_hist_matches,
+                           r.max_est_jaccard, r.batch)
+                for r in spark.read.option("basePath", ver)
+                .parquet(ver).collect()
+            }
+
+        def index_rows(idx):
+            return {
+                (r.band_key, r.doc_id)
+                for r in spark.read.option("basePath", idx)
+                .parquet(idx).select("band_key", "doc_id").collect()
+            }
+
+        def batch_dirs(path):
+            if not os.path.isdir(path):
+                return []
+            return sorted(
+                d for d in os.listdir(path) if d.startswith("batch=")
+            )
+
+        assert verdicts(ver_b) == verdicts(ver_a)
+        assert index_rows(idx_b) == index_rows(idx_a)
+        # compactions fired at epochs 3 and 6 (through 2 and 5): the
+        # cadenced run is bounded at k+1 dirs, the plain run grew 1/epoch
+        assert len(batch_dirs(idx_a)) == 3 * k
+        assert batch_dirs(idx_b) == ["batch=0", "batch=6", "batch=7",
+                                     "batch=8"]
+        assert len(batch_dirs(ND._part_path(idx_b))) <= k + 1
+        assert len(batch_dirs(ND._part_path(idx_a))) == 3 * k
+        # literal-gate history pruned to rows >= 5; row 8 covers epoch 9
+        assert batch_dirs(ND._bloom_path(idx_b)) == [
+            "batch=5", "batch=6", "batch=7", "batch=8"
+        ]
+        assert ND.read_part_gate(spark, idx_b, 3 * k) is not None
+        # replay the compaction epoch (6): overwrites its own partitions,
+        # re-runs the (idempotent) compaction, changes nothing
+        ND.process_epoch(
+            epochs[6], 6, idx_b, ver_b, band_gate=True, compact_every=k
+        )
+        assert verdicts(ver_b) == verdicts(ver_a)
+        assert index_rows(idx_b) == index_rows(idx_a)
+        assert ND.read_part_gate(spark, idx_b, 3 * k) is not None
+    finally:
+        B.MAX_GATE_BITS = orig_cap
+
+
+def test_auto_compaction_through_stream(spark, tmp_path):
+    """The compact_every knob threads through stream_minhash_dedup's
+    foreachBatch: a real stream over 4 spool files with compact_every=2
+    ends with a bounded index layout and the same verdicts as ever."""
+    batches = [
+        [(1, T_A), (2, T_B)],
+        [(10, T_A)],
+        [(20, T_C)],
+        [(30, T_A), (31, T_C)],
+    ]
+    spool = _spool(tmp_path, batches)
+    idx, ver, ckpt = _paths(tmp_path)
+    q = ND.stream_minhash_dedup(
+        _stream(spark, spool), idx, ver, ckpt, compact_every=2
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {
+        r.doc_id: r
+        for r in spark.read.option("basePath", ver).parquet(ver).collect()
+    }
+    assert out[10].is_dup and out[30].is_dup and out[31].is_dup
+    assert not out[20].is_dup
+    # compaction at epoch 2 folded 0..1; epochs 2,3 keep their partitions
+    dirs = sorted(
+        d for d in os.listdir(idx) if d.startswith("batch=")
+    )
+    assert dirs[0] == "batch=0" and len(dirs) <= 3
+    idx_df = spark.read.option("basePath", idx).parquet(idx)
+    assert sorted(
+        r.doc_id for r in idx_df.select("doc_id").distinct().collect()
+    ) == [1, 2, 20]
+
+
 def test_rebit_cli_end_to_end(spark, tmp_path, capsys):
     """--compact-index --rebit BITS: index compaction runs, the sidecar
     is rebuilt at BITS (replacing, not merging, the old-geometry

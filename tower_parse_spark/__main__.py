@@ -91,6 +91,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="quality-model artifact path (save_quality_model) for --curate",
     )
     p.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        metavar="K",
+        help="with --curate: auto-compact the near-dup index and gate "
+        "sidecars every K epochs from inside the stream (bounded "
+        "partition counts without the manual --compact-index CLI; "
+        "safety argument in neardup.process_epoch's docstring)",
+    )
+    p.add_argument(
         "--lm-model",
         help="optional bigram-LM artifact path (save_bigram_lm) for "
         "--curate's perplexity gate",
@@ -139,6 +149,7 @@ def start_curate(
     model_path: str | None,
     out: str,
     lm_model_path: str | None = None,
+    compact_every: int | None = None,
 ):
     """Start the streaming curation query for the --curate mode (split
     out so tests can drive it with processAllAvailable instead of
@@ -171,6 +182,7 @@ def start_curate(
         f"{out}/verdicts",
         f"{out}/checkpoint",
         lm=lm,
+        compact_every=compact_every,
     )
 
 
@@ -220,6 +232,11 @@ def run_compact_index(
     else:
         gate = ND.compact_part_gate(spark, index_path, through_batch)
         print(json.dumps({"part_gate": gate, "through_batch": through_batch}))
+    # literal band-gate history: each epoch's cumulative one-row bloom
+    # (~8 MB at the cap) below through_batch is dead weight — a replayed
+    # epoch at max reads row max-1 == through_batch, which survives
+    pruned = ND.prune_gate_history(spark, index_path, through_batch)
+    print(json.dumps({"gate_rows_pruned": pruned}))
     return 0
 
 
@@ -261,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.curate:
         q = start_curate(
-            spark, args.curate, args.model, args.out, args.lm_model
+            spark, args.curate, args.model, args.out, args.lm_model,
+            compact_every=args.compact_every,
         )
     elif args.echo:
         host, port = parse_endpoint(args.echo)

@@ -75,6 +75,7 @@ def curate_epoch(
     lm: BigramLM | None = None,
     lm_reject_ce: float = CE_MIDDLE,
     band_gate: bool = True,
+    compact_every: int | None = None,
 ) -> None:
     """One curation epoch (the foreachBatch body): quality-gate the
     batch, optionally perplexity-gate the survivors against *lm*,
@@ -151,6 +152,7 @@ def curate_epoch(
         threshold=threshold,
         hash_fn=hash_fn,
         band_gate=band_gate,
+        compact_every=compact_every,
     )
     survivors = (
         spark.read.parquet(f"{verdict_path}/batch={batch_id}")
@@ -177,6 +179,7 @@ def stream_curate(
     lm: BigramLM | None = None,
     lm_reject_ce: float = CE_MIDDLE,
     band_gate: bool = True,
+    compact_every: int | None = None,
 ):
     """Start the streaming curation query over *docs_stream* (columns
     *id_col*, *text_col*). The models' relations are localCheckpointed
@@ -218,6 +221,7 @@ def stream_curate(
             lm=pinned_lm,
             lm_reject_ce=lm_reject_ce,
             band_gate=band_gate,
+            compact_every=compact_every,
         )
 
     return (

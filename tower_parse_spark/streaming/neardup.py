@@ -434,6 +434,7 @@ def stream_minhash_dedup(
     threshold: float = 0.5,
     hash_fn: str = "fast",
     band_gate: bool = False,
+    compact_every: int | None = None,
 ):
     """Start the streaming near-dup query over *docs_stream* (columns
     *id_col*, *text_col*). Per epoch: probe the index, write verdict
@@ -442,8 +443,10 @@ def stream_minhash_dedup(
     ``{index_path}/batch=N`` — both OVERWRITE per epoch, so replays are
     idempotent (:func:`process_epoch`, exposed for direct replay
     testing). *band_gate* threads through to :func:`process_epoch`
-    (default OFF, keeping this query's benched plan). Returns the
-    StreamingQuery (caller stops it)."""
+    (default OFF, keeping this query's benched plan). *compact_every*
+    (r15, VERDICT r14 #5) turns on the every-K-epochs auto-compaction —
+    see :func:`process_epoch`. Returns the StreamingQuery (caller
+    stops it)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_epoch(
@@ -456,6 +459,7 @@ def stream_minhash_dedup(
             threshold=threshold,
             hash_fn=hash_fn,
             band_gate=band_gate,
+            compact_every=compact_every,
         )
 
     return (
@@ -538,6 +542,43 @@ def compact_minhash_index(
             f"compact_minhash_index: rename {staging} -> {target} failed"
         )
     return {"n_rows": n_rows, "n_partitions_removed": removed}
+
+
+def prune_gate_history(spark, index_path: str, before_batch: int) -> int:
+    """Delete the literal band-gate sidecar's ``_bloom/batch=b`` rows
+    for b < *before_batch* (r15, VERDICT r14 #5). Each epoch writes one
+    CUMULATIVE row — at the MAX_GATE_BITS cap that is ~8 MB per epoch —
+    and only two rows are ever read back: the covering row at
+    ``probe_epoch - 1`` (read_gate_bloom / the n_keys bookkeeping) and
+    "any row" for the gapped-id existence probe. History below the
+    oldest epoch that can still replay is pure dead weight.
+
+    Replay contract: a replayed epoch N reads row N - 1, so callers
+    pass the same max-committed-1 arithmetic the other compaction paths
+    use (the auto-cadence passes ``batch_id - 1`` from inside epoch
+    *batch_id*: row batch_id-1 survives for batch_id's own replay, row
+    batch_id for the next epoch). Deletion is destruction-only on rows
+    nothing reads — no staging or meta dance needed; a crash mid-prune
+    leaves extra history, never missing coverage. Returns the number of
+    rows deleted."""
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    root = HPath(_bloom_path(index_path))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return 0
+    removed = 0
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith("batch="):
+            continue
+        b = name.split("=", 1)[1]
+        if b.isdigit() and int(b) < before_batch:
+            fs.delete(status.getPath(), True)
+            removed += 1
+    return removed
 
 
 def compact_part_gate(
@@ -747,6 +788,7 @@ def process_epoch(
     threshold: float = 0.5,
     hash_fn: str = "fast",
     band_gate: bool = False,
+    compact_every: int | None = None,
 ) -> None:
     """One epoch of the streaming near-dup loop (the foreachBatch body):
     probe the pre-*batch_id* index, overwrite this epoch's verdict and
@@ -770,7 +812,30 @@ def process_epoch(
     foreachBatch guarantees. Manual callers with gapped ids (e.g.
     date-numbered epochs) stay CORRECT but the probe runs ungated and
     the gate write takes the full-index rebuild every epoch; that
-    condition now warns instead of silently eating the rebuild."""
+    condition now warns instead of silently eating the rebuild.
+
+    Auto-compaction cadence (r15, VERDICT r14 #5): with *compact_every*
+    = K, every Kth epoch folds the index's per-epoch partitions (and,
+    under *band_gate*, the ``_bloom_part`` delta sidecar) through
+    ``batch_id - 1`` after this epoch's writes commit — partition
+    counts stay bounded at ~K+1 forever instead of growing until an
+    operator remembers the ``--compact-index`` CLI. Why running this
+    IN-STREAM is safe, against the CLI paths' stream-stopped rule: the
+    CLI rule exists because an EXTERNAL process cannot know epoch
+    boundaries, but the foreachBatch body IS the epoch — bodies are
+    serialized per query, so "after this epoch's writes, before the
+    next epoch starts" is exactly the between-epochs window the
+    compaction contract requires. Replay of the compaction epoch
+    itself is covered by the same arithmetic the CLI default uses
+    (through max-committed-1): a replayed epoch N probes ``batch < N``,
+    and compaction through N-1 only REARRANGES those rows (index) /
+    bit_or-merges them (gate, probe-identical by the union-of-set-bits
+    property); the replayed epoch then overwrites its own ``batch=N``
+    partitions, which the compaction never touched. Re-running the
+    compaction on replay is idempotent (re-merging a merged partition
+    is a no-op rearrangement). The gate's crash rule is inherited from
+    compact_part_gate: meta off before the destructive window, so a
+    crash mid-compaction degrades to gate-off, never false negatives."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     index = _read_index(spark, index_path, batch_id)
@@ -848,3 +913,12 @@ def process_epoch(
         write_gate_bloom(
             spark, index_path, batch_id, written, gate, gate_n_keys
         )
+    if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        # every-K-epochs maintenance (safety argument in the docstring):
+        # runs AFTER this epoch's writes so a crash during compaction
+        # replays the whole epoch, whose probe reads batch < batch_id —
+        # untouched content-wise by a compaction through batch_id - 1
+        compact_minhash_index(spark, index_path, batch_id - 1)
+        if band_gate:
+            compact_part_gate(spark, index_path, batch_id - 1)
+            prune_gate_history(spark, index_path, batch_id - 1)
