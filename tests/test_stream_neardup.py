@@ -863,6 +863,16 @@ def test_compact_part_gate_preserves_recorded_geometry(spark, tmp_path):
         B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits
 
 
+def test_part_gate_floor_pinned_to_measured_crossover():
+    """The shipped floor is a MEASURED constant, not a guess: 10M keys
+    is a quiet-machine loss (0.89x), 15M a quiet-machine win (1.08x /
+    1.24x, SCALE.md r15) — moving it again requires a fresh A/B row
+    (the conftest snapshot keeps per-test patches from leaking here)."""
+    from tower_parse_spark.operators import bloom as B
+
+    assert B.PART_GATE_MIN_KEYS == 15_000_000
+
+
 def test_part_gate_engagement_floor(spark, tmp_path):
     """r14 (VERDICT r13 #3a): below PART_GATE_MIN_KEYS the tombstoned
     probe runs UNGATED (the gate's fixed join overhead beats the

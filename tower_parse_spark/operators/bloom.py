@@ -93,9 +93,14 @@ PART_GATE_MAX_FP = 0.5
 #: UNGATED (exact, just unpruned) while the sidecar keeps accumulating
 #: per-epoch deltas, so crossing the floor engages an already-covering
 #: gate with no rebuild. Floor pinned by tools/part_gate_smoke.py at
-#: 10/20/30M on a quiet machine (SCALE.md r14). Tests that force the
-#: partitioned gate at toy scale set this to 0 alongside MAX_GATE_BITS.
-PART_GATE_MIN_KEYS = 20_000_000
+#: 10/20/30M on a quiet machine (SCALE.md r14), then LOWERED to 15M in
+#: r15 (VERDICT r14 #5): two quiet 15M A/Bs (1.08x best-of-3, 1.24x
+#: best-of-4 with every interleaved pair favoring the gate) agree with
+#: the earlier busy-machine 1.10x that the gate already wins there —
+#: the crossover sits between 10M (0.89x, a measured loss) and 15M.
+#: Tests that force the partitioned gate at toy scale set this to 0
+#: alongside MAX_GATE_BITS.
+PART_GATE_MIN_KEYS = 15_000_000
 
 
 def bloom_fp_rate(n_keys: int, n_bits: int, n_hashes: int) -> float:
