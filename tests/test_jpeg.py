@@ -60,13 +60,13 @@ _QY = np.array([16] * 64, dtype=np.float64)   # flat quality table: mild loss
 _QC = np.array([24] * 64, dtype=np.float64)
 
 
-def _jpeg(rgb, gray=False, restart_interval=0):
-    """Independent baseline encoder (4:4:4, flat quant tables, custom
-    canonical huffman tables): enough of T.81 to exercise every decoder
-    path — DC prediction, AC runs/ZRL/EOB, stuffing, restarts,
-    grayscale — written from the spec, not from the decoder."""
-    import struct
-
+def _dct_blocks(rgb, gray=False):
+    """Shared encoder front end: color transform, 8x8 DCT, flat-table
+    quantization — returns (h, w, ph, pw, blocks_per_plane) with
+    blocks in raster order as zigzag-ordered int arrays. Both the
+    baseline and the progressive test encoders emit from the SAME
+    coefficients, which is what makes their decodes comparable
+    pixel-for-pixel."""
     rgb = np.asarray(rgb, dtype=np.float64)
     h, w = rgb.shape[:2]
     r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -87,8 +87,22 @@ def _jpeg(rgb, gray=False, restart_interval=0):
             for bx in range(pw // 8):
                 f = pad[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128.0
                 S = m @ f @ m.T
-                blk.append(np.round(S.reshape(64)[zz] / qts[len(blocks_per_plane)][0]).astype(int))
+                blk.append(np.round(
+                    S.reshape(64)[zz] / qts[len(blocks_per_plane)][0]
+                ).astype(int))
         blocks_per_plane.append(blk)
+    return h, w, ph, pw, blocks_per_plane
+
+
+def _jpeg(rgb, gray=False, restart_interval=0):
+    """Independent baseline encoder (4:4:4, flat quant tables, custom
+    canonical huffman tables): enough of T.81 to exercise every decoder
+    path — DC prediction, AC runs/ZRL/EOB, stuffing, restarts,
+    grayscale — written from the spec, not from the decoder."""
+    import struct
+
+    h, w, ph, pw, blocks_per_plane = _dct_blocks(rgb, gray=gray)
+    planes = blocks_per_plane
 
     # gather emitted symbols -> canonical tables (per class, shared
     # luma/chroma for simplicity: table ids 0 only)
@@ -182,6 +196,235 @@ def _jpeg(rgb, gray=False, restart_interval=0):
     return bytes(out)
 
 
+def _chunk(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _write_headers(out, h, w, gray, sof_marker):
+    import struct
+
+    ncomp = 1 if gray else 3
+    for tq, q in enumerate([_QY] if gray else [_QY, _QC]):
+        out += _chunk(0xDB, bytes([tq]) + bytes(int(v) for v in q))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else (0 if gray else 1)])
+    out += _chunk(sof_marker, sof)
+    return ncomp
+
+
+def _sos(comp_ids, ss, se, ah, al):
+    body = bytes([len(comp_ids)])
+    for cid in comp_ids:
+        body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+    body += bytes([ss, se, (ah << 4) | al])
+    return _chunk(0xDA, body)
+
+
+def _prog_jpeg(rgb, gray=False, dc_al=0, bands=((1, 5), (6, 63)),
+               restart_interval=0):
+    """Independent PROGRESSIVE encoder sharing _dct_blocks' coefficient
+    stage with the baseline `_jpeg`: DC-first scan (point-transformed
+    by *dc_al*) plus raw-bit DC refinement scans, then per-component
+    spectral AC scans at Al=0 with true EOB-run accumulation across
+    blocks. Same coefficients as the baseline stream, so the decoder's
+    scan assembly is testable by EXACT pixel equality. Written from
+    T.81 G.1.2, not from the decoder."""
+    import struct
+
+    h, w, ph, pw, blocks = _dct_blocks(rgb, gray=gray)
+    n_blk = (ph // 8) * (pw // 8)
+    out = bytearray(b"\xff\xd8")
+    ncomp = _write_headers(out, h, w, gray, 0xC2)
+    if restart_interval:
+        out += _chunk(0xDD, struct.pack(">H", restart_interval))
+
+    # ---- DC first scan: interleaved, diffs of (dc >> dc_al) ----
+    dc_vals = [
+        [int(blocks[ci][i][0]) >> dc_al for i in range(n_blk)]
+        for ci in range(ncomp)
+    ]
+    emitted, pred, rst = [], [0] * ncomp, 0
+    for i in range(n_blk):
+        if restart_interval and i and i % restart_interval == 0:
+            emitted.append(("RST", rst % 8))
+            rst += 1
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            diff = dc_vals[ci][i] - pred[ci]
+            pred[ci] = dc_vals[ci][i]
+            emitted.append(("DC", _category(diff), diff))
+    counts, symbols, enc = _canonical(
+        {s for t, s, *_r in emitted if t == "DC"}
+    )
+    out += _chunk(0xC4, bytes([0x00]) + bytes(counts) + bytes(symbols))
+    out += _sos(list(range(1, ncomp + 1)), 0, 0, 0, dc_al)
+    wtr = _BitWriter()
+    for item in emitted:
+        if item[0] == "RST":
+            wtr.align()
+            wtr.out += bytes([0xFF, 0xD0 + item[1]])
+        else:
+            _t, s, diff = item
+            code, ln = enc[s]
+            wtr.write(code, ln)
+            if s:
+                wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wtr.align()
+    out += wtr.out
+
+    # ---- DC refinement scans: one raw bit per block ----
+    for al in range(dc_al - 1, -1, -1):
+        out += _sos(list(range(1, ncomp + 1)), 0, 0, al + 1, al)
+        wtr = _BitWriter()
+        rst = 0
+        for i in range(n_blk):
+            if restart_interval and i and i % restart_interval == 0:
+                wtr.align()
+                wtr.out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+            for ci in range(ncomp):
+                wtr.write((int(blocks[ci][i][0]) >> al) & 1, 1)
+        wtr.align()
+        out += wtr.out
+
+    # ---- AC spectral scans: per component, Al=0, EOB-run coded ----
+    for ci in range(ncomp):
+        for ss, se in bands:
+            emitted = []
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                while eobrun:
+                    r = min(eobrun.bit_length() - 1, 14)
+                    take = min(eobrun, (1 << (r + 1)) - 1)
+                    emitted.append(("EOB", r, take - (1 << r)))
+                    eobrun -= take
+
+            rst = 0
+            for i in range(n_blk):
+                if restart_interval and i and i % restart_interval == 0:
+                    flush_eob()
+                    emitted.append(("RST", rst % 8))
+                    rst += 1
+                band = [int(blocks[ci][i][k]) for k in range(ss, se + 1)]
+                nz = [j for j, v in enumerate(band) if v]
+                if not nz:
+                    eobrun += 1
+                    continue
+                flush_eob()
+                run = 0
+                for j in range(nz[-1] + 1):
+                    if band[j] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emitted.append(("ACV", 0xF0, 0, 0))
+                        run -= 16
+                    sz = _category(band[j])
+                    emitted.append(("ACV", (run << 4) | sz, band[j], sz))
+                    run = 0
+                if nz[-1] < len(band) - 1:
+                    eobrun = 1  # this block's tail starts a fresh run
+            flush_eob()
+            syms = {
+                it[1] if it[0] == "ACV" else (it[1] << 4)
+                for it in emitted if it[0] in ("ACV", "EOB")
+            }
+            counts, symbols, enc = _canonical(syms or {0x00})
+            out += _chunk(
+                0xC4, bytes([0x10]) + bytes(counts) + bytes(symbols)
+            )
+            out += _sos([ci + 1], ss, se, 0, 0)
+            wtr = _BitWriter()
+            for it in emitted:
+                if it[0] == "RST":
+                    wtr.align()
+                    wtr.out += bytes([0xFF, 0xD0 + it[1]])
+                elif it[0] == "EOB":
+                    _t, r, extra = it
+                    code, ln = enc[r << 4]
+                    wtr.write(code, ln)
+                    if r:
+                        wtr.write(extra, r)
+                else:
+                    _t, sym, v, sz = it
+                    code, ln = enc[sym]
+                    wtr.write(code, ln)
+                    if sz:
+                        wtr.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            wtr.align()
+            out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _seq_multiscan_jpeg(rgb, gray=False):
+    """Sequential SOF0 stream with ONE FULL-SPECTRUM SCAN PER COMPONENT
+    (previously UnsupportedJpegError 'multi-scan JPEG') — same
+    coefficients as `_jpeg`'s interleaved stream."""
+    h, w, ph, pw, blocks = _dct_blocks(rgb, gray=gray)
+    n_blk = (ph // 8) * (pw // 8)
+    out = bytearray(b"\xff\xd8")
+    ncomp = _write_headers(out, h, w, gray, 0xC0)
+    # shared tables over every component's symbols
+    dc_syms, ac_syms, per_scan = set(), set(), []
+    for ci in range(ncomp):
+        emitted, pred = [], 0
+        for i in range(n_blk):
+            coefs = blocks[ci][i]
+            diff = int(coefs[0]) - pred
+            pred = int(coefs[0])
+            s = _category(diff)
+            dc_syms.add(s)
+            emitted.append(("DC", s, diff))
+            run = 0
+            for k in range(1, 64):
+                v = int(coefs[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_syms.add(0xF0)
+                    emitted.append(("ACV", 0xF0, 0, 0))
+                    run -= 16
+                sz = _category(v)
+                ac_syms.add((run << 4) | sz)
+                emitted.append(("ACV", (run << 4) | sz, v, sz))
+                run = 0
+            if run:
+                ac_syms.add(0x00)
+                emitted.append(("ACV", 0x00, 0, 0))
+        per_scan.append(emitted)
+    dcc, dcs, dce = _canonical(dc_syms)
+    acc, acs, ace = _canonical(ac_syms)
+    out += _chunk(0xC4, bytes([0x00]) + bytes(dcc) + bytes(dcs))
+    out += _chunk(0xC4, bytes([0x10]) + bytes(acc) + bytes(acs))
+    for ci in range(ncomp):
+        out += _sos([ci + 1], 0, 63, 0, 0)
+        wtr = _BitWriter()
+        for it in per_scan[ci]:
+            if it[0] == "DC":
+                _t, s, diff = it
+                code, ln = dce[s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            else:
+                _t, sym, v, sz = it
+                code, ln = ace[sym]
+                wtr.write(code, ln)
+                if sz:
+                    wtr.write(v if v > 0 else v + (1 << sz) - 1, sz)
+        wtr.align()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _psnr(a, b):
     mse = float(((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean())
     return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
@@ -264,8 +507,11 @@ def test_real_encoder_files_decode():
     w, h, rgb = _parse_jpeg(open(_REAL["photo_rst"], "rb").read())
     assert (w, h) == (720, 477)
     assert 10 < rgb.mean() < 245 and rgb.std() > 10
-    with pytest.raises(UnsupportedJpegError, match="progressive|non-baseline"):
-        _parse_jpeg(open(_REAL["progressive"], "rb").read())
+    # r15: progressive decodes hermetically now (full scan script:
+    # DC-first Al=1, spectral AC scans at Al>=1, AC+DC refinements)
+    w, h, rgb = _parse_jpeg(open(_REAL["progressive"], "rb").read())
+    assert (w, h) == (720, 477)
+    assert 10 < rgb.mean() < 245 and rgb.std() > 10
 
 
 def test_dispatch_and_unsupported_naming(monkeypatch):
@@ -290,11 +536,22 @@ def test_dispatch_and_unsupported_naming(monkeypatch):
     }
     assert isinstance(M.phash_real(p), int)
     if os.path.exists(_REAL["progressive"]):
+        # r15: progressive routes hermetically through the same dispatch
         prog = open(_REAL["progressive"], "rb").read()
-        with pytest.raises(NotImplementedError, match="pillow"):
-            M.decode_real(prog)
-        with pytest.raises(NotImplementedError, match="pillow"):
-            M.phash_real(prog)
+        assert M.decode_real(prog) == {
+            "n_bytes": len(prog), "width": 720, "height": 477,
+            "format": "jpeg",
+        }
+        assert isinstance(M.phash_real(prog), int)
+    # arithmetic-coded SOF9 still names pillow through the dispatch
+    arith = (
+        b"\xff\xd8"
+        + bytes([0xFF, 0xC9, 0, 11, 8, 0, 8, 0, 8, 1])
+        + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="pillow"):
+        M.phash_real(arith)
     with pytest.raises(ValueError, match="SOI"):
         _parse_jpeg(b"RIFFxxxxWEBP")
     with pytest.raises(ValueError, match="truncated|stream"):
@@ -443,6 +700,110 @@ def test_malformed_dht_and_sos_are_valueerror():
         _parse_jpeg(
             b"\xff\xd8" + chunk(0xC0, sof) + chunk(0xDA, b"") + b"\xff\xd9"
         )
+
+
+def _test_image(h=24, w=40):
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack(
+        [(xs * 5) % 256, (ys * 7) % 256, ((xs + ys) * 3) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_progressive_equals_baseline_exactly():
+    """r15: a progressive stream carrying the SAME coefficients as a
+    baseline stream must decode to IDENTICAL pixels — encoder written
+    from T.81 G.1.2 independently of the decoder. Variants cover
+    spectral band splits, grayscale, DC successive approximation
+    (first scan at Al=1 + raw-bit refinement), restart intervals with
+    EOB-run flushing, and a full-band single AC scan."""
+    img = _test_image()
+    base = _parse_jpeg(_jpeg(img))
+    for kwargs in (
+        {},
+        {"bands": ((1, 1), (2, 8), (9, 63))},
+        {"bands": ((1, 63),)},
+        {"dc_al": 1},
+        {"dc_al": 1, "bands": ((1, 2), (3, 63))},
+        {"restart_interval": 3},
+        {"dc_al": 1, "restart_interval": 2},
+    ):
+        prog = _parse_jpeg(_prog_jpeg(img, **kwargs))
+        assert prog[:2] == base[:2]
+        assert np.array_equal(prog[2], base[2]), kwargs
+    gray_base = _parse_jpeg(_jpeg(img, gray=True))
+    for kwargs in ({"gray": True}, {"gray": True, "dc_al": 1}):
+        prog = _parse_jpeg(_prog_jpeg(img, **kwargs))
+        assert np.array_equal(prog[2], gray_base[2]), kwargs
+    # odd dimensions: partial edge blocks through the padded grid
+    tiny = (np.arange(5 * 9 * 3, dtype=np.uint8) % 251).reshape(5, 9, 3)
+    assert np.array_equal(
+        _parse_jpeg(_prog_jpeg(tiny, dc_al=1))[2],
+        _parse_jpeg(_jpeg(tiny))[2],
+    )
+
+
+def test_sequential_multiscan_equals_interleaved():
+    """r15: one-scan-per-component sequential streams (previously
+    UnsupportedJpegError) decode identically to the interleaved
+    single-scan stream built from the same coefficients."""
+    img = _test_image()
+    assert np.array_equal(
+        _parse_jpeg(_seq_multiscan_jpeg(img))[2],
+        _parse_jpeg(_jpeg(img))[2],
+    )
+    assert np.array_equal(
+        _parse_jpeg(_seq_multiscan_jpeg(img, gray=True))[2],
+        _parse_jpeg(_jpeg(img, gray=True))[2],
+    )
+
+
+def _scan_prefixes(data):
+    """Offsets just past each scan's entropy data (marker-walk on the
+    test side: SOS -> skip entropy to the next non-RST marker)."""
+    ends = []
+    pos = 2
+    while pos + 4 <= len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = int.from_bytes(data[pos + 2:pos + 4], "big")
+        if marker == 0xDA:
+            p = pos + 2 + seglen
+            while p + 1 < len(data):
+                if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+                    0xD0 <= data[p + 1] <= 0xD7
+                ):
+                    break
+                p += 1
+            ends.append(p)
+            pos = p
+        else:
+            pos += 2 + seglen
+    return ends
+
+
+def test_progressive_real_fixture_refinement_convergence():
+    """The real progressive photo (10 scans: DC-first Al=1, AC firsts
+    at Al>=1, AC refinements Ah=2/1, DC refinement): every truncated
+    prefix must decode (progressive's defining property), later
+    prefixes must approximate the full image monotonically better, and
+    the last prefix is the full image."""
+    if not os.path.exists(_REAL["progressive"]):
+        pytest.skip("container image data files not present")
+    data = open(_REAL["progressive"], "rb").read()
+    ends = _scan_prefixes(data)
+    assert len(ends) == 10  # the fixture's full scan script
+    _w, _h, full = _parse_jpeg(data)
+    errs = []
+    for cut in (ends[0], ends[4], ends[-1]):  # DC only / mid / all
+        w, h, rgb = _parse_jpeg(data[:cut] + b"\xff\xd9")
+        assert (w, h) == (720, 477)
+        errs.append(
+            float(np.abs(rgb.astype(np.float64) - full).mean())
+        )
+    assert errs[0] > errs[1] > errs[2] == 0.0
+    assert errs[1] < 10.0  # mid-script is already a close approximation
 
 
 def test_dnl_deferred_height_is_unsupported_not_malformed():

@@ -1,19 +1,22 @@
-"""Hermetic baseline-JPEG decoder — public spec (ITU-T T.81), stdlib +
-numpy only.
+"""Hermetic JPEG decoder — public spec (ITU-T T.81), stdlib + numpy
+only.
 
 Completes the multimodal real-decode family (PPM r13, PNG r14): with
 this, ``decode_real`` / ``phash_real`` handle the three dominant
 interchange formats with NO optional dependency, and the Pillow gate
-shrinks to progressive/arithmetic JPEG, WebP and friends. Scope is
-baseline sequential DCT (SOF0; SOF1's extended-sequential huffman
-decodes identically at 8-bit): huffman entropy decoding with byte
+shrinks to arithmetic-coded/lossless/hierarchical JPEG, WebP and
+friends. Scope is huffman DCT — sequential (SOF0; SOF1's
+extended-sequential decodes identically at 8-bit), and as of r15
+PROGRESSIVE (SOF2: spectral selection, successive approximation with
+DC/AC refinement scans per T.81 G.1.2, EOB-run coding) plus
+multi-scan sequential streams: huffman entropy decoding with byte
 un-stuffing and restart markers, dequantization, zigzag, float IDCT,
 chroma upsampling for any sampling factors (4:4:4 / 4:2:0 / 4:2:2 /
 ...), JFIF full-range BT.601 YCbCr->RGB, grayscale replication.
-Valid-but-unsupported streams (progressive SOF2, arithmetic coding,
-12-bit precision, hierarchical) raise :class:`UnsupportedJpegError`
-so the multimodal dispatch can name Pillow as the remedy, exactly the
-PNG contract.
+Valid-but-unsupported streams (arithmetic coding, 12-bit precision,
+lossless, hierarchical, DNL-deferred height) raise
+:class:`UnsupportedJpegError` so the multimodal dispatch can name
+Pillow as the remedy, exactly the PNG contract.
 
 Like the PNG path, this is the hermetic correctness reference, not a
 throughput engine: the entropy decode is a per-symbol Python loop
@@ -22,10 +25,15 @@ Pillow takes over decode speed-wise; pixels may differ from Pillow's
 by IDCT/upsampling rounding (JPEG decoders are not bit-specified).
 What the tests pin: round-trip fidelity against an independent
 spec-derived encoder (PSNR floors; dHash bit-identity through the
-round-trip on smooth content), clean full-stream decode of real
-encoder output shipped in this container (grayscale, 4:2:0, and a
-100 KB photo with restart markers), and the Unsupported/malformed
-error contract."""
+round-trip on smooth content), EXACT pixel equality between baseline
+and progressive streams built from the same coefficients by an
+independent spec-derived progressive encoder (band splits, DC
+successive approximation, restart/EOB-run interaction), clean
+full-stream decode of real encoder output shipped in this container
+(grayscale, 4:2:0, a 100 KB photo with restart markers, and a
+260 KB ten-scan progressive photo whose truncated prefixes must
+converge monotonically — the property that defines progressive), and
+the Unsupported/malformed error contract."""
 
 from __future__ import annotations
 
@@ -170,7 +178,7 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-def _segments(payload: bytes):
+def _segments(payload: bytes, start: "int | None" = None):
     """Yield ``(marker, seg, next_pos)`` for every marker segment in
     the header stream — the ONE marker walk both :func:`_parse_jpeg`
     and :func:`parse_dimensions` consume (review r14: two hand-rolled
@@ -178,10 +186,19 @@ def _segments(payload: bytes):
     fill-byte tails). Handles the SOI check, any number of 0xFF fill
     bytes before a marker (T.81 B.1.1.2) with bounds-safe termination,
     stray SOI, EOI, and segment-length validation. Standalone restart
-    markers are illegal outside a scan and read as malformed."""
-    if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG payload (no SOI)")
-    pos = 2
+    markers are illegal outside a scan and read as malformed.
+
+    *start* (r15, progressive): resume the walk at a known marker
+    offset — the multi-scan driver re-enters here after each scan's
+    entropy data (whose end only the entropy decoder can find), so
+    between-scan DHT/DRI segments flow through the same validated
+    walk instead of a second hand-rolled copy."""
+    if start is None:
+        if len(payload) < 4 or payload[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (no SOI)")
+        pos = 2
+    else:
+        pos = start
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
@@ -209,93 +226,143 @@ def _segments(payload: bytes):
         pos += 2 + seglen
 
 
-_SOF_UNSUPPORTED = (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+#: SOF markers outside the huffman DCT subset we decode (SOF0/1
+#: sequential, SOF2 progressive as of r15): lossless (C3/C7/CB/CF),
+#: differential (C5/C6/CD/CE), arithmetic-coded (C9/CA/CD/CE/CF)
+_SOF_UNSUPPORTED = (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                     0xCB, 0xCD, 0xCE, 0xCF)
 
 
+def _parse_sos(seg, frame):
+    """Validated scan header: ``(scan, ss, se, ah, al)`` where scan is
+    ``[(component, dc_table_id, ac_table_id), ...]`` and ss/se/ah/al
+    are the spectral-selection and successive-approximation fields
+    (always present in the SOS; sequential scans carry 0/63/0/0)."""
+    if not seg:
+        raise ValueError("truncated SOS")
+    ns = seg[0]
+    if len(seg) < 1 + 2 * ns + 3:
+        raise ValueError("truncated SOS")
+    scan = []
+    for i in range(ns):
+        cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        comp = next((c for c in frame[2] if c["id"] == cid), None)
+        if comp is None:
+            raise ValueError("JPEG scan references unknown component")
+        scan.append((comp, tt >> 4, tt & 15))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahl = seg[3 + 2 * ns]
+    return scan, ss, se, ahl >> 4, ahl & 15
+
+
 def _parse_jpeg(payload: bytes):
-    """Decode a baseline JPEG to ``(width, height, HxWx3 uint8 RGB)``.
-    Raises ValueError on malformed streams, UnsupportedJpegError on
-    valid-but-out-of-scope ones (see module docstring)."""
+    """Decode a sequential (SOF0/1) or progressive (SOF2) huffman JPEG
+    to ``(width, height, HxWx3 uint8 RGB)``. Raises ValueError on
+    malformed streams, UnsupportedJpegError on valid-but-out-of-scope
+    ones (see module docstring).
+
+    Single-scan sequential streams take the direct per-block path
+    (:func:`_decode_scan`, coefficients straight to pixels). Everything
+    else — progressive scan scripts and multi-scan sequential — runs
+    the coefficient-buffer path: each scan deposits into per-component
+    DCT-coefficient grids (:func:`_decode_scan_coef`), the marker walk
+    resumes after each scan's entropy data (between-scan DHT/DRI
+    segments go through the same `_segments` walk), and one vectorized
+    dequantize+IDCT pass renders the final image (:func:`_coef_to_rgb`)."""
     import numpy as np
 
     qt: dict[int, "np.ndarray"] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (w, h, components)
+    progressive = False
     restart_interval = 0
     adobe_transform = None  # APP14 color-transform flag, when present
-    for marker, seg, next_pos in _segments(payload):
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 15
-                if pq != 0:
-                    raise UnsupportedJpegError("16-bit JPEG quant table")
-                if p + 65 > len(seg):
-                    raise ValueError("truncated DQT")
-                qt[tq] = np.frombuffer(
-                    seg[p + 1:p + 65], dtype=np.uint8
-                ).astype(np.float64)
-                p += 65
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 baseline huffman
-            frame = _parse_sof(seg)
-        elif marker in _SOF_UNSUPPORTED:
-            raise UnsupportedJpegError(
-                f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
-                "arithmetic/hierarchical)"
-            )
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                if p + 17 > len(seg):
-                    raise ValueError("truncated DHT")
-                tc, th = seg[p] >> 4, seg[p] & 15
-                counts = list(seg[p + 1:p + 17])
-                n = sum(counts)
-                symbols = list(seg[p + 17:p + 17 + n])
-                if len(symbols) != n:
-                    raise ValueError("truncated DHT")
-                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
-                    counts, symbols
+    coef = None  # per-component coefficient grids (multi-scan path)
+    pos: "int | None" = None  # marker-walk resume offset
+    while True:
+        resume_at = None
+        for marker, seg, next_pos in _segments(payload, pos):
+            if marker == 0xDB:  # DQT
+                p = 0
+                while p < len(seg):
+                    pq, tq = seg[p] >> 4, seg[p] & 15
+                    if pq != 0:
+                        raise UnsupportedJpegError("16-bit JPEG quant table")
+                    if p + 65 > len(seg):
+                        raise ValueError("truncated DQT")
+                    qt[tq] = np.frombuffer(
+                        seg[p + 1:p + 65], dtype=np.uint8
+                    ).astype(np.float64)
+                    p += 65
+            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 sequential huffman
+                frame = _parse_sof(seg)
+            elif marker == 0xC2:  # SOF2 progressive huffman (r15)
+                frame = _parse_sof(seg)
+                progressive = True
+            elif marker in _SOF_UNSUPPORTED:
+                raise UnsupportedJpegError(
+                    f"non-baseline JPEG (SOF marker {marker:#x}: "
+                    "arithmetic/lossless/hierarchical)"
                 )
-                p += 17 + n
-        elif marker == 0xDD:  # DRI
-            if len(seg) < 2:
-                raise ValueError("truncated DRI")
-            restart_interval = int.from_bytes(seg[0:2], "big")
-        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
-            # APP14: transform 0 = components are stored as-is (RGB
-            # for a 3-component frame), 1 = YCbCr (review r14: without
-            # this, Adobe-RGB baselines get color-rotated and hash
-            # differently than a Pillow decode of the same bytes)
-            adobe_transform = seg[11]
-        elif marker == 0xDA:  # SOS — entropy data follows
-            if frame is None:
-                raise ValueError("JPEG SOS before SOF")
-            if not seg:
-                raise ValueError("truncated SOS")
-            ns = seg[0]
-            if len(seg) < 1 + 2 * ns + 3:
-                raise ValueError("truncated SOS")
-            scan = []
-            for i in range(ns):
-                cid, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                comp = next(
-                    (c for c in frame[2] if c["id"] == cid), None
+            elif marker == 0xC4:  # DHT
+                p = 0
+                while p < len(seg):
+                    if p + 17 > len(seg):
+                        raise ValueError("truncated DHT")
+                    tc, th = seg[p] >> 4, seg[p] & 15
+                    counts = list(seg[p + 1:p + 17])
+                    n = sum(counts)
+                    symbols = list(seg[p + 17:p + 17 + n])
+                    if len(symbols) != n:
+                        raise ValueError("truncated DHT")
+                    (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(
+                        counts, symbols
+                    )
+                    p += 17 + n
+            elif marker == 0xDD:  # DRI
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI")
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+                # APP14: transform 0 = components are stored as-is (RGB
+                # for a 3-component frame), 1 = YCbCr (review r14: without
+                # this, Adobe-RGB baselines get color-rotated and hash
+                # differently than a Pillow decode of the same bytes)
+                adobe_transform = seg[11]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if frame is None:
+                    raise ValueError("JPEG SOS before SOF")
+                scan, ss, se, ah, al = _parse_sos(seg, frame)
+                if (
+                    not progressive
+                    and coef is None
+                    and len(scan) == len(frame[2])
+                ):
+                    # single-scan sequential: straight to pixels
+                    return _decode_scan(
+                        payload, next_pos, frame, scan, qt,
+                        huff_dc, huff_ac, restart_interval,
+                        rgb_stored=_is_rgb_stored(frame[2], adobe_transform),
+                    )
+                if coef is None:
+                    coef = _init_coef(frame)
+                resume_at = _decode_scan_coef(
+                    payload, next_pos, frame, scan, coef,
+                    huff_dc, huff_ac, restart_interval,
+                    progressive, ss, se, ah, al,
                 )
-                if comp is None:
-                    raise ValueError("JPEG scan references unknown component")
-                scan.append((comp, tt >> 4, tt & 15))
-            if len(scan) != len(frame[2]):
-                raise UnsupportedJpegError("multi-scan JPEG")
-            return _decode_scan(
-                payload, next_pos, frame, scan, qt,
-                huff_dc, huff_ac, restart_interval,
-                rgb_stored=_is_rgb_stored(frame[2], adobe_transform),
-            )
-        # APPn / COM / others: skip
-    raise ValueError("JPEG has no scan data (missing SOS)")
+                break
+            # APPn / COM / others: skip
+        if resume_at is None:
+            break
+        pos = resume_at
+    if coef is None:
+        raise ValueError("JPEG has no scan data (missing SOS)")
+    return _coef_to_rgb(
+        frame, coef, qt,
+        rgb_stored=_is_rgb_stored(frame[2], adobe_transform),
+    )
 
 
 def _parse_sof(seg):
@@ -347,13 +414,13 @@ def parse_dimensions(payload: bytes) -> "tuple[int, int]":
     (review r14). Raises the same ValueError / UnsupportedJpegError
     contract as :func:`_parse_jpeg` for the header portion."""
     for marker, seg, _next_pos in _segments(payload):
-        if marker in (0xC0, 0xC1):
+        if marker in (0xC0, 0xC1, 0xC2):
             w, h, _comps = _parse_sof(seg)
             return w, h
         if marker in _SOF_UNSUPPORTED:
             raise UnsupportedJpegError(
-                f"non-baseline JPEG (SOF marker {marker:#x}: progressive/"
-                "arithmetic/hierarchical)"
+                f"non-baseline JPEG (SOF marker {marker:#x}: "
+                "arithmetic/lossless/hierarchical)"
             )
         if marker == 0xDA:
             break
@@ -463,18 +530,30 @@ def _decode_scan(
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                 planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+    return _planes_to_rgb(planes, comps, w, h, hmax, vmax, rgb_stored)
+
+
+def _planes_to_rgb(planes, comps, w, h, hmax, vmax, rgb_stored):
+    """Shared pixel rendering for both decode paths: upsample
+    subsampled chroma by integer repeat, crop the block-grid padding,
+    replicate grayscale or apply the BT.601 / stored-RGB transform.
+    A single plane is grayscale regardless of its sampling factors
+    (the baseline non-interleaved path keeps the component's own
+    grid, which needs no upsampling)."""
+    import numpy as np
+
+    if len(planes) == 1:
+        ych = np.clip(planes[0][:h, :w], 0, 255)
+        rgb = np.repeat(ych[:, :, None], 3, axis=2)
+        return w, h, rgb.round().astype(np.uint8)
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
-        if not non_interleaved and (c["h"] != hmax or c["v"] != vmax):
+        if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
         out.append(p[:h, :w])
-    if len(out) == 1:
-        ych = np.clip(out[0], 0, 255)
-        rgb = np.repeat(ych[:, :, None], 3, axis=2)
-        return w, h, rgb.round().astype(np.uint8)
     if rgb_stored:
         # components ARE R,G,B (Adobe transform=0 / 'RGB' ids): no
         # color rotation — matches what any full decoder produces
@@ -486,3 +565,263 @@ def _decode_scan(
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return w, h, np.clip(rgb.round(), 0, 255).astype(np.uint8)
+
+
+def _sampling_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) with the same sampling validation the
+    direct path applies — the coefficient-buffer path bypasses
+    :func:`_decode_scan` and must reject bad factors itself."""
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+        raise ValueError("bad JPEG sampling factors")
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise UnsupportedJpegError("JPEG with non-divisible sampling factors")
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _init_coef(frame):
+    """Per-component DCT-coefficient grids in NATURAL (de-zigzagged)
+    order, shaped ``(block_rows, block_cols, 64)`` over the full
+    interleaved-MCU-padded extent — progressive scans deposit into
+    these across the whole scan script, and multi-scan sequential
+    reuses the same store."""
+    import numpy as np
+
+    hmax, vmax, mcux, mcuy = _sampling_geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in frame[2]
+    ]
+
+
+def _decode_scan_coef(
+    payload, pos, frame, scan, coef, huff_dc, huff_ac,
+    restart_interval, progressive, ss, se, ah, al,
+):
+    """Decode ONE scan's entropy data into the coefficient store and
+    return the offset of the next marker segment (the caller resumes
+    the marker walk there). Covers all four progressive scan kinds per
+    T.81 G.1.2 — DC first (diff << Al), DC refinement (one raw bit per
+    block), AC first (EOB-run coded spectral band), AC refinement (the
+    correction-bit algorithm) — plus full-spectrum sequential scans
+    (multi-scan SOF0/1, previously UnsupportedJpegError)."""
+    import numpy as np  # noqa: F401  (dtype promotion on views)
+
+    w, h, comps = frame
+    hmax, vmax, f_mcux, f_mcuy = _sampling_geometry(frame)
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with Se != 0")
+            if ah == 0 and any(td not in huff_dc for _c, td, _ta in scan):
+                raise ValueError("JPEG scan references missing huffman table")
+        else:
+            if len(scan) != 1:
+                raise ValueError(
+                    "progressive AC scan must be single-component"
+                )
+            if not (ss <= se <= 63):
+                raise ValueError("bad JPEG spectral selection")
+            if any(ta not in huff_ac for _c, _td, ta in scan):
+                raise ValueError("JPEG scan references missing huffman table")
+        if ah and ah != al + 1:
+            raise ValueError("bad JPEG successive approximation")
+    else:
+        # sequential multi-scan: every scan is full-spectrum
+        ss, se, ah, al = 0, 63, 0, 0
+        for _c, td, ta in scan:
+            if td not in huff_dc or ta not in huff_ac:
+                raise ValueError("JPEG scan references missing huffman table")
+    # T.81 A.2: ns==1 -> non-interleaved over the component's own grid
+    non_interleaved = len(scan) == 1
+    if non_interleaved:
+        comp0 = scan[0][0]
+        cw = -(-w * comp0["h"] // hmax)
+        ch = -(-h * comp0["v"] // vmax)
+        mcux, mcuy = -(-cw // 8), -(-ch // 8)
+    else:
+        mcux, mcuy = f_mcux, f_mcuy
+    scan_blocks = [
+        [(0, 0)]
+        if non_interleaved
+        else [(by, bx) for by in range(c["v"]) for bx in range(c["h"])]
+        for c, _td, _ta in scan
+    ]
+    comp_of = [comps.index(c) for c, _td, _ta in scan]
+    reader = _BitReader(payload, pos)
+    pred = [0] * len(scan)
+    eobrun = 0
+    rst_count = 0
+    p1, m1 = 1 << al, -1 << al
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            reader.align_and_expect_rst(rst_count)
+            rst_count += 1
+            pred = [0] * len(scan)
+            eobrun = 0
+        my, mx = divmod(mcu, mcux)
+        for si, (comp, td, ta) in enumerate(scan):
+            for by, bx in scan_blocks[si]:
+                if non_interleaved:
+                    brow, bcol = my, mx
+                else:
+                    brow = my * comp["v"] + by
+                    bcol = mx * comp["h"] + bx
+                blk = coef[comp_of[si]][brow, bcol]
+                if not progressive:
+                    _block_full(reader, blk, huff_dc[td], huff_ac[ta],
+                                pred, si)
+                elif ss == 0 and ah == 0:  # DC first
+                    s = reader.decode(huff_dc[td])
+                    if s > 11:
+                        raise ValueError("invalid JPEG DC category")
+                    diff = _extend(reader.receive(s), s) if s else 0
+                    pred[si] += diff
+                    blk[0] = pred[si] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if reader.read_bit():
+                        blk[0] |= p1
+                elif ah == 0:  # AC first (EOB-run coded band)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode(huff_ac[ta])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        blk[k] = _extend(reader.receive(s), s) * p1
+                        k += 1
+                else:  # AC refinement (T.81 G.1.2.3 correction bits)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.decode(huff_ac[ta])
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    break
+                                val = 0  # ZRL: pass 16 zero-history coefs
+                            elif s == 1:
+                                val = p1 if reader.read_bit() else m1
+                            else:
+                                raise ValueError(
+                                    "bad JPEG AC refinement symbol"
+                                )
+                            while k <= se:
+                                cv = int(blk[k])
+                                if cv:
+                                    if reader.read_bit() and not (cv & p1):
+                                        blk[k] = cv + (p1 if cv >= 0 else m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun:
+                        # EOB band tail: correction bits for every
+                        # remaining already-nonzero coefficient
+                        while k <= se:
+                            cv = int(blk[k])
+                            if cv and reader.read_bit() and not (cv & p1):
+                                blk[k] = cv + (p1 if cv >= 0 else m1)
+                            k += 1
+                        eobrun -= 1
+    return _scan_end(payload, reader)
+
+
+def _block_full(reader, blk, dc_table, ac_table, pred, si):
+    """One full-spectrum sequential block into the coefficient store —
+    the multi-scan SOF0/1 form of the direct path's block loop."""
+    s = reader.decode(dc_table)
+    if s > 11:
+        raise ValueError("invalid JPEG DC category")
+    diff = _extend(reader.receive(s), s) if s else 0
+    pred[si] += diff
+    blk[0] = pred[si]
+    k = 1
+    while k < 64:
+        rs = reader.decode(ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        blk[k] = _extend(reader.receive(s), s)
+        k += 1
+
+
+def _scan_end(payload, reader):
+    """Offset of the next marker after a scan's entropy data. The
+    BitReader only ever buffers whole entropy bytes (a marker stops
+    its fill), so the next 0xFF-marker sits at or after ``reader.pos``;
+    pad bits / stuffed bytes before it are skipped, and a stray RSTn at
+    the scan boundary is consumed rather than read as a standalone
+    marker (some encoders emit the final restart)."""
+    d = payload
+    p = reader.pos
+    while p + 1 < len(d):
+        if d[p] != 0xFF:
+            p += 1
+            continue
+        nxt = d[p + 1]
+        if nxt == 0x00:
+            p += 2
+        elif nxt == 0xFF:
+            p += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            p += 2
+        else:
+            return p
+    raise ValueError("JPEG truncated after scan data")
+
+
+def _coef_to_rgb(frame, coef, qt, rgb_stored):
+    """Dequantize + de-zigzag + IDCT the coefficient store in ONE
+    vectorized numpy pass per component, then render through the
+    shared :func:`_planes_to_rgb` tail. (The multi-scan path is
+    MORE vectorized than the direct one: the per-block Python work
+    already happened scan-side, so the whole grid IDCTs as a single
+    einsum.)"""
+    import numpy as np
+
+    w, h, comps = frame
+    hmax, vmax, _mcux, _mcuy = _sampling_geometry(frame)
+    m = _idct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG missing quant table {c['tq']}")
+        a = coef[ci].astype(np.float64) * qt[c["tq"]]  # zigzag order
+        nat = np.zeros_like(a)
+        nat[:, :, zz] = a  # natural[zz[i]] = zigzag[i]
+        bh, bw = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spatial = np.einsum("ui,yxuv,vj->yxij", m, blocks, m) + 128.0
+        planes.append(
+            spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+    return _planes_to_rgb(planes, comps, w, h, hmax, vmax, rgb_stored)

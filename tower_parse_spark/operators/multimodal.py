@@ -255,7 +255,7 @@ def _parse_png(payload: bytes):
 def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
     """The shared no-Pillow dispatch (review r14 — one code path, not
     four, for the format sniff and the Unsupported->NotImplementedError
-    conversion): route PNG / baseline-JPEG payloads to the hermetic
+    conversion): route PNG / JPEG payloads to the hermetic
     decoders; convert their valid-but-unsupported errors into
     NotImplementedError naming the pillow remedy (the same error class
     a WebP gets, instead of an environment-dependent ValueError);
@@ -268,12 +268,13 @@ def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
         )
     elif payload.startswith(b"\xff\xd8"):
         fn, coverage, exc_cls = (
-            jpeg_fn, "baseline sequential JPEG", UnsupportedJpegError
+            jpeg_fn, "sequential + progressive huffman JPEG",
+            UnsupportedJpegError
         )
     else:
         raise NotImplementedError(
             f"{caller} needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/baseline-JPEG (pip install "
+            "formats beyond PPM/PNG/JPEG (pip install "
             "pillow); the stub path is the hermetic default"
         ) from import_exc
     try:
@@ -286,11 +287,12 @@ def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """REAL metadata decode of a baseline JPEG with NO optional
+    """REAL metadata decode of a JPEG with NO optional
     dependency (operators/jpeg.py — ITU-T T.81), same contract as
     :func:`decode_stub` / :func:`decode_real` (r14; with PPM and PNG
     this closes the hermetic-decode gap for the three dominant
-    interchange formats — Pillow now gates only progressive/arithmetic
+    interchange formats — since r15 progressive decodes hermetically
+    too, so Pillow gates only arithmetic-coded/lossless/hierarchical
     JPEG, WebP and rarer formats). Dimensions come from the SOF header
     walk alone — metadata for a megapixel image must not pay the full
     per-symbol entropy decode (that runs only where pixels are needed:
