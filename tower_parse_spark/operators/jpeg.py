@@ -68,20 +68,34 @@ def _idct_matrix():
 
 
 class _HuffTable:
-    """Canonical JPEG huffman table: decode one symbol by reading bits
-    MSB-first, extending the code until it matches (max 16 bits, per
-    spec)."""
+    """Canonical JPEG huffman table as a flat 16-bit-window LUT: every
+    code of length L fills the 2^(16-L) window slots it prefixes, so a
+    symbol decodes with ONE list index instead of a bit-by-bit dict
+    probe (r15 — the entropy loop is the decoder's CPU bill, SCALE.md).
+    Built with numpy slice fills, read as Python lists (scalar list
+    indexing beats scalar ndarray indexing ~3x in the per-symbol
+    loop)."""
 
     def __init__(self, counts, symbols):
-        self.lookup = {}
+        import numpy as np
+
+        lut_sym = np.zeros(1 << 16, dtype=np.uint8)
+        lut_len = np.zeros(1 << 16, dtype=np.uint8)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                start = code << (16 - length)
+                if start >= (1 << 16):
+                    raise ValueError("bad JPEG huffman table (code overflow)")
+                span = 1 << (16 - length)
+                lut_sym[start:start + span] = symbols[k]
+                lut_len[start:start + span] = length
                 code += 1
                 k += 1
             code <<= 1
+        self.sym = lut_sym.tolist()
+        self.len = lut_len.tolist()
 
 
 class _BitReader:
@@ -97,54 +111,76 @@ class _BitReader:
         self.marker = None  # set when a non-stuffing 0xFF marker is hit
 
     def _fill(self) -> bool:
+        # consumed bits above nbits are masked off here: letting them
+        # accumulate turns buf into a stream-sized bigint whose every
+        # shift costs O(stream) — the whole decode went quadratic
+        # (measured 1.8x on the 100 KB photo from this mask alone, r15)
         d = self.data
-        while self.nbits <= 24:
-            if self.pos >= len(d):
-                return self.nbits > 0
-            b = d[self.pos]
+        pos, nbits = self.pos, self.nbits
+        buf = self.buf & ((1 << nbits) - 1)
+        while nbits <= 24:
+            if pos >= len(d):
+                break
+            b = d[pos]
             if b == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+                nxt = d[pos + 1] if pos + 1 < len(d) else None
                 if nxt == 0x00:
-                    self.pos += 2  # stuffed literal 0xFF
+                    pos += 2  # stuffed literal 0xFF
                 elif nxt == 0xFF:
                     # FILL byte before a marker (T.81 B.1.1.2) — legal
                     # in the entropy stream too, e.g. before an RSTn
-                    self.pos += 1
+                    pos += 1
                     continue
                 elif nxt is None:
-                    return self.nbits > 0
+                    break
                 else:
                     self.marker = nxt  # scan ends here (RST or EOI/..)
-                    return self.nbits > 0
+                    break
             else:
-                self.pos += 1
-                b = d[self.pos - 1]
-            self.buf = (self.buf << 8) | b
-            self.nbits += 8
-        return True
+                pos += 1
+            buf = (buf << 8) | b
+            nbits += 8
+        self.pos, self.buf, self.nbits = pos, buf, nbits
+        return nbits > 0
 
     def read_bit(self) -> int:
         if self.nbits == 0 and not self._fill():
-            raise ValueError("JPEG entropy stream truncated")
-        if self.nbits == 0:
             raise ValueError("JPEG entropy stream truncated")
         self.nbits -= 1
         return (self.buf >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+            if self.nbits < n:
+                raise ValueError("JPEG entropy stream truncated")
+        self.nbits -= n
+        return (self.buf >> self.nbits) & ((1 << n) - 1)
 
     def decode(self, table: _HuffTable) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read_bit()
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid JPEG huffman code")
+        # one 16-bit-window LUT probe; short windows at stream end are
+        # padded with 1s (the spec's pad bit), which can only resolve
+        # to a code LONGER than the remaining bits when the stream is
+        # truncated mid-code — a real final code is a prefix of the
+        # window and resolves to its own length
+        if self.nbits < 16:
+            self._fill()
+        n = self.nbits
+        if n >= 16:
+            idx = (self.buf >> (n - 16)) & 0xFFFF
+        elif n > 0:
+            idx = ((self.buf << (16 - n)) & 0xFFFF) | ((1 << (16 - n)) - 1)
+        else:
+            raise ValueError("JPEG entropy stream truncated")
+        length = table.len[idx]
+        if length == 0:
+            raise ValueError("invalid JPEG huffman code")
+        if length > n:
+            raise ValueError("JPEG entropy stream truncated")
+        self.nbits = n - length
+        return table.sym[idx]
 
     def align_and_expect_rst(self, n: int) -> None:
         """Byte-align, consume the expected RSTn marker (cheap spec
