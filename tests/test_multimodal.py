@@ -326,40 +326,17 @@ def test_phash_real_pillow_branch_shares_the_ppm_kernel(monkeypatch):
     assert M.phash_real(fake_png) == M.phash_ppm(grad) == 0
 
 
-def _png(rgb, color_type=2, filters=None, palette=None):
-    """Hand-rolled PNG encoder for fixtures (spec-only, stdlib zlib):
-    8-bit depth, no interlace, per-row filter types chosen by the test
-    so every decode filter path (None/Sub/Up/Average/Paeth) is
-    exercised against an independent implementation."""
-    import struct
-    import zlib
-
+def _filter_rows(px, filters):
+    """Filter one scanline run (whole image or one Adam7 pass) — the
+    encoder half of the five PNG filters, independent of the decoder."""
     import numpy as np
 
-    rgb = np.asarray(rgb, dtype=np.uint8)
-    h, w = rgb.shape[:2]
-    if color_type == 2:
-        px = rgb
-    elif color_type == 0:
-        px = rgb[:, :, :1]
-    elif color_type == 6:
-        px = np.concatenate(
-            [rgb, np.full((h, w, 1), 200, dtype=np.uint8)], axis=2
-        )
-    elif color_type == 3:
-        flat = rgb.reshape(-1, 3)
-        pal, inv = np.unique(flat, axis=0, return_inverse=True)
-        palette = pal
-        px = inv.reshape(h, w, 1).astype(np.uint8)
-    else:
-        raise ValueError(color_type)
-    bpp = px.shape[2]
-    filters = filters or [0] * h
+    h, w, bpp = px.shape
     raw = bytearray()
     prev = np.zeros(w * bpp, dtype=np.int64)
     for y in range(h):
         cur = px[y].reshape(-1).astype(np.int64)
-        f = filters[y]
+        f = filters[y % len(filters)]
         if f == 0:
             enc = cur
         elif f == 1:
@@ -385,12 +362,54 @@ def _png(rgb, color_type=2, filters=None, palette=None):
         raw.append(f)
         raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def _png(rgb, color_type=2, filters=None, palette=None, interlace=False):
+    """Hand-rolled PNG encoder for fixtures (spec-only, stdlib zlib):
+    8-bit depth, per-row filter types chosen by the test so every
+    decode filter path (None/Sub/Up/Average/Paeth) is exercised against
+    an independent implementation; *interlace* emits Adam7 passes, each
+    filtered independently over its reduced grid (r15)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    if color_type == 2:
+        px = rgb
+    elif color_type == 0:
+        px = rgb[:, :, :1]
+    elif color_type == 6:
+        px = np.concatenate(
+            [rgb, np.full((h, w, 1), 200, dtype=np.uint8)], axis=2
+        )
+    elif color_type == 3:
+        flat = rgb.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        palette = pal
+        px = inv.reshape(h, w, 1).astype(np.uint8)
+    else:
+        raise ValueError(color_type)
+    filters = filters or [0] * h
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in M._ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw += _filter_rows(sub, filters)
+    else:
+        raw = _filter_rows(px, filters)
 
     def chunk(ctype, data):
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     out = M._PNG_SIG + chunk(b"IHDR", ihdr)
     if color_type == 3:
         out += chunk(b"PLTE", palette.astype("uint8").tobytes())
@@ -449,14 +468,53 @@ def test_decode_png_real_and_malformed():
     )
     with _pytest.raises(ValueError, match="unsupported"):
         M.decode_png(sixteen)
-    interlaced = (
+    # r15: Adam7 is DECODED now — a 2x2 interlaced RGB image needs 15
+    # raster bytes (passes 1/6/7), so 14 is a malformed length, and an
+    # interlace method beyond 0/1 is malformed outright
+    interlaced_short = (
         M._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="interlaced"):
-        M.decode_png(interlaced)
+    with _pytest.raises(ValueError, match="length mismatch"):
+        M.decode_png(interlaced_short)
+    bad_method = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="interlace method"):
+        M.decode_png(bad_method)
+
+
+def test_adam7_interlaced_png_decodes_identically():
+    """r15: an Adam7-interlaced PNG of the same pixels decodes EXACTLY
+    like the non-interlaced one (independent test-side pass split +
+    per-pass filtering vs the decoder's scatter), across color types,
+    all five filters inside passes, odd dimensions smaller than one
+    8x8 pass cell, and through the real-decode dispatch + dHash."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in ((16, 24), (5, 3), (1, 1), (9, 17)):
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ct in (2, 0, 6, 3):
+            base = M._parse_png(_png(rgb, color_type=ct))
+            inter = M._parse_png(
+                _png(rgb, color_type=ct, interlace=True,
+                     filters=[0, 1, 2, 3, 4])
+            )
+            assert base[:2] == inter[:2] == (w, h)
+            assert np.array_equal(base[2], inter[2]), (h, w, ct)
+    # same pixels, either interlace mode -> the same perceptual hash
+    rgb = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    assert M.phash_real(bytes(_png(rgb))) == M.phash_real(
+        bytes(_png(rgb, interlace=True))
+    )
+    meta = M.decode_real(bytes(_png(rgb, interlace=True)))
+    assert (meta["width"], meta["height"]) == (32, 24)
 
 
 def test_png_and_ppm_same_pixels_same_hash():
@@ -518,16 +576,18 @@ def test_unsupported_png_names_pillow_without_it():
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    interlaced = (
+    # 16-bit depth: the remaining valid-but-unsupported PNG class
+    # (interlace decodes hermetically as of r15)
+    sixteen = (
         M._PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError, match="pillow"):
-        M.decode_real(interlaced)
+        M.decode_real(sixteen)
     with _pytest.raises(NotImplementedError, match="pillow"):
-        M.phash_real(interlaced)
+        M.phash_real(sixteen)
     # malformed (not merely unsupported) stays ValueError through the
     # same dispatch
     import numpy as np

@@ -118,25 +118,78 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class UnsupportedPngError(ValueError):
     """A VALID PNG using features the hermetic decoder deliberately
-    omits (interlace, 16-bit depth, exotic color types). Distinct from
+    omits (16-bit depth, exotic color types). Distinct from
     plain ValueError (malformed payload) so the Pillow-gated dispatch
     can name the optional dependency as the remedy for exactly the
     payloads Pillow WOULD decode — environment-independent behavior
     per payload class (review r14)."""
 
 
+#: Adam7 pass grid: (x origin, y origin, x step, y step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter_png(raw: bytes, w: int, h: int, bpp: int):
+    """Un-filter one PNG scanline run (a whole non-interlaced image, or
+    one Adam7 pass) of ``h`` rows at ``w`` pixels x ``bpp`` bytes:
+    all five filter types; Sub vectorizes as a mod-256 cumsum, Up as a
+    running add, Average/Paeth scan per byte as the spec defines them.
+    Returns an (h, w*bpp) uint8 array."""
+    import numpy as np
+
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).astype(np.int64)
+        if ftype == 0:
+            cur = row
+        elif ftype == 1:  # Sub: mod-256 cumsum per channel lane
+            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential by spec
+            cur = np.zeros(stride, dtype=np.int64)
+            pv = prev.astype(np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = pv[x]
+                if ftype == 3:
+                    cur[x] = row[x] + ((a + b) >> 1)
+                else:
+                    c = pv[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = row[x] + pred
+                cur[x] &= 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
 def _parse_png(payload: bytes):
-    """Parse a (non-interlaced, 8-bit-depth) PNG with NO third-party
+    """Parse an 8-bit-depth PNG (interlaced or not) with NO third-party
     decoder — the spec (RFC 2083 / ISO 15948) plus stdlib ``zlib`` is
     enough: signature, chunk walk (IHDR / PLTE / IDAT+ / IEND), inflate
     the concatenated IDAT stream, un-filter scanlines (all five filter
-    types: None/Sub/Up/Average/Paeth), map the color type to RGB
+    types: None/Sub/Up/Average/Paeth; Adam7 passes un-filter
+    independently and scatter onto the full grid — r15), map the
+    color type to RGB
     (gray replicated, palette indexed via PLTE, alpha DISCARDED — the
     same channel drop ``PIL.Image.convert("RGB")`` applies, so the
     hermetic pixels match a Pillow decode bit-for-bit and both feed the
     shared :func:`_dhash_rgb` kernel identically). Returns ``(width,
     height, HxWx3 uint8 ndarray)``; raises ValueError on anything
-    malformed or unsupported (interlaced, 16-bit, truncated). Pure
+    malformed or unsupported (16-bit, truncated). Pure
     Python + numpy: the Sub filter vectorizes as a mod-256 cumsum,
     Up as a running add; Average/Paeth fall back to a per-pixel scan —
     fine for the fixture-scale payloads this hermetic path exists for
@@ -177,13 +230,24 @@ def _parse_png(payload: bytes):
         raise ValueError(f"invalid PNG (comp={comp}, filter_method={filt})")
     if depth != 8:
         raise UnsupportedPngError(f"unsupported PNG bit depth {depth}")
-    if interlace != 0:
-        raise UnsupportedPngError("interlaced (Adam7) PNG unsupported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise UnsupportedPngError(f"unknown PNG color type {color}")
-    stride = w * channels
-    expected = h * (stride + 1)
+    if interlace == 1:
+        # Adam7 (r15): seven sub-images, each its own filtered scanline
+        # run over the pass's reduced grid (filtering restarts per pass)
+        dims = [
+            (-(-(w - x0) // dx) if w > x0 else 0,
+             -(-(h - y0) // dy) if h > y0 else 0)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        expected = sum(
+            ph * (pw * channels + 1) for pw, ph in dims if pw and ph
+        )
+    else:
+        expected = h * (w * channels + 1)
     # bound the inflate to the declared raster size BEFORE materializing
     # anything: a tiny payload can declare a 1x1 IHDR yet carry a
     # multi-GB compressed stream (decompression bomb) — cap at
@@ -198,40 +262,18 @@ def _parse_png(payload: bytes):
     # returns exactly expected+1 bytes (and no more)
     if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        row = np.frombuffer(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
-        ).astype(np.int64)
-        if ftype == 0:
-            cur = row
-        elif ftype == 1:  # Sub: mod-256 cumsum per channel lane
-            cur = np.cumsum(row.reshape(w, bpp), axis=0).reshape(stride)
-        elif ftype == 2:  # Up
-            cur = row + prev
-        elif ftype in (3, 4):  # Average / Paeth: sequential by spec
-            cur = np.zeros(stride, dtype=np.int64)
-            pv = prev.astype(np.int64)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = pv[x]
-                if ftype == 3:
-                    cur[x] = row[x] + ((a + b) >> 1)
-                else:
-                    c = pv[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    cur[x] = row[x] + pred
-                cur[x] &= 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter {ftype}")
-        prev = (cur & 0xFF).astype(np.uint8)
-        out[y] = prev
-    px = out.reshape(h, w, channels)
+    if interlace == 1:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
+            if not pw or not ph:
+                continue
+            size = ph * (pw * channels + 1)
+            sub = _unfilter_png(raw[off:off + size], pw, ph, channels)
+            off += size
+            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+    else:
+        px = _unfilter_png(raw, w, h, channels).reshape(h, w, channels)
     if color == 0:
         rgb = np.repeat(px, 3, axis=2)
     elif color == 2:
@@ -264,7 +306,8 @@ def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
 
     if payload.startswith(_PNG_SIG):
         fn, coverage, exc_cls = (
-            png_fn, "8-bit non-interlaced PNGs", UnsupportedPngError
+            png_fn, "8-bit PNGs (incl. Adam7 interlace)",
+            UnsupportedPngError
         )
     elif payload.startswith(b"\xff\xd8"):
         fn, coverage, exc_cls = (
