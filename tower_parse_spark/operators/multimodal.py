@@ -294,34 +294,65 @@ def _parse_png(payload: bytes):
     return w, h, np.ascontiguousarray(rgb)
 
 
-def _hermetic_fallback(caller, png_fn, jpeg_fn, payload, import_exc):
-    """The shared no-Pillow dispatch (review r14 — one code path, not
-    four, for the format sniff and the Unsupported->NotImplementedError
-    conversion): route PNG / JPEG payloads to the hermetic
-    decoders; convert their valid-but-unsupported errors into
-    NotImplementedError naming the pillow remedy (the same error class
-    a WebP gets, instead of an environment-dependent ValueError);
-    malformed payloads keep raising ValueError."""
-    from tower_parse_spark.operators.jpeg import UnsupportedJpegError
+def _hermetic_formats():
+    """The no-Pillow format registry: sniffed name -> (metadata fn,
+    pixels fn, coverage note, valid-but-unsupported error class). Lazy
+    so importing multimodal never pays the per-format decoder imports;
+    metadata fns are header-only by contract (a megapixel image's
+    dimensions must not pay the full pixel decode)."""
+    from tower_parse_spark.operators import bmp, gif
+    from tower_parse_spark.operators.jpeg import (
+        UnsupportedJpegError,
+        _parse_jpeg,
+    )
 
+    return {
+        "png": (decode_png, lambda p: _parse_png(p)[2],
+                "8-bit PNGs (incl. Adam7 interlace)", UnsupportedPngError),
+        "jpeg": (decode_jpeg, lambda p: _parse_jpeg(p)[2],
+                 "sequential + progressive huffman JPEG",
+                 UnsupportedJpegError),
+        "gif": (gif.decode_gif_meta, lambda p: gif._parse_gif(p)[2],
+                "GIF87a/GIF89a stills", ()),
+        "bmp": (bmp.decode_bmp_meta, lambda p: bmp._parse_bmp(p)[2],
+                "8/16/24/32-bit BI_RGB/BITFIELDS + RLE8 BMP",
+                bmp.UnsupportedBmpError),
+    }
+
+
+def _sniff_format(payload: bytes):
+    """Magic-byte sniff shared by every hermetic dispatch site."""
     if payload.startswith(_PNG_SIG):
-        fn, coverage, exc_cls = (
-            png_fn, "8-bit PNGs (incl. Adam7 interlace)",
-            UnsupportedPngError
-        )
-    elif payload.startswith(b"\xff\xd8"):
-        fn, coverage, exc_cls = (
-            jpeg_fn, "sequential + progressive huffman JPEG",
-            UnsupportedJpegError
-        )
-    else:
+        return "png"
+    if payload.startswith(b"\xff\xd8"):
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    return None
+
+
+def _hermetic_fallback(caller, payload, import_exc, want="meta"):
+    """The shared no-Pillow dispatch (review r14 — one code path, not
+    2 x N-formats, for the sniff and the
+    Unsupported->NotImplementedError conversion): route sniffed
+    payloads to the hermetic decoders (``want`` picks the header-only
+    metadata path or the full pixel decode); convert their
+    valid-but-unsupported errors into NotImplementedError naming the
+    pillow remedy (the same error class an un-sniffed format gets,
+    instead of an environment-dependent ValueError); malformed
+    payloads keep raising ValueError."""
+    name = _sniff_format(payload)
+    if name is None:
         raise NotImplementedError(
             f"{caller} needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/JPEG (pip install "
+            "formats beyond PPM/PNG/JPEG/GIF/BMP (pip install "
             "pillow); the stub path is the hermetic default"
         ) from import_exc
+    meta_fn, pixels_fn, coverage, exc_cls = _hermetic_formats()[name]
     try:
-        return fn(payload)
+        return meta_fn(payload) if want == "meta" else pixels_fn(payload)
     except exc_cls as sub:
         raise NotImplementedError(
             f"{caller}: {sub} — the hermetic decoder covers {coverage}; "
@@ -370,17 +401,18 @@ def decode_png(payload: bytes) -> dict:
 
 def decode_real(payload: bytes) -> dict:
     """Real image decode behind the same contract as
-    :func:`decode_stub` (n_bytes / width / height / format). P6 PPM
-    and PNG payloads decode with NO optional dependency
-    (:func:`decode_ppm`, :func:`decode_png` — numpy + stdlib zlib,
-    real pixels), so the real path runs hermetically in this container
-    for both formats; every other format (JPEG/WebP-class) routes
-    through Pillow, whose import is gated: where it is absent the
-    error names the dependency instead of failing mid-executor with a
-    bare ImportError. When Pillow IS installed it takes the decode for
-    everything but PPM (it is faster); pixels — and therefore hashes,
-    via the shared :func:`_dhash_rgb` kernel — are identical either
-    way (fake-Pillow and round-trip tests pin this)."""
+    :func:`decode_stub` (n_bytes / width / height / format). P6 PPM,
+    PNG, JPEG, GIF and BMP payloads decode with NO optional dependency
+    (:func:`decode_ppm` / the :func:`_hermetic_formats` registry —
+    numpy + stdlib, real pixels), so the real path runs hermetically in
+    this container for the five dominant interchange formats; anything
+    else (WebP, TIFF, ...) routes through Pillow, whose import is
+    gated: where it is absent the error names the dependency instead
+    of failing mid-executor with a bare ImportError. When Pillow IS
+    installed it takes the decode for everything but PPM (it is
+    faster); pixels — and therefore hashes, via the shared
+    :func:`_dhash_rgb` kernel — are identical either way (fake-Pillow
+    and round-trip tests pin this)."""
     import io
 
     if payload.startswith(b"P6"):
@@ -388,8 +420,7 @@ def decode_real(payload: bytes) -> dict:
     try:
         from PIL import Image
     except ImportError as exc:
-        return _hermetic_fallback("decode_real", decode_png, decode_jpeg,
-                                  payload, exc)
+        return _hermetic_fallback("decode_real", payload, exc)
     with Image.open(io.BytesIO(payload)) as im:
         return {
             "n_bytes": len(payload),
@@ -626,8 +657,9 @@ def phash_real(payload: bytes) -> int:
     """Real 32-bit dHash (Krawetz's difference hash, public
     methodology): decode to RGB pixels, then the shared
     :func:`_dhash_rgb` kernel (luma, 9x4 block-mean resize, left>right
-    bits). P6 PPM and PNG payloads decode with NO optional dependency
-    (:func:`phash_ppm`, :func:`_parse_png`); other formats decode via
+    bits). P6 PPM, PNG, JPEG, GIF and BMP payloads decode with NO
+    optional dependency (:func:`phash_ppm`, the
+    :func:`_hermetic_formats` registry); other formats decode via
     Pillow with the same gated import as :func:`decode_real` — and in
     every case the RESIZE KERNEL is the
     numpy one on BOTH paths (Pillow only decodes; it never resizes), so
@@ -643,16 +675,8 @@ def phash_real(payload: bytes) -> int:
     try:
         from PIL import Image
     except ImportError as exc:
-        from tower_parse_spark.operators.jpeg import _parse_jpeg
-
         return _dhash_rgb(
-            _hermetic_fallback(
-                "phash_real",
-                lambda p: _parse_png(p)[2],
-                lambda p: _parse_jpeg(p)[2],
-                payload,
-                exc,
-            )
+            _hermetic_fallback("phash_real", payload, exc, want="pixels")
         )
     import numpy as np
 
