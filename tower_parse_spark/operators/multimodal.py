@@ -300,7 +300,7 @@ def _hermetic_formats():
     so importing multimodal never pays the per-format decoder imports;
     metadata fns are header-only by contract (a megapixel image's
     dimensions must not pay the full pixel decode)."""
-    from tower_parse_spark.operators import bmp, gif
+    from tower_parse_spark.operators import bmp, gif, webp
     from tower_parse_spark.operators.jpeg import (
         UnsupportedJpegError,
         _parse_jpeg,
@@ -317,6 +317,9 @@ def _hermetic_formats():
         "bmp": (bmp.decode_bmp_meta, lambda p: bmp._parse_bmp(p)[2],
                 "8/16/24/32-bit BI_RGB/BITFIELDS + RLE8 BMP",
                 bmp.UnsupportedBmpError),
+        "webp": (webp.decode_webp_meta,
+                 lambda p: webp._parse_webp(p)[2],
+                 "lossless (VP8L) WebP", webp.UnsupportedWebpError),
     }
 
 
@@ -330,6 +333,8 @@ def _sniff_format(payload: bytes):
         return "gif"
     if payload.startswith(b"BM"):
         return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -347,7 +352,7 @@ def _hermetic_fallback(caller, payload, import_exc, want="meta"):
     if name is None:
         raise NotImplementedError(
             f"{caller} needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/JPEG/GIF/BMP (pip install "
+            "formats beyond PPM/PNG/JPEG/GIF/BMP/WebP (pip install "
             "pillow); the stub path is the hermetic default"
         ) from import_exc
     meta_fn, pixels_fn, coverage, exc_cls = _hermetic_formats()[name]
@@ -402,11 +407,13 @@ def decode_png(payload: bytes) -> dict:
 def decode_real(payload: bytes) -> dict:
     """Real image decode behind the same contract as
     :func:`decode_stub` (n_bytes / width / height / format). P6 PPM,
-    PNG, JPEG, GIF and BMP payloads decode with NO optional dependency
+    PNG, JPEG, GIF, BMP and lossless-WebP payloads decode with NO
+    optional dependency
     (:func:`decode_ppm` / the :func:`_hermetic_formats` registry —
     numpy + stdlib, real pixels), so the real path runs hermetically in
-    this container for the five dominant interchange formats; anything
-    else (WebP, TIFF, ...) routes through Pillow, whose import is
+    this container for the six dominant interchange formats; anything
+    else (lossy-VP8 WebP, TIFF, ...) routes through Pillow, whose
+    import is
     gated: where it is absent the error names the dependency instead
     of failing mid-executor with a bare ImportError. When Pillow IS
     installed it takes the decode for everything but PPM (it is
@@ -657,8 +664,8 @@ def phash_real(payload: bytes) -> int:
     """Real 32-bit dHash (Krawetz's difference hash, public
     methodology): decode to RGB pixels, then the shared
     :func:`_dhash_rgb` kernel (luma, 9x4 block-mean resize, left>right
-    bits). P6 PPM, PNG, JPEG, GIF and BMP payloads decode with NO
-    optional dependency (:func:`phash_ppm`, the
+    bits). P6 PPM, PNG, JPEG, GIF, BMP and lossless-WebP payloads
+    decode with NO optional dependency (:func:`phash_ppm`, the
     :func:`_hermetic_formats` registry); other formats decode via
     Pillow with the same gated import as :func:`decode_real` — and in
     every case the RESIZE KERNEL is the
