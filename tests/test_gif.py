@@ -287,3 +287,138 @@ def test_gif_dispatch_and_cross_format_hash():
     h_, w_ = rgb.shape[:2]
     ppm = b"P6 %d %d 255\n" % (w_, h_) + rgb.tobytes()
     assert M.phash_real(payload) == M.phash_real(ppm)
+
+
+# ---------------------------------------------------------------------------
+# animation: compositing + frame sampling
+# ---------------------------------------------------------------------------
+
+
+def _agif(frames_spec, gpal, screen, bg=0):
+    """Animated-GIF builder: frames_spec = list of (idx_array,
+    (left, top), gce_dict_or_None, local_pal_or_None); gce keys:
+    disposal, transparent, delay."""
+
+    def table_bytes(pal):
+        n = len(pal)
+        s = max(0, (n - 1).bit_length() - 1)
+        padded = np.zeros((2 << s, 3), np.uint8)
+        padded[:n] = pal
+        return s, padded.tobytes()
+
+    sw, sh = screen
+    gs, gdata = table_bytes(gpal)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | gs, bg, 0)
+    out += gdata
+    for idx, (left, top), gce, lpal in frames_spec:
+        if gce is not None:
+            packed = (gce.get("disposal", 0) & 7) << 2
+            t = gce.get("transparent")
+            if t is not None:
+                packed |= 1
+            out += b"\x21\xf9" + _blocks(
+                bytes([packed])
+                + struct.pack("<H", gce.get("delay", 0))
+                + bytes([t if t is not None else 0])
+            )
+        ih, iw = idx.shape
+        ipacked = 0
+        lct = b""
+        if lpal is not None:
+            ls, lct = table_bytes(lpal)
+            ipacked |= 0x80 | ls
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, iw, ih,
+                                     ipacked)
+        out += lct
+        mcs = max(2, (len(lct or gdata) // 3 - 1).bit_length())
+        out += bytes([mcs])
+        out += _blocks(_lzw_encode(mcs, idx.ravel()))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _composite_ref(frames_spec, gpal, screen, bg=0):
+    """Independent reference compositor (re-derived from the GIF89a
+    text, not from the decoder): returns the per-frame canvases."""
+    sw, sh = screen
+    bgc = gpal[bg] if bg < len(gpal) else gpal[0]
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:, :] = bgc
+    outs = []
+    for idx, (left, top), gce, lpal in frames_spec:
+        pal = lpal if lpal is not None else gpal
+        disposal = (gce or {}).get("disposal", 0)
+        t = (gce or {}).get("transparent")
+        saved = canvas.copy()
+        ih, iw = idx.shape
+        for y in range(ih):
+            for x in range(iw):
+                if t is None or idx[y, x] != t:
+                    canvas[top + y, left + x] = pal[idx[y, x]]
+        outs.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + ih, left : left + iw] = bgc
+        elif disposal == 3:
+            canvas = saved
+    return outs
+
+
+def test_gif_animation_compositing_disposals():
+    from tower_parse_spark.operators.gif import _parse_gif_frames
+
+    gpal = np.array(
+        [[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    lpal = np.array([[40, 41, 42], [50, 51, 52]], np.uint8)
+    rng = _rng(20)
+    f0 = rng.integers(0, 4, (6, 8), dtype=np.uint8)
+    f1 = rng.integers(0, 4, (3, 4), dtype=np.uint8)  # partial, transp
+    f2 = rng.integers(0, 2, (2, 2), dtype=np.uint8)  # local palette
+    f3 = rng.integers(0, 4, (4, 4), dtype=np.uint8)
+    spec = [
+        (f0, (0, 0), {"disposal": 1, "delay": 10}, None),
+        (f1, (2, 1), {"disposal": 2, "transparent": 1, "delay": 20},
+         None),
+        (f2, (5, 3), {"disposal": 3, "delay": 30}, lpal),
+        (f3, (1, 2), None, None),
+    ]
+    payload = _agif(spec, gpal, (8, 6))
+    sw, sh, frames, delays = _parse_gif_frames(payload)
+    assert (sw, sh) == (8, 6)
+    want = _composite_ref(spec, gpal, (8, 6))
+    assert len(frames) == len(want) == 4
+    for got, ref in zip(frames, want):
+        assert (got == ref).all()
+    assert delays == [10, 20, 30, 0]
+    # first-frame decode equals the animation's first composite
+    assert (_parse_gif(payload)[2] == want[0]).all()
+
+
+def test_frame_sample_real_animated_and_static():
+    from tower_parse_spark.operators.multimodal import (
+        _dhash_rgb,
+        frame_sample_real,
+        phash_ppm,
+    )
+
+    gpal = _rng(21).integers(0, 256, (8, 3), dtype=np.uint8)
+    rng = _rng(22)
+    spec = [
+        (rng.integers(0, 8, (16, 16), dtype=np.uint8), (0, 0),
+         {"delay": 5}, None)
+        for _ in range(6)
+    ]
+    payload = _agif(spec, gpal, (16, 16))
+    hashes = frame_sample_real(payload, n_frames=3)
+    want = _composite_ref(spec, gpal, (16, 16))
+    assert hashes == [_dhash_rgb(want[0]), _dhash_rgb(want[2]),
+                      _dhash_rgb(want[4])]
+    # a static PPM is a 1-frame animation: n repeats of its dHash
+    rgb = _rng(23).integers(0, 256, (32, 72, 3), dtype=np.uint8)
+    ppm = b"P6 72 32 255\n" + rgb.tobytes()
+    assert frame_sample_real(ppm) == [phash_ppm(ppm)] * 3
+    # two different ENCODINGS of the same animation sample identically
+    spec_i = [(s[0], s[1], s[2], s[3]) for s in spec]
+    p2 = _agif(spec_i, gpal, (16, 16))  # same content, fresh stream
+    assert frame_sample_real(p2, n_frames=3) == hashes

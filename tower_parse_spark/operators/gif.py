@@ -10,12 +10,12 @@ this module defines no ``Unsupported*`` class: variable-width LSB-first
 LZW (clear/EOI codes, the deferred-clear rule where a full 4096-entry
 table keeps emitting 12-bit codes until the encoder sends CLEAR),
 global and local color tables, the 4-pass row interlace, extension
-blocks (skipped via their self-describing sub-block chains), and the
-GIF89a Graphic Control extension is walked but transparency is not
-composited — a still decode has nothing underneath, so transparent
-pixels render as their palette color. Of an animated GIF the FIRST
-image descriptor is
-decoded — the still that thumbnailers and Pillow's ``seek(0)`` show.
+blocks (skipped via their self-describing sub-block chains), and full
+GIF89a animation compositing (:func:`_parse_gif_frames` — Graphic
+Control transparency over the live canvas, disposal methods
+none/leave/restore-background/restore-previous, per-frame delays),
+with :func:`_parse_gif` returning frame 1 — the still that
+thumbnailers and Pillow's ``seek(0)`` show.
 Malformed payloads (bad magic, missing color table, truncated or
 over-wide LZW codes, pixel indexes past the palette) raise plain
 ValueError.
@@ -108,12 +108,19 @@ def _sub_blocks(payload: bytes, pos: int):
         pos += size
 
 
-def _parse_gif(payload: bytes):
-    """Full decode of the first image: ``(logical screen width, logical
-    screen height, HxWx3 uint8 RGB of the first frame)``. The frame is
-    composed onto the logical screen at its (left, top) offset over the
-    background color (index 0 of the global table when the descriptor's
-    background index is out of table range)."""
+def _parse_gif_frames(payload: bytes, max_frames: int = 256):
+    """Full animation decode with GIF89a compositing: returns
+    ``(logical screen width, logical screen height, [HxWx3 uint8 RGB
+    frames], [delays in centiseconds])``. Each frame is the COMPOSITED
+    canvas after its image is drawn — Graphic Control transparency
+    leaves the underlying canvas visible, and disposal methods apply
+    between frames (1/none = leave, 2 = restore the frame rect to the
+    background color, 3 = restore the canvas to its pre-frame state).
+    The canvas starts as the background color (global-table entry of
+    the screen descriptor's background index, entry 0 when out of
+    range). Decoding stops at the trailer, end of payload, or
+    ``max_frames`` — the bounded-work rule every decoder here
+    follows."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -136,17 +143,26 @@ def _parse_gif(payload: bytes):
         ).reshape(n, 3)
         pos += 3 * n
 
-    while True:
-        if pos >= len(payload):
-            raise ValueError("GIF ended without an image descriptor")
+    canvas = None
+    frames: list = []
+    delays: list = []
+    # pending Graphic Control state for the NEXT image descriptor
+    disposal, transparent_idx, delay = 0, None, 0
+    while pos < len(payload) and len(frames) < max_frames:
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
-            raise ValueError("GIF ended without an image descriptor")
+            break
         if block == 0x21:  # extension: label byte + sub-block chain
             if pos >= len(payload):
                 raise ValueError("truncated GIF extension")
-            _data, pos = _sub_blocks(payload, pos + 1)
+            label = payload[pos]
+            data, pos = _sub_blocks(payload, pos + 1)
+            if label == 0xF9 and len(data) >= 4:  # Graphic Control
+                gpacked = data[0]
+                disposal = (gpacked >> 2) & 0x07
+                (delay,) = struct.unpack_from("<H", data, 1)
+                transparent_idx = data[3] if gpacked & 0x01 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -175,24 +191,49 @@ def _parse_gif(payload: bytes):
         data, pos = _sub_blocks(payload, pos + 1)
         idx = np.array(
             _lzw_decode(min_code, data, iw * ih), dtype=np.uint16
-        )
+        ).reshape(ih, iw)
         if int(idx.max(initial=0)) >= len(table):
             raise ValueError("GIF pixel index out of palette range")
-        frame = table[idx.reshape(ih, iw)]
         if ipacked & 0x40:  # interlaced: rows were stored pass-by-pass
-            ordered = np.empty_like(frame)
+            ordered = np.empty_like(idx)
             src = 0
             for first, step in _INTERLACE_PASSES:
                 rows = range(first, ih, step)
-                ordered[list(rows)] = frame[src : src + len(rows)]
+                ordered[list(rows)] = idx[src : src + len(rows)]
                 src += len(rows)
-            frame = ordered
-        bgt = gct if gct is not None else table  # bg index is GLOBAL
-        bg = bgt[bg_idx] if bg_idx < len(bgt) else bgt[0]
-        screen = np.empty((sh, sw, 3), dtype=np.uint8)
-        screen[:, :] = bg
-        screen[top : top + ih, left : left + iw] = frame
-        return sw, sh, np.ascontiguousarray(screen)
+            idx = ordered
+        if canvas is None:
+            bgt = gct if gct is not None else table  # bg is GLOBAL
+            bg = bgt[bg_idx] if bg_idx < len(bgt) else bgt[0]
+            canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+            canvas[:, :] = bg
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + ih, left : left + iw]
+        if transparent_idx is not None:
+            opaque = idx != transparent_idx
+            rect[opaque] = table[idx[opaque]]
+        else:
+            rect[:, :] = table[idx]
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:  # restore rect to background
+            canvas[top : top + ih, left : left + iw] = bg
+        elif disposal == 3 and saved is not None:  # restore previous
+            canvas = saved
+        disposal, transparent_idx, delay = 0, None, 0
+    if not frames:
+        raise ValueError("GIF ended without an image descriptor")
+    return sw, sh, frames, delays
+
+
+def _parse_gif(payload: bytes):
+    """Full decode of the first frame: ``(logical screen width, logical
+    screen height, HxWx3 uint8 RGB)`` — frame 1 of
+    :func:`_parse_gif_frames`, composited onto the background-color
+    canvas with its Graphic Control transparency honored (the still
+    that thumbnailers and Pillow's ``seek(0)`` show)."""
+    sw, sh, frames, _delays = _parse_gif_frames(payload, max_frames=1)
+    return sw, sh, frames[0]
 
 
 def decode_gif_meta(payload: bytes) -> dict:

@@ -542,6 +542,46 @@ def frame_sample_stub(payload: bytes, n_frames: int = 3) -> list[int]:
     return [(n * k) // n_frames for k in range(n_frames)]
 
 
+def frame_sample_real(payload: bytes, n_frames: int = 3) -> list[int]:
+    """REAL frame sampling for the one animation container this engine
+    decodes hermetically (animated GIF — the video stand-in, exactly
+    how PPM stood in for images in r13): decode the composited frames
+    (:func:`gif._parse_gif_frames` — transparency + disposal honored),
+    pick *n_frames* evenly across the timeline, and return each
+    sampled frame's :func:`_dhash_rgb`. The result is a per-payload
+    array of 32-bit perceptual hashes — band any element with
+    :func:`phash_near_dup_pairs` and two re-encodes of the same clip
+    pair up even when their byte streams differ entirely. Static
+    payloads of any hermetic format are a 1-frame animation (the
+    sample repeats their single dHash), so the schema is uniform
+    across a mixed corpus. Frame count is capped (256) like every
+    bounded-work rule here."""
+    from tower_parse_spark.operators.gif import _parse_gif_frames
+
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, frames, _delays = _parse_gif_frames(payload)
+    elif payload.startswith(b"P6"):
+        frames = [_parse_ppm(payload)[2]]
+    else:
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError as exc:
+            frames = [
+                _hermetic_fallback("frame_sample_real", payload, exc,
+                                   want="pixels")
+            ]
+        else:
+            import io
+
+            import numpy as np
+
+            with Image.open(io.BytesIO(payload)) as im:
+                frames = [np.asarray(im.convert("RGB"))]
+    k = len(frames)
+    picks = [min((k * j) // n_frames, k - 1) for j in range(n_frames)]
+    return [_dhash_rgb(frames[i]) for i in picks]
+
+
 def pipeline_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: decode -> resize(32x32) -> features -> frames
     in ONE Python pass per Arrow batch (no per-stage JVM round trip)."""
