@@ -1,0 +1,355 @@
+"""Hermetic baseline-TIFF decoder (operators/tiff.py, TIFF 6.0):
+round-trips against an independent spec-derived encoder across byte
+orders x photometrics x compressions x predictor, the spec's own
+PackBits worked example, the real CPython python.tiff (whose pixels
+must be BIT-IDENTICAL to the real python.bmp decoded by the BMP
+path — two real encoders, two decoders, one image), and the
+Unsupported-vs-malformed contract."""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from tower_parse_spark.operators import multimodal as M
+from tower_parse_spark.operators.tiff import (
+    UnsupportedTiffError,
+    _lzw_decode_tiff,
+    _parse_tiff,
+    _unpackbits,
+    decode_tiff_meta,
+)
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+def _packbits(data: bytes) -> bytes:
+    """Independent PackBits encoder (literal/repeat runs)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (j < n and j - i < 128
+               and not (j + 1 < n and data[j] == data[j + 1])):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Independent TIFF-flavor LZW encoder: MSB-first packing, early
+    width change (switch when the next ADDED code would be 2^w - 1)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = bits = 0
+
+    def put(code, width):
+        nonlocal acc, bits
+        acc = (acc << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+            acc &= (1 << bits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        put(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # the encoder grows AFTER assigning code 2^w - 1; the decoder
+        # compensates its one-entry lag by growing after 2^w - 2
+        # (TIFF's "early change" — the spec's famous 511-vs-510 note)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:  # table nearly full: clear
+            put(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prev = bytes([byte])
+    if prev:
+        put(table[prev], width)
+    put(EOI, width)
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff(px, bo="<", photometric=2, compression=1, bits=8,
+          rows_per_strip=None, predictor=1, colormap=None,
+          extra_alpha=False):
+    """Independent spec-derived TIFF writer. px: HxW (gray/palette) or
+    HxWx3 (RGB) uint8 array."""
+    if px.ndim == 2:
+        h, w = px.shape
+        spp = 1
+    else:
+        h, w, spp = px.shape
+    if extra_alpha:
+        alpha = np.full((h, w, 1), 200, np.uint8)
+        px = np.concatenate([px, alpha], axis=2)
+        spp += 1
+    rows_per_strip = rows_per_strip or h
+    if bits == 1:
+        row_bytes = np.packbits(px, axis=1)
+        raw_rows = [row_bytes[y].tobytes() for y in range(h)]
+    elif bits == 16:
+        raw_rows = [
+            (px[y].astype(">u2" if bo == ">" else "<u2") * 257)
+            .tobytes() for y in range(h)
+        ]
+    else:
+        raw_rows = [px[y].tobytes() for y in range(h)]
+    if predictor == 2:
+        diff = []
+        for y in range(h):
+            row = px[y].reshape(w, spp).astype(np.int32)
+            d = np.diff(row, axis=0, prepend=row[:1] * 0)
+            d[0] = row[0]
+            diff.append((d % 256).astype(np.uint8).tobytes())
+        raw_rows = diff
+    strips = []
+    for s0 in range(0, h, rows_per_strip):
+        strip = b"".join(raw_rows[s0 : s0 + rows_per_strip])
+        if compression == 32773:
+            strip = _packbits(strip)
+        elif compression == 5:
+            strip = _lzw_encode_tiff(strip)
+        strips.append(strip)
+
+    fields = []  # (tag, type, count, values or bytes)
+
+    def short(tag, *vals):
+        fields.append((tag, 3, len(vals), vals))
+
+    def long_(tag, *vals):
+        fields.append((tag, 4, len(vals), vals))
+
+    short(256, w)
+    short(257, h)
+    short(258, *([bits] * spp))
+    short(259, compression)
+    short(262, photometric)
+    short(277, spp)
+    short(278, rows_per_strip)
+    short(284, 1)
+    if predictor != 1:
+        short(317, predictor)
+    if colormap is not None:
+        short(320, *colormap)
+    n_strips = len(strips)
+    long_(279, *[len(s) for s in strips])
+    # layout: header(8) + IFD + out-of-line values + strip data
+    n_fields = len(fields) + 1  # + StripOffsets
+    ifd_size = 2 + 12 * n_fields + 4
+    # compute out-of-line area
+    pos = 8 + ifd_size
+    encoded = []
+    extras = bytearray()
+    for tag, typ, count, vals in fields:
+        size = {3: 2, 4: 4}[typ] * count
+        fmt = {3: "H", 4: "I"}[typ]
+        blob = struct.pack(bo + fmt * count, *vals)
+        if size <= 4:
+            encoded.append((tag, typ, count, blob.ljust(4, b"\x00")))
+        else:
+            encoded.append((tag, typ, count,
+                            struct.pack(bo + "I", pos + len(extras))))
+            extras += blob
+    # strip offsets (after extras)
+    data_start = pos + len(extras) + (4 * n_strips if n_strips > 1
+                                      else 0)
+    offs = []
+    cur = data_start
+    for s in strips:
+        offs.append(cur)
+        cur += len(s)
+    if n_strips == 1:
+        off_field = (273, 4, 1,
+                     struct.pack(bo + "I", offs[0]))
+    else:
+        off_field = (273, 4, n_strips,
+                     struct.pack(bo + "I", pos + len(extras)))
+        extras += struct.pack(bo + "I" * n_strips, *offs)
+    encoded.append(off_field)
+    encoded.sort(key=lambda e: e[0])
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM")
+    out += struct.pack(bo + "H", 42)
+    out += struct.pack(bo + "I", 8)
+    out += struct.pack(bo + "H", n_fields)
+    for tag, typ, count, blob in encoded:
+        out += struct.pack(bo + "HHI", tag, typ, count) + blob
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += extras
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def test_packbits_spec_worked_example():
+    """The TIFF 6.0 PackBits section's own example vector."""
+    enc = bytes.fromhex("FEAA02 80002A FDAA03 80002A22 F7AA"
+                        .replace(" ", ""))
+    want = bytes.fromhex(
+        ("AAAAAA 80002A AAAAAAAA 80002A22 " + "AA" * 10)
+        .replace(" ", ""))
+    assert _unpackbits(enc, len(want)) == want
+    # and our independent encoder round-trips through the decoder
+    data = bytes(_rng(0).integers(0, 4, 200, dtype=np.uint8))
+    assert _unpackbits(_packbits(data), len(data)) == data
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("compression", [1, 32773, 5])
+def test_rgb_roundtrip_orders_and_compressions(bo, compression):
+    rgb = _rng(1).integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    payload = _tiff(rgb, bo=bo, compression=compression,
+                    rows_per_strip=4)
+    w, h, got = _parse_tiff(payload)
+    assert (w, h) == (7, 9) and (got == rgb).all()
+    meta = decode_tiff_meta(payload)
+    assert (meta["width"], meta["height"]) == (7, 9)
+
+
+def test_lzw_with_horizontal_predictor():
+    rgb = _rng(2).integers(0, 256, (6, 11, 3), dtype=np.uint8)
+    payload = _tiff(rgb, compression=5, predictor=2)
+    assert (_parse_tiff(payload)[2] == rgb).all()
+
+
+def test_lzw_long_strip_grows_width():
+    """A strip long enough to push the code width past 9 bits (and the
+    EARLY-change rule: a GIF-timed decoder would desync here)."""
+    gray = _rng(3).integers(0, 256, (64, 64), dtype=np.uint8)
+    payload = _tiff(gray, photometric=1, compression=5)
+    got = _parse_tiff(payload)[2]
+    assert (got[:, :, 0] == gray).all()
+    data = gray.tobytes()
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+
+
+def test_grayscale_both_polarities_and_16bit():
+    gray = _rng(4).integers(0, 256, (5, 8), dtype=np.uint8)
+    black0 = _parse_tiff(_tiff(gray, photometric=1))[2]
+    assert (black0[:, :, 1] == gray).all()
+    white0 = _parse_tiff(_tiff(gray, photometric=0))[2]
+    assert (white0[:, :, 1] == 255 - gray).all()
+    # 16-bit samples scale to 8 exactly (we wrote v*257 -> top byte v)
+    wide = _parse_tiff(_tiff(gray, photometric=1, bits=16))[2]
+    assert (wide[:, :, 0] == gray).all()
+
+
+def test_bilevel_rows_padded():
+    bw = _rng(5).integers(0, 2, (7, 13), dtype=np.uint8)
+    got = _parse_tiff(_tiff(bw, photometric=1, bits=1))[2]
+    assert (got[:, :, 0] == bw * 255).all()
+    inv = _parse_tiff(_tiff(bw, photometric=0, bits=1))[2]
+    assert (inv[:, :, 0] == (1 - bw) * 255).all()
+
+
+def test_palette_colormap():
+    pal16 = _rng(6).integers(0, 65536, (3, 256), dtype=np.int64)
+    idx = _rng(7).integers(0, 256, (6, 6), dtype=np.uint8)
+    payload = _tiff(idx, photometric=3, colormap=tuple(
+        int(v) for v in pal16.ravel()))
+    got = _parse_tiff(payload)[2]
+    want = (pal16 >> 8).astype(np.uint8).T[idx]
+    assert (got == want).all()
+
+
+def test_rgba_extra_sample_dropped():
+    rgb = _rng(8).integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    payload = _tiff(rgb, extra_alpha=True)
+    assert (_parse_tiff(payload)[2] == rgb).all()
+
+
+def test_unsupported_vs_malformed():
+    rgb = _rng(9).integers(0, 256, (3, 3, 3), dtype=np.uint8)
+    p = bytearray(_tiff(rgb))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _parse_tiff(b"XX" + bytes(p[2:]))
+    bad_magic = bytearray(p)
+    struct.pack_into("<H", bad_magic, 2, 43)
+    with pytest.raises(ValueError, match="magic"):
+        _parse_tiff(bytes(bad_magic))
+    with pytest.raises(ValueError, match="truncated|strip"):
+        _parse_tiff(bytes(p[:-10]))
+    # valid-but-unsupported: CCITT compression / tiles via tag edits
+    for comp in (2, 4, 6, 8):
+        ccitt = bytearray(p)
+        i = ccitt.find(struct.pack("<HHI", 259, 3, 1))
+        struct.pack_into("<H", ccitt, i + 8, comp)
+        with pytest.raises(UnsupportedTiffError):
+            _parse_tiff(bytes(ccitt))
+
+
+def test_real_encoder_file_matches_the_real_bmp():
+    """CPython ships the SAME Python logo as python.tiff (8-bit RGBA,
+    real TIFF writer) and python.bmp (32-bit V5 BITFIELDS): two real
+    encoders, two independent decoders in this repo, and the pixels
+    must be bit-identical — so the cross-format dHash collides."""
+    tiffs = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/*/test/imghdrdata/python.tiff"))
+    bmps = sorted(glob.glob(
+        "/root/.pyenv/versions/*/lib/*/test/imghdrdata/python.bmp"))
+    if not tiffs or not bmps:
+        pytest.skip("container image data files not present")
+    from tower_parse_spark.operators.bmp import _parse_bmp
+
+    t = _parse_tiff(open(tiffs[0], "rb").read())
+    b = _parse_bmp(open(bmps[0], "rb").read())
+    assert t[:2] == (16, 16)
+    assert (t[2] == b[2]).all()
+    assert M._dhash_rgb(t[2]) == M._dhash_rgb(b[2])
+
+
+def test_dispatch_and_cross_format_hash():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — hermetic fallback never runs")
+    except ImportError:
+        pass
+    rgb = np.repeat(
+        np.repeat(_rng(10).integers(0, 256, (4, 9, 3), dtype=np.uint8),
+                  8, axis=0), 8, axis=1
+    )
+    payload = _tiff(rgb, compression=5)
+    meta = M.decode_real(payload)
+    assert meta == {"n_bytes": len(payload), "width": 72, "height": 32,
+                    "format": "tiff"}
+    ppm = b"P6 72 32 255\n" + rgb.tobytes()
+    assert M.phash_real(payload) == M.phash_real(ppm)
+    # tiled TIFF: Unsupported -> NotImplementedError naming pillow on
+    # the PIXEL path (the metadata path is header-only by contract and
+    # still reports dimensions, like a VP8X canvas)
+    tiled = bytearray(_tiff(rgb))
+    i = tiled.find(struct.pack("<HHI", 278, 3, 1))
+    struct.pack_into("<H", tiled, i, 322)  # RowsPerStrip -> TileWidth
+    with pytest.raises(NotImplementedError, match="pillow"):
+        M.phash_real(bytes(tiled))
+    assert M.decode_real(bytes(tiled))["width"] == 72

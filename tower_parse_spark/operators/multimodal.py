@@ -300,7 +300,7 @@ def _hermetic_formats():
     so importing multimodal never pays the per-format decoder imports;
     metadata fns are header-only by contract (a megapixel image's
     dimensions must not pay the full pixel decode)."""
-    from tower_parse_spark.operators import bmp, gif, webp
+    from tower_parse_spark.operators import bmp, gif, tiff, webp
     from tower_parse_spark.operators.jpeg import (
         UnsupportedJpegError,
         _parse_jpeg,
@@ -320,6 +320,10 @@ def _hermetic_formats():
         "webp": (webp.decode_webp_meta,
                  lambda p: webp._parse_webp(p)[2],
                  "lossless (VP8L) WebP", webp.UnsupportedWebpError),
+        "tiff": (tiff.decode_tiff_meta,
+                 lambda p: tiff._parse_tiff(p)[2],
+                 "baseline TIFF (none/PackBits/LZW strips)",
+                 tiff.UnsupportedTiffError),
     }
 
 
@@ -335,6 +339,8 @@ def _sniff_format(payload: bytes):
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -352,8 +358,8 @@ def _hermetic_fallback(caller, payload, import_exc, want="meta"):
     if name is None:
         raise NotImplementedError(
             f"{caller} needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/JPEG/GIF/BMP/WebP (pip install "
-            "pillow); the stub path is the hermetic default"
+            "formats beyond PPM/PNG/JPEG/GIF/BMP/WebP/TIFF (pip "
+            "install pillow); the stub path is the hermetic default"
         ) from import_exc
     meta_fn, pixels_fn, coverage, exc_cls = _hermetic_formats()[name]
     try:
@@ -407,12 +413,12 @@ def decode_png(payload: bytes) -> dict:
 def decode_real(payload: bytes) -> dict:
     """Real image decode behind the same contract as
     :func:`decode_stub` (n_bytes / width / height / format). P6 PPM,
-    PNG, JPEG, GIF, BMP and lossless-WebP payloads decode with NO
-    optional dependency
+    PNG, JPEG, GIF, BMP, lossless-WebP and baseline-TIFF payloads
+    decode with NO optional dependency
     (:func:`decode_ppm` / the :func:`_hermetic_formats` registry —
     numpy + stdlib, real pixels), so the real path runs hermetically in
-    this container for the six dominant interchange formats; anything
-    else (lossy-VP8 WebP, TIFF, ...) routes through Pillow, whose
+    this container for the seven dominant interchange formats; anything
+    else (lossy-VP8 WebP, tiled TIFF, ...) routes through Pillow, whose
     import is
     gated: where it is absent the error names the dependency instead
     of failing mid-executor with a bare ImportError. When Pillow IS
@@ -704,8 +710,9 @@ def phash_real(payload: bytes) -> int:
     """Real 32-bit dHash (Krawetz's difference hash, public
     methodology): decode to RGB pixels, then the shared
     :func:`_dhash_rgb` kernel (luma, 9x4 block-mean resize, left>right
-    bits). P6 PPM, PNG, JPEG, GIF, BMP and lossless-WebP payloads
-    decode with NO optional dependency (:func:`phash_ppm`, the
+    bits). P6 PPM, PNG, JPEG, GIF, BMP, lossless-WebP and
+    baseline-TIFF payloads decode with NO optional dependency
+    (:func:`phash_ppm`, the
     :func:`_hermetic_formats` registry); other formats decode via
     Pillow with the same gated import as :func:`decode_real` — and in
     every case the RESIZE KERNEL is the

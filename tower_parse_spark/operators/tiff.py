@@ -1,0 +1,320 @@
+"""Hermetic baseline-TIFF decoder — public spec (Adobe TIFF 6.0,
+1992-06-03), stdlib + numpy only.
+
+Joins the multimodal real-decode family (PPM r13, PNG r14, JPEG
+r14-r15, GIF/BMP/WebP/WAV r15): ``decode_real`` / ``phash_real``
+route ``II*\\0`` / ``MM\\0*``-sniffed payloads here when Pillow is
+absent. Scope is baseline TIFF plus the common extensions: both byte
+orders; the first IFD with inline and offset values (BYTE/SHORT/LONG
+fields); strip assembly (any RowsPerStrip); Compression 1 (none),
+32773 (PackBits) and 5 (LZW — the TIFF flavor: MSB-first codes,
+early code-width change at 2^w - 1, with the horizontal-differencing
+Predictor 2); PhotometricInterpretation 0/1 (bilevel/grayscale,
+either polarity), 2 (RGB, extra samples such as alpha dropped at the
+RGB boundary) and 3 (palette via ColorMap's 16-bit channels);
+BitsPerSample 1 (bilevel, row-padded), 8, and 16 (scaled to 8).
+Valid-but-unsupported layouts (tiles, planar configuration 2,
+CCITT/JPEG-in-TIFF compression, float samples) raise
+:class:`UnsupportedTiffError` so the dispatch can name Pillow — the
+same error-class contract as every other format here; malformed
+payloads raise plain ValueError.
+
+Tests (tests/test_tiff.py) pin round-trips against an independent
+spec-derived encoder (both byte orders, every supported
+photometric/compression/predictor combination), the real CPython
+``python.tiff`` (8-bit RGBA uncompressed), a PackBits vector from the
+spec's own worked example, cross-format dHash identity, and the
+Unsupported-vs-malformed contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class UnsupportedTiffError(ValueError):
+    """A VALID TIFF using features outside the baseline subset (tiles,
+    planar layout, CCITT/JPEG compression, float samples). Distinct
+    from plain ValueError (malformed payload) so the Pillow-gated
+    dispatch can name the optional dependency."""
+
+
+#: field type -> byte width (only the types a baseline reader needs)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+               10: 8}
+
+
+def _read_values(payload: bytes, bo: str, typ: int, count: int,
+                 raw: bytes):
+    """IFD field values: inline when they fit in 4 bytes, else at the
+    offset the value slot holds."""
+    size = _TYPE_SIZES.get(typ)
+    if size is None:
+        raise ValueError(f"unknown TIFF field type {typ}")
+    total = size * count
+    if total <= 4:
+        data = raw[:total]
+    else:
+        (off,) = struct.unpack(bo + "I", raw)
+        data = payload[off : off + total]
+        if len(data) < total:
+            raise ValueError("truncated TIFF field value")
+    if typ in (3, 8):
+        return list(struct.unpack(bo + "H" * count, data))
+    if typ in (4, 9):
+        return list(struct.unpack(bo + "I" * count, data))
+    if typ in (1, 6, 7, 2):
+        return list(data)
+    # RATIONAL: pairs -> float
+    vals = struct.unpack(bo + "I" * (2 * count), data)
+    return [vals[2 * i] / max(vals[2 * i + 1], 1)
+            for i in range(count)]
+
+
+def _unpackbits(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < expected:
+        b = data[pos]
+        pos += 1
+        if b < 128:  # literal run
+            if pos + b + 1 > n:
+                raise ValueError("truncated TIFF PackBits literal")
+            out += data[pos : pos + b + 1]
+            pos += b + 1
+        elif b == 128:  # no-op
+            continue
+        else:  # repeat run: two's complement
+            if pos >= n:
+                raise ValueError("truncated TIFF PackBits repeat")
+            out += bytes([data[pos]]) * (257 - b)
+            pos += 1
+    if len(out) < expected:
+        raise ValueError("TIFF PackBits stream too short")
+    return bytes(out[:expected])
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit packing, Clear=256 EOI=257,
+    EARLY code-width change (at table size 2^w - 1, one code before
+    the GIF flavor — TIFF 6.0 section 13)."""
+    CLEAR, EOI = 256, 257
+
+    def reset():
+        return [bytes([i]) for i in range(256)] + [b"", b""], 9
+
+    table, width = reset()
+    out = bytearray()
+    acc = bits = pos = 0
+    n = len(data)
+    prev = None
+    while len(out) < expected:
+        while bits < width:
+            if pos >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            bits += 8
+        code = (acc >> (bits - width)) & ((1 << width) - 1)
+        bits -= width
+        acc &= (1 << bits) - 1
+        if code == CLEAR:
+            table, width = reset()
+            prev = None
+            continue
+        if code == EOI:
+            raise ValueError("TIFF LZW ended before the strip was full")
+        if code < len(table) and (code < 256 or code > 257):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1  # EARLY change
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _parse_tiff(payload: bytes):
+    """Full pixel decode of the first IFD: ``(width, height,
+    HxWx3 uint8 RGB)``."""
+    import numpy as np
+
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_fields,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_fields):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        tags[tag] = (typ, count, payload[base + 8 : base + 12])
+
+    def get(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, count, raw = tags[tag]
+        return _read_values(payload, bo, typ, count, raw)
+
+    if 322 in tags or 323 in tags:
+        raise UnsupportedTiffError("tiled TIFF")
+    w = (get(256) or [0])[0]
+    h = (get(257) or [0])[0]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    if w * h > 64_000_000:
+        raise ValueError("TIFF dimensions exceed the 64MP decode cap")
+    compression = (get(259) or [1])[0]
+    photometric = (get(262) or [1])[0]
+    spp = (get(277) or [1])[0]
+    bits_list = get(258) or [1]
+    planar = (get(284) or [1])[0]
+    predictor = (get(317) or [1])[0]
+    if planar == 2:
+        raise UnsupportedTiffError("planar configuration 2")
+    if compression in (2, 3, 4):
+        raise UnsupportedTiffError("CCITT-compressed TIFF")
+    if compression in (6, 7):
+        raise UnsupportedTiffError("JPEG-in-TIFF")
+    if compression == 8 or compression == 32946:
+        raise UnsupportedTiffError("deflate-compressed TIFF")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unknown TIFF compression {compression}")
+    if (get(339) or [1])[0] == 3:
+        raise UnsupportedTiffError("float-sample TIFF")
+    if len(set(bits_list)) != 1:
+        raise UnsupportedTiffError("mixed per-sample bit depths")
+    bits = bits_list[0]
+    if bits not in (1, 8, 16):
+        raise UnsupportedTiffError(f"{bits}-bit TIFF samples")
+    if photometric not in (0, 1, 2, 3):
+        raise UnsupportedTiffError(
+            f"TIFF photometric {photometric}"
+        )
+    if photometric == 3 and (spp != 1 or bits == 1):
+        raise ValueError("palette TIFF must be single-sample 8/16-bit")
+
+    offsets = get(273)
+    counts = get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+    rows_per_strip = (get(278) or [h])[0] or h
+
+    if bits == 1:
+        row_bytes = (w + 7) // 8
+    else:
+        row_bytes = w * spp * (bits // 8)
+
+    raw_rows = bytearray()
+    rows_done = 0
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - rows_done)
+        expected = row_bytes * n_rows
+        if compression == 32773:
+            strip = _unpackbits(strip, expected)
+        elif compression == 5:
+            strip = _lzw_decode_tiff(strip, expected)
+        elif len(strip) < expected:
+            raise ValueError("TIFF strip shorter than its rows")
+        raw_rows += strip[:expected]
+        rows_done += n_rows
+    if rows_done < h:
+        raise ValueError("TIFF strips cover fewer rows than the image")
+
+    if bits == 1:
+        rows = np.unpackbits(
+            np.frombuffer(bytes(raw_rows), dtype=np.uint8)
+            .reshape(h, row_bytes),
+            axis=1,
+        )[:, :w]
+        gray = np.where(rows == 0, 0, 255).astype(np.uint8)
+        if photometric == 0:  # white-is-zero
+            gray = 255 - gray
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+        return w, h, np.ascontiguousarray(rgb)
+
+    if bits == 16:
+        arr = np.frombuffer(bytes(raw_rows),
+                            dtype=bo + "u2").astype(np.uint32)
+        samples = (arr >> 8).astype(np.uint8)
+    else:
+        samples = np.frombuffer(bytes(raw_rows), dtype=np.uint8)
+    px = samples.reshape(h, w, spp)
+    if predictor == 2:
+        if bits != 8:
+            raise UnsupportedTiffError(
+                "predictor 2 with non-8-bit samples"
+            )
+        px = np.cumsum(px.astype(np.uint64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise UnsupportedTiffError(f"TIFF predictor {predictor}")
+
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples")
+        rgb = px[:, :, :3]  # alpha/extra samples dropped
+    elif photometric == 3:
+        cmap = get(320)
+        if not cmap or len(cmap) < 3 * (1 << bits):
+            raise ValueError("palette TIFF missing ColorMap")
+        n = 1 << bits
+        cm = np.array(cmap[: 3 * n], dtype=np.uint32).reshape(3, n)
+        palette = (cm >> 8).astype(np.uint8).T  # 16-bit chans -> 8
+        idx = px[:, :, 0]
+        rgb = palette[idx]
+    else:  # grayscale
+        gray = px[:, :, 0]
+        if photometric == 0:
+            gray = 255 - gray
+        rgb = np.repeat(gray[:, :, None], 3, axis=2)
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def decode_tiff_meta(payload: bytes) -> dict:
+    """Header-only metadata decode (IFD walk for the dimension tags;
+    no strip decode — the cheap-dims contract)."""
+    if len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(bo + "H", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_fields,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    w = h = 0
+    for i in range(n_fields):
+        base = ifd_off + 2 + i * 12
+        if base + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHI", payload, base)
+        if tag in (256, 257):
+            vals = _read_values(payload, bo, typ, count,
+                                payload[base + 8 : base + 12])
+            if tag == 256:
+                w = vals[0]
+            else:
+                h = vals[0]
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF dimensions")
+    return {"n_bytes": len(payload), "width": int(w), "height": int(h),
+            "format": "tiff"}
