@@ -1,6 +1,7 @@
-"""Hermetic WAV/RIFF audio decoder + audio features — public specs
-(Microsoft/IBM RIFF WAVE, ITU-T G.711 for a-law/mu-law), stdlib +
-numpy only.
+"""Hermetic audio decoders (RIFF WAVE, Sun/NeXT AU, Apple AIFF/AIFC)
++ audio features — public specs (Microsoft/IBM RIFF WAVE, the `.snd`
+header, Apple's AIFF-C/EA IFF 85, ITU-T G.711 for a-law/mu-law),
+stdlib + numpy only.
 
 Extends the multimodal family (reference parity target: the reference
 treats every payload as opaque bytes — tower_parse has no audio
@@ -221,7 +222,7 @@ def decode_wav_meta(payload: bytes) -> dict:
 def _mono(payload: bytes):
     import numpy as np
 
-    rate, _ch, frames = _parse_wav(payload)
+    rate, _ch, frames = _parse_audio(payload)
     if frames.size == 0:
         raise ValueError("empty WAV data")
     return rate, np.ascontiguousarray(frames.mean(axis=1))
@@ -316,7 +317,7 @@ def with_audio_features(df_with_payload):
                         "phash": None, "feat": None,
                     })
                     continue
-                meta = decode_wav_meta(p)
+                meta = decode_audio_meta(p)
                 meta["doc_id"] = doc_id
                 meta["phash"] = audio_fingerprint(p)
                 meta["feat"] = audio_features(p)
@@ -330,3 +331,203 @@ def with_audio_features(df_with_payload):
     return df_with_payload.select("doc_id", "payload").mapInPandas(
         batches, schema=AUDIO_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# sibling audio containers: Sun/NeXT AU and Apple AIFF/AIFC
+# ---------------------------------------------------------------------------
+
+_AU_ENCODINGS = {
+    1: ("mulaw", 1), 2: ("pcm8", 1), 3: ("pcm16", 2), 4: ("pcm24", 3),
+    5: ("pcm32", 4), 6: ("f32", 4), 7: ("f64", 8), 27: ("alaw", 1),
+}
+
+
+def _parse_au(payload: bytes):
+    """Sun/NeXT .au (the `.snd` header, big-endian): PCM is SIGNED at
+    every depth incl. 8-bit (unlike WAV), G.711 mu-law (encoding 1 —
+    the original telephony format) and a-law (27), IEEE float 32/64.
+    ADPCM encodings (23-26) raise the Unsupported class."""
+    import numpy as np
+
+    if len(payload) < 24 or payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, channels = struct.unpack_from(
+        ">IIIII", payload, 4
+    )
+    if off < 24 or off > len(payload):
+        raise ValueError("bad AU data offset")
+    if channels < 1 or channels > 64:
+        raise ValueError(f"bad AU channel count {channels}")
+    if rate < 1 or rate > 2_000_000:
+        raise ValueError(f"bad AU sample rate {rate}")
+    if enc in (23, 24, 25, 26):
+        raise UnsupportedWavError(f"AU ADPCM encoding {enc}")
+    if enc not in _AU_ENCODINGS:
+        raise UnsupportedWavError(f"AU encoding {enc}")
+    name, _bytes_per = _AU_ENCODINGS[enc]
+    data = payload[off:]
+    if size not in (0xFFFFFFFF, 0):
+        data = data[:size]
+    if name == "mulaw":
+        x = _expand_mulaw(np.frombuffer(data, dtype=np.uint8))
+    elif name == "alaw":
+        x = _expand_alaw(np.frombuffer(data, dtype=np.uint8))
+    elif name == "pcm8":
+        x = np.frombuffer(data, dtype=np.int8).astype(np.float64) \
+            / 128.0
+    elif name == "pcm16":
+        x = np.frombuffer(data[: len(data) & ~1],
+                          dtype=">i2").astype(np.float64) / 32768.0
+    elif name == "pcm24":
+        n3 = len(data) - len(data) % 3
+        b3 = np.frombuffer(data[:n3], dtype=np.uint8)
+        b3 = b3.reshape(-1, 3).astype(np.int64)
+        v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]  # big-endian
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif name == "pcm32":
+        x = np.frombuffer(data[: len(data) & ~3],
+                          dtype=">i4").astype(np.float64) \
+            / float(1 << 31)
+    elif name == "f32":
+        x = np.frombuffer(data[: len(data) & ~3],
+                          dtype=">f4").astype(np.float64)
+    else:
+        x = np.frombuffer(data[: len(data) & ~7],
+                          dtype=">f8").astype(np.float64)
+    n = (len(x) // channels) * channels
+    return int(rate), int(channels), x[:n].reshape(-1, channels)
+
+
+def _f80(raw: bytes) -> float:
+    """IEEE 754 80-bit extended float (the AIFF sample-rate field):
+    1 sign + 15 exponent + 64 explicit-integer-bit mantissa."""
+    if len(raw) < 10:
+        raise ValueError("truncated AIFF extended float")
+    (se,) = struct.unpack(">H", raw[:2])
+    (mant,) = struct.unpack(">Q", raw[2:10])
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _parse_aiff(payload: bytes):
+    """Apple AIFF / AIFC (IFF big-endian): COMM (channels, frames,
+    sample size, 80-bit extended sample rate, AIFC compression 4CC) +
+    SSND (offset/blocksize header then big-endian signed PCM).
+    Compression: NONE, sowt (little-endian PCM), ulaw/ULAW, alaw/ALAW,
+    fl32/FL32/fl64; anything else (ima4, GSM, ...) raises the
+    Unsupported class."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"FORM" \
+            or payload[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            if tag == b"SSND":  # tolerate a truncated final chunk
+                body = payload[pos + 8 :]
+            else:
+                raise ValueError("truncated AIFF chunk")
+        if tag == b"COMM":
+            comm = body
+        elif tag == b"SSND":
+            ssnd = body
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None or len(comm) < 18:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, _n_frames, bits = struct.unpack_from(">HIH", comm, 0)
+    rate = _f80(comm[8:18])
+    compression = comm[18:22] if len(comm) >= 22 else b"NONE"
+    if channels < 1 or channels > 64:
+        raise ValueError(f"bad AIFF channel count {channels}")
+    if not 1 <= rate <= 2_000_000:
+        raise ValueError(f"bad AIFF sample rate {rate}")
+    if len(ssnd) < 8:
+        raise ValueError("truncated AIFF SSND header")
+    (data_off,) = struct.unpack_from(">I", ssnd, 0)
+    data = ssnd[8 + data_off :]
+    comp = compression.lower()
+    if comp in (b"none", b"twos"):
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.int8).astype(np.float64) \
+                / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data[: len(data) & ~1],
+                              dtype=">i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            n3 = len(data) - len(data) % 3
+            b3 = np.frombuffer(data[:n3], dtype=np.uint8)
+            b3 = b3.reshape(-1, 3).astype(np.int64)
+            v = (b3[:, 0] << 16) | (b3[:, 1] << 8) | b3[:, 2]
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data[: len(data) & ~3],
+                              dtype=">i4").astype(np.float64) \
+                / float(1 << 31)
+        else:
+            raise UnsupportedWavError(f"{bits}-bit AIFF PCM")
+    elif comp == b"sowt":  # little-endian PCM (QuickTime)
+        if bits != 16:
+            raise UnsupportedWavError(f"{bits}-bit sowt AIFF")
+        x = np.frombuffer(data[: len(data) & ~1],
+                          dtype="<i2").astype(np.float64) / 32768.0
+    elif comp == b"ulaw":
+        x = _expand_mulaw(np.frombuffer(data, dtype=np.uint8))
+    elif comp == b"alaw":
+        x = _expand_alaw(np.frombuffer(data, dtype=np.uint8))
+    elif comp == b"fl32":
+        x = np.frombuffer(data[: len(data) & ~3],
+                          dtype=">f4").astype(np.float64)
+    elif comp == b"fl64":
+        x = np.frombuffer(data[: len(data) & ~7],
+                          dtype=">f8").astype(np.float64)
+    else:
+        raise UnsupportedWavError(
+            f"AIFC compression {compression!r}"
+        )
+    n = (len(x) // channels) * channels
+    return int(rate), int(channels), x[:n].reshape(-1, channels)
+
+
+def _parse_audio(payload: bytes):
+    """Container sniff shared by every audio entry point: RIFF WAVE,
+    Sun/NeXT AU, Apple AIFF/AIFC."""
+    if payload[:4] == b".snd":
+        return _parse_au(payload)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return _parse_aiff(payload)
+    return _parse_wav(payload)
+
+
+def decode_audio_meta(payload: bytes) -> dict:
+    """Metadata across all three containers (the WAV path stays
+    header-only; AU/AIFF headers are a handful of bytes so counting
+    frames from the data size is equally cheap)."""
+    if payload[:4] == b".snd":
+        rate, channels, frames = _parse_au(payload)
+        fmt = "au"
+    elif payload[:4] == b"FORM" and payload[8:12] in (b"AIFF",
+                                                      b"AIFC"):
+        rate, channels, frames = _parse_aiff(payload)
+        fmt = "aiff"
+    else:
+        return decode_wav_meta(payload)
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": len(frames),
+        "duration_ms": int(round(len(frames) * 1000.0 / rate)),
+        "format": fmt,
+    }
