@@ -300,7 +300,13 @@ def _hermetic_formats():
     so importing multimodal never pays the per-format decoder imports;
     metadata fns are header-only by contract (a megapixel image's
     dimensions must not pay the full pixel decode)."""
-    from tower_parse_spark.operators import bmp, gif, tiff, webp
+    from tower_parse_spark.operators import (
+        bmp,
+        gif,
+        rasters,
+        tiff,
+        webp,
+    )
     from tower_parse_spark.operators.jpeg import (
         UnsupportedJpegError,
         _parse_jpeg,
@@ -324,6 +330,20 @@ def _hermetic_formats():
                  lambda p: tiff._parse_tiff(p)[2],
                  "baseline TIFF (none/PackBits/LZW strips)",
                  tiff.UnsupportedTiffError),
+        "pnm": (rasters.decode_pnm_meta,
+                lambda p: rasters._parse_pnm(p)[2],
+                "netpbm P1-P5", rasters.UnsupportedRasterError),
+        "ras": (rasters.decode_sun_meta,
+                lambda p: rasters._parse_sun(p)[2],
+                "Sun rasterfiles (standard/RGB/RLE)",
+                rasters.UnsupportedRasterError),
+        "sgi": (rasters.decode_sgi_meta,
+                lambda p: rasters._parse_sgi(p)[2],
+                "8-bit SGI images (verbatim/RLE)",
+                rasters.UnsupportedRasterError),
+        "xbm": (rasters.decode_xbm_meta,
+                lambda p: rasters._parse_xbm(p)[2],
+                "X11 XBM", rasters.UnsupportedRasterError),
     }
 
 
@@ -341,6 +361,15 @@ def _sniff_format(payload: bytes):
         return "webp"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if (payload[:1] == b"P" and payload[1:2] in b"12345"
+            and (payload[2:3].isspace() or payload[2:3] == b"#")):
+        return "pnm"
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        return "ras"
+    if payload[:2] == b"\x01\xda":
+        return "sgi"
+    if payload.lstrip()[:7] == b"#define":
+        return "xbm"
     return None
 
 
@@ -358,8 +387,9 @@ def _hermetic_fallback(caller, payload, import_exc, want="meta"):
     if name is None:
         raise NotImplementedError(
             f"{caller} needs the optional 'pillow' dependency for "
-            "formats beyond PPM/PNG/JPEG/GIF/BMP/WebP/TIFF (pip "
-            "install pillow); the stub path is the hermetic default"
+            "formats beyond the hermetic set (PPM/PNG/JPEG/GIF/BMP/"
+            "WebP/TIFF/netpbm/RAS/SGI/XBM) (pip install pillow); "
+            "the stub path is the hermetic default"
         ) from import_exc
     meta_fn, pixels_fn, coverage, exc_cls = _hermetic_formats()[name]
     try:
@@ -416,8 +446,10 @@ def decode_real(payload: bytes) -> dict:
     PNG, JPEG, GIF, BMP, lossless-WebP and baseline-TIFF payloads
     decode with NO optional dependency
     (:func:`decode_ppm` / the :func:`_hermetic_formats` registry —
-    numpy + stdlib, real pixels), so the real path runs hermetically in
-    this container for the seven dominant interchange formats; anything
+    numpy + stdlib, real pixels), as do the legacy rasters (netpbm
+    P1-P5, Sun RAS, SGI, XBM — operators/rasters.py), so the real
+    path runs hermetically in
+    this container for eleven interchange formats; anything
     else (lossy-VP8 WebP, tiled TIFF, ...) routes through Pillow, whose
     import is
     gated: where it is absent the error names the dependency instead
