@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="stream-curate a jsonl document spool directory",
     )
     mode.add_argument(
+        "--phash-dedup",
+        metavar="DIR",
+        help="stream-dedup a perceptual-hash spool directory (jsonl "
+        'rows {"doc_id": long, "phash": long} from with_phash / '
+        "with_audio_features / frame_sample_real) against a growing "
+        "Hamming-banded index under --out",
+    )
+    mode.add_argument(
         "--compact-index",
         metavar="DIR",
         help="compact a near-dup signature index (merge batch "
@@ -141,6 +149,35 @@ def parse_endpoint(raw: str) -> tuple[str, int]:
     except (ValueError, AssertionError) as e:
         raise SystemExit(f"Failed to parse {raw!r} as IP:PORT: {e}") from None
     return host, port
+
+
+def start_phash_dedup(
+    spark,
+    spool_dir: str,
+    out: str,
+    compact_every: int | None = None,
+):
+    """Start the streaming perceptual near-dup query for the
+    --phash-dedup mode (split out so tests can drive it with
+    processAllAvailable). The spool rows carry hashes produced
+    upstream — images (``with_phash(..., hasher=phash_real)``), audio
+    (``with_audio_features``) and animation frames share one 32-bit
+    space, so ONE spool dedups a mixed corpus. Sinks under *out*:
+    verdicts/ index/ checkpoint/ — the same exactly-once ``batch=N``
+    layout every streaming sink here uses."""
+    from tower_parse_spark.streaming.phash_index import stream_phash_dedup
+
+    hashes = (
+        spark.readStream.schema("doc_id long, phash long")
+        .json(spool_dir)
+    )
+    return stream_phash_dedup(
+        hashes,
+        f"{out}/index",
+        f"{out}/verdicts",
+        f"{out}/checkpoint",
+        compact_every=compact_every,
+    )
 
 
 def start_curate(
@@ -276,7 +313,12 @@ def main(argv: list[str] | None = None) -> int:
         return run_compact_index(
             spark, args.compact_index, args.through_batch, rebit=args.rebit
         )
-    if args.curate:
+    if args.phash_dedup:
+        q = start_phash_dedup(
+            spark, args.phash_dedup, args.out,
+            compact_every=args.compact_every,
+        )
+    elif args.curate:
         q = start_curate(
             spark, args.curate, args.model, args.out, args.lm_model,
             compact_every=args.compact_every,
