@@ -281,6 +281,61 @@ def test_palette_colormap():
     assert (got == want).all()
 
 
+def test_palette_16bit_indexes_are_not_scaled():
+    """Review r15 regression: a 16-bit palette image addresses the
+    ColorMap by the RAW sample value — index 1 must hit entry 1, not
+    be intensity-downscaled into entry 0."""
+    n = 1 << 16
+    cmap = [0] * (3 * n)
+    cmap[1] = 0xFF00  # entry 1: red 0xFF00 -> 8-bit 0xFF
+    idx = np.array([[1, 0], [258, 1]], dtype=np.uint16)
+    raw = idx.astype("<u2").tobytes()
+    # hand-build: reuse _tiff's layout via a gray 8-bit shell, then
+    # patch bits to 16 and swap the strip — simpler to write directly
+    fields_px = idx  # placeholder for readability
+    payload = _tiff_raw16_palette(fields_px, cmap)
+    got = _parse_tiff(payload)[2]
+    assert (got[0, 0] == (255, 0, 0)).all()
+    assert (got[0, 1] == (0, 0, 0)).all()
+    assert (got[1, 1] == (255, 0, 0)).all()
+    assert raw is not None
+
+
+def _tiff_raw16_palette(idx, cmap):
+    """Minimal little-endian 16-bit palette TIFF with raw indexes."""
+    h, w = idx.shape
+    pix = idx.astype("<u2").tobytes()
+    fields = [
+        (256, 3, 1, (w,)),
+        (257, 3, 1, (h,)),
+        (258, 3, 1, (16,)),
+        (259, 3, 1, (1,)),
+        (262, 3, 1, (3,)),
+        (277, 3, 1, (1,)),
+        (278, 3, 1, (h,)),
+        (279, 4, 1, (len(pix),)),
+    ]
+    n_fields = len(fields) + 2  # + ColorMap + StripOffsets
+    ifd_size = 2 + 12 * n_fields + 4
+    pos = 8 + ifd_size
+    cmap_blob = struct.pack("<" + "H" * len(cmap), *cmap)
+    encoded = []
+    for tag, typ, count, vals in fields:
+        blob = struct.pack("<" + {3: "H", 4: "I"}[typ] * count, *vals)
+        encoded.append((tag, typ, count, blob.ljust(4, b"\x00")))
+    encoded.append((320, 3, len(cmap), struct.pack("<I", pos)))
+    encoded.append((273, 4, 1,
+                    struct.pack("<I", pos + len(cmap_blob))))
+    encoded.sort(key=lambda e: e[0])
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    out += struct.pack("<H", n_fields)
+    for tag, typ, count, blob in encoded:
+        out += struct.pack("<HHI", tag, typ, count) + blob
+    out += struct.pack("<I", 0)
+    out += cmap_blob + pix
+    return bytes(out)
+
+
 def test_rgba_extra_sample_dropped():
     rgb = _rng(8).integers(0, 256, (4, 4, 3), dtype=np.uint8)
     payload = _tiff(rgb, extra_alpha=True)

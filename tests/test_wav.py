@@ -332,3 +332,19 @@ def test_real_cross_container_fingerprint_identity():
 def test_parse_audio_sniff_rejects_non_audio():
     with pytest.raises(ValueError):
         _parse_audio(b"GIF89a\x01\x00\x01\x00")
+
+
+def test_empty_data_chunk_is_valid_not_malformed():
+    """Review r15: a spec-valid file with an EMPTY data chunk (stdlib
+    wave writes one for zero frames) must yield zero features and a
+    zero fingerprint, not a ValueError that would fail a whole Arrow
+    batch."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+    payload = buf.getvalue()
+    assert decode_wav_meta(payload)["n_frames"] == 0
+    assert audio_features(payload) == [0.0, 0.0, 0.0, 0.0]
+    assert audio_fingerprint(payload) == 0

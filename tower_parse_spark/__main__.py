@@ -313,7 +313,7 @@ def main(argv: list[str] | None = None) -> int:
         return run_compact_index(
             spark, args.compact_index, args.through_batch, rebit=args.rebit
         )
-    if args.phash_dedup:
+    if args.phash_dedup is not None:
         q = start_phash_dedup(
             spark, args.phash_dedup, args.out,
             compact_every=args.compact_every,

@@ -824,6 +824,25 @@ def with_phash(
     )
 
 
+def phash_band_keys(phash_col: str, bits: int = PHASH_BITS,
+                    bands: int = PHASH_BANDS):
+    """The ONE band-key expression (array of ``bands`` slot-tagged
+    band values) shared by the batch pairing operator below AND the
+    streaming index (streaming/phash_index.py) — their exact-recall /
+    verdict-parity guarantee depends on the two sides banding
+    BIT-IDENTICALLY, so the expression lives once (review r15)."""
+    band_bits = bits // bands
+    return F.array(
+        *[
+            F.lit(b * (1 << band_bits))
+            + F.shiftright(
+                F.col(phash_col), b * band_bits
+            ).bitwiseAND(F.lit((1 << band_bits) - 1))
+            for b in range(bands)
+        ]
+    )
+
+
 def phash_near_dup_pairs(
     df_with_phash: DataFrame,
     id_col: str = "doc_id",
@@ -855,16 +874,7 @@ def phash_near_dup_pairs(
 
     Returns (id1, id2, hamming), id1 < id2.
     """
-    band_bits = bits // bands
-    keys = F.array(
-        *[
-            F.lit(b * (1 << band_bits))
-            + F.shiftright(F.col("phash"), b * band_bits).bitwiseAND(
-                F.lit((1 << band_bits) - 1)
-            )
-            for b in range(bands)
-        ]
-    )
+    keys = phash_band_keys("phash", bits, bands)
     banded = (
         df_with_phash.select(id_col, "phash")
         .localCheckpoint(eager=False)

@@ -419,6 +419,21 @@ def _parse_xbm(payload: bytes):
 
 
 def decode_xbm_meta(payload: bytes) -> dict:
-    w, h, _ = _parse_xbm(payload)  # text header IS the cheap part
+    """Header-only: parse just the two #define lines (the registry's
+    cheap-dims contract — review r15: the first cut ran the full hex
+    scan + bit unpack for a width/height read)."""
+    import re
+
+    try:
+        head = payload[:4096].decode("ascii", errors="strict")
+    except UnicodeDecodeError as exc:
+        raise ValueError("not an XBM payload") from exc
+    dims = dict(re.findall(
+        r"#define\s+\w*?_?(width|height)\s+(\d+)", head))
+    if "width" not in dims or "height" not in dims:
+        raise ValueError("XBM missing width/height defines")
+    w, h = int(dims["width"]), int(dims["height"])
+    if w <= 0 or h <= 0:
+        raise ValueError("bad XBM dimensions")
     return {"n_bytes": len(payload), "width": w, "height": h,
             "format": "xbm"}

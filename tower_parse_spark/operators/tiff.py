@@ -252,9 +252,16 @@ def _parse_tiff(payload: bytes):
         return w, h, np.ascontiguousarray(rgb)
 
     if bits == 16:
-        arr = np.frombuffer(bytes(raw_rows),
-                            dtype=bo + "u2").astype(np.uint32)
-        samples = (arr >> 8).astype(np.uint8)
+        raw16 = np.frombuffer(bytes(raw_rows),
+                              dtype=bo + "u2").astype(np.uint32)
+        if photometric == 3:
+            # palette INDEXES must not be intensity-scaled: a 16-bit
+            # palette image addresses up to 65536 ColorMap entries by
+            # the raw sample value (review r15 — >>8 here turned
+            # index 1 into entry 0)
+            samples = raw16
+        else:
+            samples = (raw16 >> 8).astype(np.uint8)
     else:
         samples = np.frombuffer(bytes(raw_rows), dtype=np.uint8)
     px = samples.reshape(h, w, spp)

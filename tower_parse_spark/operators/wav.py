@@ -220,23 +220,24 @@ def decode_wav_meta(payload: bytes) -> dict:
 
 
 def _mono(payload: bytes):
+    """(sample rate, mono-mixed float64 signal). A VALID file with an
+    EMPTY data chunk (stdlib wave happily writes one) mono-mixes to a
+    zero-length signal — the feature/fingerprint derivations handle
+    it; it is not the malformed-payload case (review r15: one empty
+    clip must not fail a whole Arrow batch)."""
     import numpy as np
 
     rate, _ch, frames = _parse_audio(payload)
     if frames.size == 0:
-        raise ValueError("empty WAV data")
+        return rate, np.zeros(0)
     return rate, np.ascontiguousarray(frames.mean(axis=1))
 
 
-def audio_features(payload: bytes) -> list[float]:
-    """REAL 4-dim signal features (duration s, RMS, peak, zero-crossing
-    rate), mono-mixed — actual audio statistics as the hermetic
-    stand-in for a learned embedder (the :func:`features_ppm`
-    discipline: identical clips collide, gain moves RMS/peak, noise
-    moves the ZCR)."""
+def _features_from(rate, x) -> list[float]:
     import numpy as np
 
-    rate, x = _mono(payload)
+    if len(x) == 0:
+        return [0.0, 0.0, 0.0, 0.0]
     zc = np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))
     return [
         round(len(x) / rate, 6),
@@ -246,21 +247,21 @@ def audio_features(payload: bytes) -> list[float]:
     ]
 
 
-def audio_fingerprint(payload: bytes) -> int:
-    """32-bit robust audio hash (Haitsma-Kalker construction):
-    mono-mix -> 33 equal frames -> 4 rfft band energies per frame ->
-    bit = band energy rises frame-over-frame (32 transition bits).
-    Scale-invariant by construction (energy COMPARISONS) and
-    depth-invariant in practice (the real pluck-pcm8/16/24/32 fixtures
-    collide; pinned in tests). The output is signed-64 like
-    :func:`multimodal.phash_stub`, so
-    :func:`multimodal.phash_near_dup_pairs` bands it unchanged —
-    one Hamming near-dup engine across image AND audio payloads."""
+def audio_features(payload: bytes) -> list[float]:
+    """REAL 4-dim signal features (duration s, RMS, peak, zero-crossing
+    rate), mono-mixed — actual audio statistics as the hermetic
+    stand-in for a learned embedder (the :func:`features_ppm`
+    discipline: identical clips collide, gain moves RMS/peak, noise
+    moves the ZCR). An empty-data clip yields all-zero features."""
+    rate, x = _mono(payload)
+    return _features_from(rate, x)
+
+
+def _fingerprint_from(x) -> int:
     import numpy as np
 
     from tower_parse_spark.operators.multimodal import _signed64
 
-    _rate, x = _mono(payload)
     n = len(x)
     if n < FP_FRAMES * 2 * FP_BANDS:
         # pad tiny clips so the frame split is well-defined
@@ -285,6 +286,22 @@ def audio_fingerprint(payload: bytes) -> int:
     return _signed64(h)
 
 
+def audio_fingerprint(payload: bytes) -> int:
+    """32-bit robust audio hash (Haitsma-Kalker construction):
+    mono-mix -> 9 equal frames -> 4 rfft band energies per frame ->
+    bit = a band's energy rises frame-over-frame (8 transitions x 4
+    bands = 32 bits). Scale-invariant by construction (energy
+    COMPARISONS) and depth-invariant in practice (the real
+    pluck-pcm8/16/24/32 fixtures collide; pinned in tests). The output
+    is signed-64 like :func:`multimodal.phash_stub`, so
+    :func:`multimodal.phash_near_dup_pairs` bands it unchanged —
+    one Hamming near-dup engine across image AND audio payloads. An
+    empty-data clip hashes to 0 (the zero-padded signal has no rising
+    transitions)."""
+    _rate, x = _mono(payload)
+    return _fingerprint_from(x)
+
+
 AUDIO_SCHEMA = (
     "doc_id long, n_bytes int, sample_rate int, channels int, "
     "n_frames int, duration_ms int, phash long, feat array<double>"
@@ -300,7 +317,12 @@ def with_audio_features(df_with_payload):
     :func:`multimodal.phash_near_dup_pairs` consumes it unchanged, so
     audio near-dup runs on the same Hamming-band machinery — and the
     same 100 TB posture (banding linear in |docs|, shuffle carries
-    (id, long), payloads never move) — as image near-dup."""
+    (id, long), payloads never move) — as image near-dup. Each payload
+    is container-parsed ONCE; metadata, the fingerprint and the
+    features all derive from the shared (rate, channels, frames)
+    triple (review r15: the first cut paid three full decodes per
+    row)."""
+    import numpy as np
     import pandas as pd
 
     def batches(it):
@@ -317,12 +339,20 @@ def with_audio_features(df_with_payload):
                         "phash": None, "feat": None,
                     })
                     continue
-                meta = decode_audio_meta(p)
-                meta["doc_id"] = doc_id
-                meta["phash"] = audio_fingerprint(p)
-                meta["feat"] = audio_features(p)
-                del meta["format"]
-                rows.append(meta)
+                rate, channels, frames = _parse_audio(p)
+                x = (np.ascontiguousarray(frames.mean(axis=1))
+                     if frames.size else np.zeros(0))
+                rows.append({
+                    "doc_id": doc_id,
+                    "n_bytes": len(p),
+                    "sample_rate": rate,
+                    "channels": channels,
+                    "n_frames": len(frames),
+                    "duration_ms": int(round(
+                        len(frames) * 1000.0 / rate)),
+                    "phash": _fingerprint_from(x),
+                    "feat": _features_from(rate, x),
+                })
             yield pd.DataFrame(rows)[
                 ["doc_id", "n_bytes", "sample_rate", "channels",
                  "n_frames", "duration_ms", "phash", "feat"]

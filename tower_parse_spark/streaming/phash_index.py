@@ -47,6 +47,7 @@ from tower_parse_spark.operators.multimodal import (
     PHASH_BANDS,
     PHASH_BITS,
     PHASH_MAX_HAMMING,
+    phash_band_keys,
 )
 from tower_parse_spark.streaming.neardup import compact_minhash_index
 
@@ -74,18 +75,6 @@ def _read_phash_index(
     ).drop("batch")
 
 
-def _band_keys(phash_col, bits: int, bands: int):
-    band_bits = bits // bands
-    mask = (1 << band_bits) - 1
-    return F.array(
-        *[
-            F.lit(b * (1 << band_bits))
-            + F.shiftright(F.col(phash_col), b * band_bits).bitwiseAND(
-                F.lit(mask)
-            )
-            for b in range(bands)
-        ]
-    )
 
 
 def process_phash_epoch(
@@ -113,7 +102,7 @@ def process_phash_epoch(
     banded = (
         batch.withColumn(
             "band_key",
-            F.explode(_band_keys(phash_col, bits, bands)),
+            F.explode(phash_band_keys(phash_col, bits, bands)),
         )
         .select("band_key", id_col, phash_col)
         .localCheckpoint(eager=True)  # two consumers: probe + sink
