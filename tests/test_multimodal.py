@@ -460,14 +460,24 @@ def test_decode_png_real_and_malformed():
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
+    # r15 late: 16-bit DECODES now (high-byte rescale); sub-8-bit
+    # stays the valid-but-unsupported class
     sixteen = (
         M._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
         + chunk(b"IEND", b"")
     )
+    assert M.decode_png(sixteen)["width"] == 2
+    assert (M._parse_png(sixteen)[2] == 0).all()
+    four_bit = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
+        + chunk(b"IEND", b"")
+    )
     with _pytest.raises(ValueError, match="unsupported"):
-        M.decode_png(sixteen)
+        M.decode_png(four_bit)
     # r15: Adam7 is DECODED now — a 2x2 interlaced RGB image needs 15
     # raster bytes (passes 1/6/7), so 14 is a malformed length, and an
     # interlace method beyond 0/1 is malformed outright
@@ -576,18 +586,18 @@ def test_unsupported_png_names_pillow_without_it():
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    # 16-bit depth: the remaining valid-but-unsupported PNG class
-    # (interlace decodes hermetically as of r15)
-    sixteen = (
+    # sub-8-bit depth: the remaining valid-but-unsupported PNG class
+    # (interlace decodes hermetically as of r15, 16-bit as of r15 late)
+    four_bit = (
         M._PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + chunk(b"IEND", b"")
     )
     with _pytest.raises(NotImplementedError, match="pillow"):
-        M.decode_real(sixteen)
+        M.decode_real(four_bit)
     with _pytest.raises(NotImplementedError, match="pillow"):
-        M.phash_real(sixteen)
+        M.phash_real(four_bit)
     # malformed (not merely unsupported) stays ValueError through the
     # same dispatch
     import numpy as np
@@ -683,3 +693,58 @@ def test_parse_png_roundtrip_property():
         assert (got == rgb).all()
 
     check()
+
+
+def test_png_16bit_roundtrip_all_color_types():
+    """r15 late: 16-bit PNGs decode via the high-byte rescale; filters
+    act at the doubled per-pixel byte distance, and v*257 encoding
+    means the high byte IS the 8-bit value — exact round-trips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc))
+
+    rng = np.random.default_rng(16)
+
+    def png16(samples, color):
+        h, w = samples.shape[:2]
+        ch = samples.shape[2]
+        wide = (samples.astype(">u2") * 257).tobytes()
+        stride = w * ch * 2
+        raw = b"".join(
+            b"\x01" if y % 2 else b"\x00"  # alternate None/Sub filters
+            for y in range(h)
+        )
+        # rebuild rows with the chosen filters applied byte-wise
+        rows = []
+        for y in range(h):
+            row = wide[y * stride : (y + 1) * stride]
+            if y % 2:  # Sub at bpp = ch*2
+                bpp = ch * 2
+                enc = bytearray(row)
+                for x in range(stride - 1, bpp - 1, -1):
+                    enc[x] = (enc[x] - row[x - bpp]) & 0xFF
+                rows.append(b"\x01" + bytes(enc))
+            else:
+                rows.append(b"\x00" + row)
+        assert raw is not None
+        return (
+            M._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, color,
+                                         0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+
+    rgb = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    assert (M._parse_png(png16(rgb, 2))[2] == rgb).all()
+    gray = rng.integers(0, 256, (3, 6, 1), dtype=np.uint8)
+    got = M._parse_png(png16(gray, 0))[2]
+    assert (got[:, :, 0] == gray[:, :, 0]).all()
+    rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
+    assert (M._parse_png(png16(rgba, 6))[2] == rgba[:, :, :3]).all()

@@ -138,6 +138,10 @@ def _tiff(px, bo="<", photometric=2, compression=1, bits=8,
             strip = _packbits(strip)
         elif compression == 5:
             strip = _lzw_encode_tiff(strip)
+        elif compression in (8, 32946):
+            import zlib as _zlib
+
+            strip = _zlib.compress(strip)
         strips.append(strip)
 
     fields = []  # (tag, type, count, values or bytes)
@@ -224,7 +228,7 @@ def test_packbits_spec_worked_example():
 
 
 @pytest.mark.parametrize("bo", ["<", ">"])
-@pytest.mark.parametrize("compression", [1, 32773, 5])
+@pytest.mark.parametrize("compression", [1, 32773, 5, 8, 32946])
 def test_rgb_roundtrip_orders_and_compressions(bo, compression):
     rgb = _rng(1).integers(0, 256, (9, 7, 3), dtype=np.uint8)
     payload = _tiff(rgb, bo=bo, compression=compression,
@@ -353,13 +357,20 @@ def test_unsupported_vs_malformed():
         _parse_tiff(bytes(bad_magic))
     with pytest.raises(ValueError, match="truncated|strip"):
         _parse_tiff(bytes(p[:-10]))
-    # valid-but-unsupported: CCITT compression / tiles via tag edits
-    for comp in (2, 4, 6, 8):
+    # valid-but-unsupported: CCITT/JPEG compression via tag edits
+    # (deflate decodes as of r15 late — not in this list)
+    for comp in (2, 4, 6):
         ccitt = bytearray(p)
         i = ccitt.find(struct.pack("<HHI", 259, 3, 1))
         struct.pack_into("<H", ccitt, i + 8, comp)
         with pytest.raises(UnsupportedTiffError):
             _parse_tiff(bytes(ccitt))
+    # a deflate tag over a NON-deflate strip is malformed, not gated
+    bad_deflate = bytearray(p)
+    i = bad_deflate.find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", bad_deflate, i + 8, 8)
+    with pytest.raises(ValueError, match="deflate"):
+        _parse_tiff(bytes(bad_deflate))
 
 
 def test_real_encoder_file_matches_the_real_bmp():

@@ -177,7 +177,8 @@ def _unfilter_png(raw: bytes, w: int, h: int, bpp: int):
 
 
 def _parse_png(payload: bytes):
-    """Parse an 8-bit-depth PNG (interlaced or not) with NO third-party
+    """Parse an 8/16-bit-depth PNG (interlaced or not; 16-bit samples
+    rescale to 8 via their high byte) with NO third-party
     decoder — the spec (RFC 2083 / ISO 15948) plus stdlib ``zlib`` is
     enough: signature, chunk walk (IHDR / PLTE / IDAT+ / IEND), inflate
     the concatenated IDAT stream, un-filter scanlines (all five filter
@@ -189,7 +190,8 @@ def _parse_png(payload: bytes):
     hermetic pixels match a Pillow decode bit-for-bit and both feed the
     shared :func:`_dhash_rgb` kernel identically). Returns ``(width,
     height, HxWx3 uint8 ndarray)``; raises ValueError on anything
-    malformed or unsupported (16-bit, truncated). Pure
+    malformed (truncated, bad lengths) and UnsupportedPngError on the
+    valid-but-unsupported sub-8-bit depths. Pure
     Python + numpy: the Sub filter vectorizes as a mod-256 cumsum,
     Up as a running add; Average/Paeth fall back to a per-pixel scan —
     fine for the fixture-scale payloads this hermetic path exists for
@@ -228,13 +230,17 @@ def _parse_png(payload: bytes):
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG (comp={comp}, filter_method={filt})")
-    if depth != 8:
+    if depth not in (8, 16):
         raise UnsupportedPngError(f"unsupported PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise UnsupportedPngError(f"unknown PNG color type {color}")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is invalid (spec 11.2.2)")
+    sampb = depth // 8  # bytes per sample; filters act on BYTES with
+    bpp = channels * sampb  # the per-PIXEL byte distance (spec 9.2)
     if interlace == 1:
         # Adam7 (r15): seven sub-images, each its own filtered scanline
         # run over the pass's reduced grid (filtering restarts per pass)
@@ -244,10 +250,10 @@ def _parse_png(payload: bytes):
             for x0, y0, dx, dy in _ADAM7
         ]
         expected = sum(
-            ph * (pw * channels + 1) for pw, ph in dims if pw and ph
+            ph * (pw * bpp + 1) for pw, ph in dims if pw and ph
         )
     else:
-        expected = h * (w * channels + 1)
+        expected = h * (w * bpp + 1)
     # bound the inflate to the declared raster size BEFORE materializing
     # anything: a tiny payload can declare a 1x1 IHDR yet carry a
     # multi-GB compressed stream (decompression bomb) — cap at
@@ -262,18 +268,25 @@ def _parse_png(payload: bytes):
     # returns exactly expected+1 bytes (and no more)
     if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
+    def to_samples(rows, pw, ph):
+        # byte rows -> (ph, pw, channels) uint8 samples; a 16-bit
+        # sample reduces to its big-endian HIGH byte (the round-down
+        # 16->8 rescale: v >> 8)
+        a = rows.reshape(ph, pw, channels, sampb)
+        return a[:, :, :, 0]
+
     if interlace == 1:
         px = np.zeros((h, w, channels), dtype=np.uint8)
         off = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
             if not pw or not ph:
                 continue
-            size = ph * (pw * channels + 1)
-            sub = _unfilter_png(raw[off:off + size], pw, ph, channels)
+            size = ph * (pw * bpp + 1)
+            sub = _unfilter_png(raw[off:off + size], pw, ph, bpp)
             off += size
-            px[y0::dy, x0::dx, :] = sub.reshape(ph, pw, channels)
+            px[y0::dy, x0::dx, :] = to_samples(sub, pw, ph)
     else:
-        px = _unfilter_png(raw, w, h, channels).reshape(h, w, channels)
+        px = to_samples(_unfilter_png(raw, w, h, bpp), w, h)
     if color == 0:
         rgb = np.repeat(px, 3, axis=2)
     elif color == 2:
@@ -314,7 +327,8 @@ def _hermetic_formats():
 
     return {
         "png": (decode_png, lambda p: _parse_png(p)[2],
-                "8-bit PNGs (incl. Adam7 interlace)", UnsupportedPngError),
+                "8/16-bit PNGs (incl. Adam7 interlace)",
+                UnsupportedPngError),
         "jpeg": (decode_jpeg, lambda p: _parse_jpeg(p)[2],
                  "sequential + progressive huffman JPEG",
                  UnsupportedJpegError),

@@ -7,9 +7,10 @@ route ``II*\\0`` / ``MM\\0*``-sniffed payloads here when Pillow is
 absent. Scope is baseline TIFF plus the common extensions: both byte
 orders; the first IFD with inline and offset values (BYTE/SHORT/LONG
 fields); strip assembly (any RowsPerStrip); Compression 1 (none),
-32773 (PackBits) and 5 (LZW — the TIFF flavor: MSB-first codes,
-early code-width change at 2^w - 1, with the horizontal-differencing
-Predictor 2); PhotometricInterpretation 0/1 (bilevel/grayscale,
+32773 (PackBits), 5 (LZW — the TIFF flavor: MSB-first codes,
+early code-width change at 2^w - 1) and 8/32946 (Adobe/old-style
+deflate via stdlib zlib, bomb-bounded), all with the
+horizontal-differencing Predictor 2; PhotometricInterpretation 0/1 (bilevel/grayscale,
 either polarity), 2 (RGB, extra samples such as alpha dropped at the
 RGB boundary) and 3 (palette via ColorMap's 16-bit channels);
 BitsPerSample 1 (bilevel, row-padded), 8, and 16 (scaled to 8).
@@ -191,9 +192,7 @@ def _parse_tiff(payload: bytes):
         raise UnsupportedTiffError("CCITT-compressed TIFF")
     if compression in (6, 7):
         raise UnsupportedTiffError("JPEG-in-TIFF")
-    if compression == 8 or compression == 32946:
-        raise UnsupportedTiffError("deflate-compressed TIFF")
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unknown TIFF compression {compression}")
     if (get(339) or [1])[0] == 3:
         raise UnsupportedTiffError("float-sample TIFF")
@@ -232,6 +231,19 @@ def _parse_tiff(payload: bytes):
             strip = _unpackbits(strip, expected)
         elif compression == 5:
             strip = _lzw_decode_tiff(strip, expected)
+        elif compression in (8, 32946):  # Adobe/old-style deflate
+            import zlib
+
+            d = zlib.decompressobj()
+            try:
+                # bomb-bounded like the PNG inflate: cap at expected
+                strip = d.decompress(strip, expected)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt TIFF deflate strip: {exc}"
+                ) from exc
+            if len(strip) < expected:
+                raise ValueError("TIFF deflate strip too short")
         elif len(strip) < expected:
             raise ValueError("TIFF strip shorter than its rows")
         raw_rows += strip[:expected]
