@@ -460,8 +460,9 @@ def test_decode_png_real_and_malformed():
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
 
-    # r15 late: 16-bit DECODES now (high-byte rescale); sub-8-bit
-    # stays the valid-but-unsupported class
+    # r15 late: EVERY legal depth decodes (16-bit via high-byte
+    # rescale, 1/2/4-bit via MSB-first bit groups); an illegal depth
+    # value is malformed
     sixteen = (
         M._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
@@ -473,11 +474,19 @@ def test_decode_png_real_and_malformed():
     four_bit = (
         M._PNG_SIG
         + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x0f" * 2))
+        + chunk(b"IEND", b"")
+    )
+    got = M._parse_png(four_bit)[2]
+    assert (got[:, 0, 0] == 0).all() and (got[:, 1, 0] == 255).all()
+    bad_depth = (
+        M._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(ValueError, match="unsupported"):
-        M.decode_png(four_bit)
+    with _pytest.raises(ValueError, match="bit depth"):
+        M.decode_png(bad_depth)
     # r15: Adam7 is DECODED now — a 2x2 interlaced RGB image needs 15
     # raster bytes (passes 1/6/7), so 14 is a malformed length, and an
     # interlace method beyond 0/1 is malformed outright
@@ -568,42 +577,26 @@ def test_decode_real_png_through_arrow_path(spark):
     assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (33, 7, "ppm")
 
 
-def test_unsupported_png_names_pillow_without_it():
-    """Review r14: a VALID PNG beyond the hermetic subset must fail the
-    same way a JPEG does — NotImplementedError naming the pillow remedy
-    — not an environment-dependent bare ValueError; malformed payloads
-    stay ValueError."""
-    import struct
+def test_png_dispatch_error_contract():
+    """Review r14 contract, r15-late state: EVERY legal PNG depth and
+    color type decodes hermetically, so the PNG entry has no
+    valid-but-unsupported class left (the NotImplementedError-naming-
+    pillow contract is exercised by the JPEG/WebP/TIFF suites on their
+    remaining gated subsets); malformed payloads stay ValueError
+    through the dispatch."""
     import sys
-    import zlib
 
+    import numpy as np
     import pytest as _pytest
 
     if "PIL" in sys.modules or _has_pil():
         _pytest.skip("Pillow installed — the gated branch never runs")
 
-    def chunk(ctype, data):
-        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
-        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
-
-    # sub-8-bit depth: the remaining valid-but-unsupported PNG class
-    # (interlace decodes hermetically as of r15, 16-bit as of r15 late)
-    four_bit = (
-        M._PNG_SIG
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(b"\x00" * 4))
-        + chunk(b"IEND", b"")
-    )
-    with _pytest.raises(NotImplementedError, match="pillow"):
-        M.decode_real(four_bit)
-    with _pytest.raises(NotImplementedError, match="pillow"):
-        M.phash_real(four_bit)
-    # malformed (not merely unsupported) stays ValueError through the
-    # same dispatch
-    import numpy as np
-
     with _pytest.raises(ValueError, match="truncated"):
         M.decode_real(_png(np.zeros((2, 2, 3), dtype=np.uint8))[:-20])
+    # a once-gated payload class now just decodes through decode_real
+    four = np.array([[[0, 0, 0]]], dtype=np.uint8)
+    assert M.decode_real(_png(four))["format"] == "png"
 
 
 def _has_pil():
@@ -748,3 +741,68 @@ def test_png_16bit_roundtrip_all_color_types():
     assert (got[:, :, 0] == gray[:, :, 0]).all()
     rgba = rng.integers(0, 256, (4, 4, 4), dtype=np.uint8)
     assert (M._parse_png(png16(rgba, 6))[2] == rgba[:, :, :3]).all()
+
+
+def test_png_sub8bit_roundtrip():
+    """r15 late: 1/2/4-bit gray and palette PNGs decode — MSB-first
+    bit groups, partial trailing bytes, the gray ladder scaled to full
+    range, palette by raw index; interlaced 1-bit too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", crc))
+
+    rng = np.random.default_rng(4)
+
+    def pack_rows(vals, depth, w):
+        rows = []
+        for r in vals:
+            bits = np.zeros(((w * depth + 7) // 8) * 8, np.uint8)
+            for x in range(w):
+                for i in range(depth):
+                    bits[x * depth + i] = (r[x] >> (depth - 1 - i)) & 1
+            rows.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(rows)
+
+    def png(vals, depth, color, plte=b"", interlace=0):
+        h, w = vals.shape
+        body = pack_rows(vals, depth, w)
+        if interlace:
+            # single-pass-relevant tiny images: w,h <= 4 keeps every
+            # pixel in passes with simple geometry? use full builder
+            # instead: encode pass-by-pass
+            parts = []
+            for x0, y0, dx, dy in M._ADAM7:
+                sub = vals[y0::dy, x0::dx]
+                if sub.size == 0:
+                    continue
+                parts.append(pack_rows(sub, depth, sub.shape[1]))
+            body = b"".join(parts)
+        out = (M._PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                            color, 0, 0, interlace)))
+        if plte:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) \
+            + chunk(b"IEND", b"")
+
+    for depth in (1, 2, 4):
+        vals = rng.integers(0, 1 << depth, (5, 11), dtype=np.uint8)
+        got = M._parse_png(png(vals, depth, 0))[2]
+        want = (vals.astype(np.uint16) * 255 // ((1 << depth) - 1))
+        assert (got[:, :, 0] == want.astype(np.uint8)).all(), depth
+    # 4-bit palette: raw indexes into PLTE
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (6, 7), dtype=np.uint8)
+    got = M._parse_png(png(idx, 4, 3, plte=pal.tobytes()))[2]
+    assert (got == pal[idx]).all()
+    # interlaced 1-bit gray
+    bw = rng.integers(0, 2, (10, 9), dtype=np.uint8)
+    plain = M._parse_png(png(bw, 1, 0))[2]
+    inter = M._parse_png(png(bw, 1, 0, interlace=1))[2]
+    assert (plain == inter).all()

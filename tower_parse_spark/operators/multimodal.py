@@ -117,8 +117,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 class UnsupportedPngError(ValueError):
-    """A VALID PNG using features the hermetic decoder deliberately
-    omits (16-bit depth, exotic color types). Distinct from
+    """A VALID PNG using features the hermetic decoder omits — since
+    r15-late every legal depth (1/2/4/8/16) and color type decodes, so
+    only not-yet-assigned color-type values land here. Distinct from
     plain ValueError (malformed payload) so the Pillow-gated dispatch
     can name the optional dependency as the remedy for exactly the
     payloads Pillow WOULD decode — environment-independent behavior
@@ -230,8 +231,8 @@ def _parse_png(payload: bytes):
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     if comp != 0 or filt != 0:
         raise ValueError(f"invalid PNG (comp={comp}, filter_method={filt})")
-    if depth not in (8, 16):
-        raise UnsupportedPngError(f"unsupported PNG bit depth {depth}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
@@ -239,8 +240,17 @@ def _parse_png(payload: bytes):
         raise UnsupportedPngError(f"unknown PNG color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("16-bit palette PNG is invalid (spec 11.2.2)")
-    sampb = depth // 8  # bytes per sample; filters act on BYTES with
-    bpp = channels * sampb  # the per-PIXEL byte distance (spec 9.2)
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"sub-8-bit PNG requires gray/palette (color {color})"
+        )
+    sampb = max(depth // 8, 1)  # bytes/sample; filters act on BYTES
+    # per-PIXEL byte filter distance (spec 9.2: 1 for sub-byte depths)
+    bpp = channels * sampb
+
+    def row_bytes(pw):
+        return (pw * channels * depth + 7) // 8
+
     if interlace == 1:
         # Adam7 (r15): seven sub-images, each its own filtered scanline
         # run over the pass's reduced grid (filtering restarts per pass)
@@ -250,10 +260,10 @@ def _parse_png(payload: bytes):
             for x0, y0, dx, dy in _ADAM7
         ]
         expected = sum(
-            ph * (pw * bpp + 1) for pw, ph in dims if pw and ph
+            ph * (row_bytes(pw) + 1) for pw, ph in dims if pw and ph
         )
     else:
-        expected = h * (w * bpp + 1)
+        expected = h * (row_bytes(w) + 1)
     # bound the inflate to the declared raster size BEFORE materializing
     # anything: a tiny payload can declare a 1x1 IHDR yet carry a
     # multi-GB compressed stream (decompression bomb) — cap at
@@ -269,11 +279,20 @@ def _parse_png(payload: bytes):
     if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
     def to_samples(rows, pw, ph):
-        # byte rows -> (ph, pw, channels) uint8 samples; a 16-bit
-        # sample reduces to its big-endian HIGH byte (the round-down
-        # 16->8 rescale: v >> 8)
-        a = rows.reshape(ph, pw, channels, sampb)
-        return a[:, :, :, 0]
+        # byte rows -> (ph, pw, channels) uint8 samples. 16-bit
+        # reduces to its big-endian HIGH byte (the round-down 16->8
+        # rescale: v >> 8); sub-byte depths unpack MSB-first bit
+        # groups (spec 7.2), raw values — gray scaling happens at the
+        # color-type mapping, palette uses the raw index.
+        if depth >= 8:
+            a = rows.reshape(ph, pw, channels, sampb)
+            return a[:, :, :, 0]
+        bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+        vals = bits.reshape(ph, pw, depth)
+        out = np.zeros((ph, pw), dtype=np.uint8)
+        for i in range(depth):
+            out |= vals[:, :, i] << (depth - 1 - i)
+        return out[:, :, None]
 
     if interlace == 1:
         px = np.zeros((h, w, channels), dtype=np.uint8)
@@ -281,12 +300,24 @@ def _parse_png(payload: bytes):
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
             if not pw or not ph:
                 continue
-            size = ph * (pw * bpp + 1)
-            sub = _unfilter_png(raw[off:off + size], pw, ph, bpp)
+            size = ph * (row_bytes(pw) + 1)
+            # _unfilter_png takes (pixels-per-row, bytes-per-pixel);
+            # for sub-byte depths bpp=1 and the "pixel" count is the
+            # packed byte count — row_bytes // bpp covers both
+            sub = _unfilter_png(
+                raw[off:off + size], row_bytes(pw) // bpp, ph, bpp
+            )
             off += size
             px[y0::dy, x0::dx, :] = to_samples(sub, pw, ph)
     else:
-        px = to_samples(_unfilter_png(raw, w, h, bpp), w, h)
+        px = to_samples(
+            _unfilter_png(raw, row_bytes(w) // bpp, h, bpp), w, h
+        )
+    if depth < 8 and color == 0:
+        # scale the 1/2/4-bit gray ladder to full range
+        px = (px.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
     if color == 0:
         rgb = np.repeat(px, 3, axis=2)
     elif color == 2:
