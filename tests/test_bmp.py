@@ -229,12 +229,7 @@ def test_bmp_meta_matches_full_decode():
 def test_bmp_unsupported_vs_malformed():
     rgb = _rng(9).integers(0, 256, (2, 2, 3), dtype=np.uint8)
     p = bytearray(_bmp24(rgb))
-    # 4-bit depth: valid BMP, unsupported subset
-    four = bytearray(p)
-    struct.pack_into("<H", four, 28, 4)
-    with pytest.raises(UnsupportedBmpError):
-        _parse_bmp(bytes(four))
-    # RLE4: same
+    # RLE4: valid BMP, unsupported subset
     rle4 = bytearray(p)
     struct.pack_into("<H", rle4, 28, 8)
     struct.pack_into("<I", rle4, 30, 2)
@@ -300,3 +295,81 @@ def test_bmp_dispatch_and_cross_format_hash():
     h_, w_ = rgb.shape[:2]
     ppm = b"P6 %d %d 255\n" % (w_, h_) + rgb.tobytes()
     assert M.phash_real(p_bmp) == M.phash_real(ppm)
+
+
+def test_bmp_sub_byte_palette_depths():
+    """r15 late: 1/2/4-bit palette BMPs decode (MSB-first bit groups,
+    4-byte row alignment) — the classic icon/clipart depths."""
+    for bpp in (1, 2, 4):
+        n = 1 << bpp
+        pal = _rng(20 + bpp).integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = _rng(30 + bpp).integers(0, n, (5, 11), dtype=np.uint8)
+        h, w = idx.shape
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            bits = np.zeros(stride * 8, np.uint8)
+            for x in range(w):
+                for i in range(bpp):
+                    bits[x * bpp + i] = (idx[y, x] >> (bpp - 1 - i)) & 1
+            rows.append(np.packbits(bits).tobytes())
+        pix = b"".join(rows)
+        pal4 = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+        off = 14 + 40 + len(pal4)
+        payload = (
+            b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0,
+                          len(pix), 0, 0, n, 0)
+            + pal4 + pix
+        )
+        got = _parse_bmp(payload)[2]
+        assert (got == pal[idx]).all(), bpp
+
+
+def test_ico_real_file_and_best_entry():
+    """The real idle.ico CPython ships: 7 entries (4/8/32-bit); the
+    decoder must pick the 48x48 32-bit one and decode real pixels,
+    and the 4-bit entries must decode too via the sub-byte path."""
+    import glob as _glob
+
+    from tower_parse_spark.operators.bmp import (
+        _parse_ico,
+        decode_ico_meta,
+    )
+
+    files = sorted(_glob.glob(
+        "/root/.pyenv/versions/*/lib/*/idlelib/Icons/idle.ico"))
+    if not files:
+        pytest.skip("container image data files not present")
+    payload = open(files[0], "rb").read()
+    meta = decode_ico_meta(payload)
+    assert (meta["width"], meta["height"], meta["format"]) == (
+        48, 48, "ico")
+    w, h, rgb = _parse_ico(payload)
+    assert (w, h) == (48, 48) and rgb.std() > 30
+    # malformed directory
+    with pytest.raises(ValueError, match="ICO"):
+        _parse_ico(b"\x00\x00\x03\x00\x01\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_ico(payload[:20])
+
+
+def test_ico_dispatch():
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed — hermetic fallback never runs")
+    except ImportError:
+        pass
+    import glob as _glob
+
+    from tower_parse_spark.operators import multimodal as MM
+
+    files = sorted(_glob.glob(
+        "/root/.pyenv/versions/*/lib/*/idlelib/Icons/idle.ico"))
+    if not files:
+        pytest.skip("container image data files not present")
+    payload = open(files[0], "rb").read()
+    meta = MM.decode_real(payload)
+    assert meta["format"] == "ico" and meta["width"] == 48
+    assert isinstance(MM.phash_real(payload), int)

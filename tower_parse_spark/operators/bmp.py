@@ -6,14 +6,18 @@ Part of the multimodal real-decode family (PPM r13, PNG r14, JPEG
 r14-r15): ``decode_real`` / ``phash_real`` route ``BM``-sniffed
 payloads here when Pillow is absent, so the uncompressed workhorse
 format never needs the optional dependency. Scope: bottom-up and
-top-down rows; 8-bit palette, 24-bit BGR, and 16/32-bit masked pixels
+top-down rows; 1/2/4/8-bit palette (MSB-first bit groups at sub-byte
+depths, 4-byte row alignment), 24-bit BGR, and 16/32-bit masked
+pixels
 (``BI_RGB`` defaults — 555 / BGRX — or explicit ``BI_BITFIELDS``
 masks, each contiguous mask rescaled to 8 bits); 8-bit ``BI_RLE8``
 run-length compression (absolute and encoded runs, end-of-line/bitmap
 and delta escapes, the delta gap reading as the palette's index-0
 color exactly as Windows renders it); 40-byte INFO and larger V4/V5
-headers plus the 12-byte OS/2 CORE header. Valid-but-unsupported
-variants (1/2/4-bit depths, ``BI_RLE4``/``BI_JPEG``/``BI_PNG``
+headers plus the 12-byte OS/2 CORE header; and Windows ICO/CUR
+containers (:func:`_parse_ico` — best directory entry, doubled-height
+DIBs, PNG-compressed Vista entries). Valid-but-unsupported
+variants (``BI_RLE4``/``BI_JPEG``/``BI_PNG``
 compressions) raise :class:`UnsupportedBmpError` so the dispatch can
 name Pillow as the remedy — the same error-class contract as the PNG
 and JPEG paths;
@@ -34,8 +38,8 @@ import struct
 
 class UnsupportedBmpError(ValueError):
     """A VALID BMP using features outside the supported subset
-    (sub-8-bit or 16-bit depths, bitfield/RLE4/embedded-codec
-    compression). Distinct from plain ValueError (malformed payload)
+    (RLE4/embedded-codec compressions). Distinct from plain
+    ValueError (malformed payload)
     so the Pillow-gated dispatch can name the optional dependency."""
 
 
@@ -122,9 +126,7 @@ def _parse_bmp(payload: bytes):
         raise ValueError("bad BMP dimensions")
     if w * h > 64_000_000:
         raise ValueError("BMP dimensions exceed the 64MP decode cap")
-    if bpp in (1, 2, 4):
-        raise UnsupportedBmpError(f"{bpp}-bit BMP")
-    if bpp not in (8, 16, 24, 32):
+    if bpp not in (1, 2, 4, 8, 16, 24, 32):
         raise ValueError(f"bad BMP bit depth {bpp}")
     if compression == _BI_RLE4:
         raise UnsupportedBmpError("BI_RLE4")
@@ -151,8 +153,8 @@ def _parse_bmp(payload: bytes):
     elif bpp == 32:
         masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
 
-    if bpp == 8:
-        n_pal = n_colors or 256
+    if bpp <= 8:
+        n_pal = n_colors or (1 << bpp)
         if n_pal > 256 or pal_off + pal_entry * n_pal > len(payload):
             raise ValueError("truncated BMP palette")
         pal_raw = np.frombuffer(
@@ -161,13 +163,28 @@ def _parse_bmp(payload: bytes):
         palette = pal_raw[:, 2::-1]  # BGR(X) quads -> RGB
         if compression == _BI_RLE8:
             idx = _decode_rle8(payload[pix_off:], w, h)[::-1]
-        else:
+        elif bpp == 8:
             stride = (w + 3) & ~3
             if pix_off + stride * h > len(payload):
                 raise ValueError("truncated BMP pixel data")
             idx = np.frombuffer(
                 payload, dtype=np.uint8, count=stride * h, offset=pix_off
             ).reshape(h, stride)[:, :w]
+            if not top_down:
+                idx = idx[::-1]
+        else:  # 1/2/4-bit: MSB-first bit groups, 4-byte row alignment
+            stride = ((w * bpp + 31) // 32) * 4
+            if pix_off + stride * h > len(payload):
+                raise ValueError("truncated BMP pixel data")
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h,
+                offset=pix_off
+            ).reshape(h, stride)
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            grouped = bits.reshape(h, w, bpp)
+            idx = np.zeros((h, w), dtype=np.uint8)
+            for i in range(bpp):
+                idx |= grouped[:, :, i] << (bpp - 1 - i)
             if not top_down:
                 idx = idx[::-1]
         if int(idx.max(initial=0)) >= n_pal:
@@ -228,3 +245,83 @@ def decode_bmp_meta(payload: bytes) -> dict:
         raise ValueError("bad BMP dimensions")
     return {"n_bytes": len(payload), "width": w, "height": h,
             "format": "bmp"}
+
+
+def _parse_ico(payload: bytes):
+    """Windows ICO/CUR decode (the ICONDIR layout Microsoft documents):
+    walk the icon directory, pick the BEST image (largest area, then
+    deepest bpp — what shell thumbnailers render), and decode it.
+    Classic entries are headerless DIBs whose BITMAPINFOHEADER height
+    is DOUBLED (XOR bitmap + AND transparency mask; the mask is
+    ignored — the family renders base colors, the GIF-transparency
+    stance); Vista-era entries are whole PNG streams and route to the
+    PNG decoder. Returns ``(width, height, HxWx3 uint8 RGB)``."""
+    import struct as _struct
+
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    res, typ, count = _struct.unpack_from("<HHH", payload, 0)
+    if res != 0 or typ not in (1, 2) or count == 0:
+        raise ValueError("not an ICO payload")
+    best = None
+    for i in range(count):
+        base = 6 + i * 16
+        if base + 16 > len(payload):
+            raise ValueError("truncated ICO directory")
+        w8, h8, _colors, _r, _planes, bpp, size, off = \
+            _struct.unpack_from("<BBBBHHII", payload, base)
+        w = w8 or 256
+        h = h8 or 256
+        if off + size > len(payload):
+            raise ValueError("truncated ICO image data")
+        key = (w * h, bpp)
+        if best is None or key > best[0]:
+            best = (key, off, size)
+    _key, off, size = best
+    body = payload[off : off + size]
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        from tower_parse_spark.operators.multimodal import _parse_png
+
+        return _parse_png(body)
+    if len(body) < 40:
+        raise ValueError("truncated ICO DIB header")
+    (hdr_size,) = _struct.unpack_from("<I", body, 0)
+    if hdr_size != 40:
+        raise ValueError(f"unexpected ICO DIB header size {hdr_size}")
+    # synthesize a BMP file around the DIB, halving the doubled height
+    # (the AND mask rows after the XOR bitmap are simply not read:
+    # _parse_bmp stops at the halved raster)
+    (h2,) = _struct.unpack_from("<i", body, 8)
+    fixed = bytearray(body)
+    _struct.pack_into("<i", fixed, 8, h2 // 2)
+    (bpp,) = _struct.unpack_from("<H", body, 14)
+    (n_colors,) = _struct.unpack_from("<I", body, 32)
+    pal_entries = (n_colors or (1 << bpp)) if bpp <= 8 else 0
+    pix_off = 14 + 40 + 4 * pal_entries
+    shell = (b"BM" + _struct.pack("<IHHI", 14 + len(fixed), 0, 0,
+                                  pix_off) + bytes(fixed))
+    return _parse_bmp(shell)
+
+
+def decode_ico_meta(payload: bytes) -> dict:
+    """Directory-only metadata: the best entry's dimensions."""
+    import struct as _struct
+
+    if len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    res, typ, count = _struct.unpack_from("<HHH", payload, 0)
+    if res != 0 or typ not in (1, 2) or count == 0:
+        raise ValueError("not an ICO payload")
+    best = (0, 0, 0, 0)
+    for i in range(count):
+        base = 6 + i * 16
+        if base + 16 > len(payload):
+            raise ValueError("truncated ICO directory")
+        w8, h8 = payload[base], payload[base + 1]
+        (bpp,) = _struct.unpack_from("<H", payload, base + 6)
+        w = w8 or 256
+        h = h8 or 256
+        if (w * h, bpp) > (best[0] * best[1], best[2]):
+            best = (w, h, bpp, i)
+    return {"n_bytes": len(payload), "width": best[0],
+            "height": best[1], "format": "ico"}

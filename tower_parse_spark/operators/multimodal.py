@@ -389,6 +389,9 @@ def _hermetic_formats():
         "xbm": (rasters.decode_xbm_meta,
                 lambda p: rasters._parse_xbm(p)[2],
                 "X11 XBM", rasters.UnsupportedRasterError),
+        "ico": (bmp.decode_ico_meta, lambda p: bmp._parse_ico(p)[2],
+                "Windows ICO/CUR (best entry)",
+                bmp.UnsupportedBmpError),
     }
 
 
@@ -415,6 +418,9 @@ def _sniff_format(payload: bytes):
         return "sgi"
     if payload.lstrip()[:7] == b"#define":
         return "xbm"
+    if (payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00")
+            and len(payload) >= 6 and payload[4:6] != b"\x00\x00"):
+        return "ico"
     return None
 
 
