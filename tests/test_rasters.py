@@ -193,10 +193,19 @@ def test_sgi_verbatim_and_rle():
     assert (got[:, :, 2] == gray).all()
     rgba = planes + [np.full((6, 9), 7, np.uint8)]
     assert (_parse_sgi(_sgi(rgba, rle=True))[2] == rgb).all()
-    bpc2 = bytearray(_sgi(planes))
-    bpc2[3] = 2
+    # 16-bit VERBATIM decodes (high byte); 16-bit RLE stays gated
+    wide = b"".join(
+        (planes[c][::-1].astype(np.uint16) * 257).astype(">u2")
+        .tobytes() for c in range(3)
+    )
+    head = bytearray(_sgi(planes)[:512])
+    head[3] = 2  # bpc
+    got16 = _parse_sgi(bytes(head) + wide)[2]
+    assert (got16 == rgb).all()
+    bpc2_rle = bytearray(_sgi(planes, rle=True))
+    bpc2_rle[3] = 2
     with pytest.raises(UnsupportedRasterError):
-        _parse_sgi(bytes(bpc2))
+        _parse_sgi(bytes(bpc2_rle))
 
 
 def test_xbm_roundtrip():

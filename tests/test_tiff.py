@@ -410,12 +410,121 @@ def test_dispatch_and_cross_format_hash():
                     "format": "tiff"}
     ppm = b"P6 72 32 255\n" + rgb.tobytes()
     assert M.phash_real(payload) == M.phash_real(ppm)
-    # tiled TIFF: Unsupported -> NotImplementedError naming pillow on
+    # CCITT TIFF: Unsupported -> NotImplementedError naming pillow on
     # the PIXEL path (the metadata path is header-only by contract and
     # still reports dimensions, like a VP8X canvas)
-    tiled = bytearray(_tiff(rgb))
-    i = tiled.find(struct.pack("<HHI", 278, 3, 1))
-    struct.pack_into("<H", tiled, i, 322)  # RowsPerStrip -> TileWidth
+    ccitt = bytearray(_tiff(rgb))
+    i = ccitt.find(struct.pack("<HHI", 259, 3, 1))
+    struct.pack_into("<H", ccitt, i + 8, 4)
     with pytest.raises(NotImplementedError, match="pillow"):
-        M.phash_real(bytes(tiled))
-    assert M.decode_real(bytes(tiled))["width"] == 72
+        M.phash_real(bytes(ccitt))
+    assert M.decode_real(bytes(ccitt))["width"] == 72
+
+def _tiff_tiled(rgb, tw=16, tl=16, compression=1, predictor=1,
+                bo="<"):
+    """Independent tiled-layout encoder: fixed 16-multiple tiles in
+    row-major order, edge tiles zero-padded; per-tile compression and
+    per-tile predictor differencing."""
+    h, w, spp = rgb.shape
+    across = -(-w // tw)
+    down = -(-h // tl)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            tile = np.zeros((tl, tw, spp), np.uint8)
+            src = rgb[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+            tile[: src.shape[0], : src.shape[1]] = src
+            if predictor == 2:
+                d = np.diff(tile.astype(np.int32), axis=1,
+                            prepend=tile[:, :1] * 0)
+                d[:, 0] = tile[:, 0]
+                tile = (d % 256).astype(np.uint8)
+            data = tile.tobytes()
+            if compression == 5:
+                data = _lzw_encode_tiff(data)
+            elif compression == 8:
+                import zlib as _z
+
+                data = _z.compress(data)
+            elif compression == 32773:
+                data = _packbits(data)
+            tiles.append(data)
+    fields = [
+        (256, 3, 1, (w,)), (257, 3, 1, (h,)),
+        (258, 3, spp, tuple([8] * spp)),
+        (259, 3, 1, (compression,)), (262, 3, 1, (2,)),
+        (277, 3, 1, (spp,)), (284, 3, 1, (1,)),
+        (322, 3, 1, (tw,)), (323, 3, 1, (tl,)),
+        (325, 4, len(tiles), tuple(len(t) for t in tiles)),
+    ]
+    if predictor != 1:
+        fields.append((317, 3, 1, (predictor,)))
+    n_fields = len(fields) + 1  # + TileOffsets
+    ifd_size = 2 + 12 * n_fields + 4
+    pos = 8 + ifd_size
+    extras = bytearray()
+    encoded = []
+    for tag, typ, count, vals in fields:
+        size = {3: 2, 4: 4}[typ] * count
+        blob = struct.pack(bo + {3: "H", 4: "I"}[typ] * count, *vals)
+        if size <= 4:
+            encoded.append((tag, typ, count, blob.ljust(4, b"\x00")))
+        else:
+            encoded.append((tag, typ, count,
+                            struct.pack(bo + "I", pos + len(extras))))
+            extras += blob
+    off_tab_pos = pos + len(extras)
+    data_start = off_tab_pos + (4 * len(tiles) if len(tiles) > 1
+                                else 0)
+    offs = []
+    cur = data_start
+    for t in tiles:
+        offs.append(cur)
+        cur += len(t)
+    if len(tiles) == 1:
+        encoded.append((324, 4, 1, struct.pack(bo + "I", offs[0])))
+    else:
+        encoded.append((324, 4, len(tiles),
+                        struct.pack(bo + "I", off_tab_pos)))
+        extras += struct.pack(bo + "I" * len(tiles), *offs)
+    encoded.sort(key=lambda e: e[0])
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(bo + "HI",
+                                                         42, 8)
+    out += struct.pack(bo + "H", n_fields)
+    for tag, typ, count, blob in encoded:
+        out += struct.pack(bo + "HHI", tag, typ, count) + blob
+    out += struct.pack(bo + "I", 0)
+    out += extras
+    for t in tiles:
+        out += t
+    return bytes(out)
+
+
+@pytest.mark.parametrize("compression", [1, 5, 8, 32773])
+def test_tiled_roundtrip(compression):
+    """r15 late: tiled TIFFs decode — multi-tile grids with padded
+    edge tiles, every compression, both byte orders."""
+    rgb = _rng(20).integers(0, 256, (37, 41, 3), dtype=np.uint8)
+    payload = _tiff_tiled(rgb, compression=compression)
+    w, h, got = _parse_tiff(payload)
+    assert (w, h) == (41, 37) and (got == rgb).all()
+    big_tiles = _tiff_tiled(rgb, tw=32, tl=48, bo=">",
+                            compression=compression)
+    assert (_parse_tiff(big_tiles)[2] == rgb).all()
+
+
+def test_tiled_predictor_resets_per_tile():
+    """The horizontal differencing resets at each TILE's left edge —
+    a decoder cumsum-ing across the assembled raster would corrupt
+    every tile after the first column."""
+    rgb = _rng(21).integers(0, 256, (20, 40, 3), dtype=np.uint8)
+    payload = _tiff_tiled(rgb, tw=16, tl=16, compression=5,
+                          predictor=2)
+    assert (_parse_tiff(payload)[2] == rgb).all()
+    bad_tile_size = _tiff_tiled(rgb, tw=16, tl=16)
+    i = bad_tile_size.find(struct.pack("<HHI", 322, 3, 1))
+    patched = bytearray(bad_tile_size)
+    struct.pack_into("<H", patched, i + 8, 10)  # not a 16-multiple
+    with pytest.raises(ValueError, match="multiple of 16"):
+        _parse_tiff(bytes(patched))

@@ -22,10 +22,11 @@ Scope:
   RT_FORMAT_RGB, and RT_BYTE_ENCODED (the 0x80-escape RLE); depths
   1 (bitmap), 8 (gray or colormapped via RMT_EQUAL_RGB), 24 and 32
   (with the pad/alpha byte leading); rows padded to 16 bits.
-- SGI image (magic 0x01DA): VERBATIM and RLE storage at bpc=1,
+- SGI image (magic 0x01DA): VERBATIM and RLE storage at bpc=1 plus
+  16-bit VERBATIM (bpc=2, high-byte rescale — r15 late),
   dimension 1/2/3 with 1/3/4 channels (luminance replicated, alpha
   dropped), bottom-up rows, per-(row, channel) RLE offset tables.
-  bpc=2 raises the Unsupported class.
+  bpc=2 RLE (16-bit count/value words) raises the Unsupported class.
 - XBM: the C-source text format (#define width/height + hex byte
   array), bits LSB-first, 1 = foreground = black.
 
@@ -306,22 +307,30 @@ def _parse_sgi(payload: bytes):
     _dim, w, h, channels = struct.unpack_from(">HHHH", payload, 4)
     if storage not in (0, 1):
         raise ValueError(f"bad SGI storage {storage}")
-    if bpc == 2:
-        raise UnsupportedRasterError("bpc=2 SGI image")
-    if bpc != 1:
+    if bpc not in (1, 2):
         raise ValueError(f"bad SGI bytes-per-channel {bpc}")
+    if bpc == 2 and storage == 1:
+        # 16-bit RLE runs use 16-bit count/value words — rare enough
+        # to stay gated (16-bit VERBATIM decodes below)
+        raise UnsupportedRasterError("bpc=2 RLE SGI image")
     if w <= 0 or h <= 0 or channels not in (1, 3, 4):
         raise ValueError("bad SGI geometry")
     if w * h > 64_000_000:
         raise ValueError("SGI dimensions exceed the 64MP decode cap")
     chans = np.empty((channels, h, w), dtype=np.uint8)
     if storage == 0:  # VERBATIM: channel planes, rows bottom-up
-        need = 512 + w * h * channels
+        need = 512 + w * h * channels * bpc
         if len(payload) < need:
             raise ValueError("truncated SGI verbatim data")
-        planes = np.frombuffer(
-            payload, np.uint8, w * h * channels, 512
-        ).reshape(channels, h, w)
+        if bpc == 2:  # 16-bit big-endian samples -> high byte
+            wide = np.frombuffer(
+                payload, ">u2", w * h * channels, 512
+            ).reshape(channels, h, w)
+            planes = (wide >> 8).astype(np.uint8)
+        else:
+            planes = np.frombuffer(
+                payload, np.uint8, w * h * channels, 512
+            ).reshape(channels, h, w)
         chans = planes[:, ::-1]  # bottom-up -> top-down
     else:  # RLE: per-(row, channel) offset/length tables
         tab = h * channels

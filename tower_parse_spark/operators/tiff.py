@@ -6,7 +6,9 @@ r14-r15, GIF/BMP/WebP/WAV r15): ``decode_real`` / ``phash_real``
 route ``II*\\0`` / ``MM\\0*``-sniffed payloads here when Pillow is
 absent. Scope is baseline TIFF plus the common extensions: both byte
 orders; the first IFD with inline and offset values (BYTE/SHORT/LONG
-fields); strip assembly (any RowsPerStrip); Compression 1 (none),
+fields); strip assembly (any RowsPerStrip) and the TILED layout
+(16-multiple tiles, padded edge tiles, per-tile compression and
+per-tile predictor resets — r15 late); Compression 1 (none),
 32773 (PackBits), 5 (LZW — the TIFF flavor: MSB-first codes,
 early code-width change at 2^w - 1) and 8/32946 (Adobe/old-style
 deflate via stdlib zlib, bomb-bounded), all with the
@@ -14,7 +16,7 @@ horizontal-differencing Predictor 2; PhotometricInterpretation 0/1 (bilevel/gray
 either polarity), 2 (RGB, extra samples such as alpha dropped at the
 RGB boundary) and 3 (palette via ColorMap's 16-bit channels);
 BitsPerSample 1 (bilevel, row-padded), 8, and 16 (scaled to 8).
-Valid-but-unsupported layouts (tiles, planar configuration 2,
+Valid-but-unsupported layouts (planar configuration 2,
 CCITT/JPEG-in-TIFF compression, float samples) raise
 :class:`UnsupportedTiffError` so the dispatch can name Pillow — the
 same error-class contract as every other format here; malformed
@@ -34,8 +36,8 @@ import struct
 
 
 class UnsupportedTiffError(ValueError):
-    """A VALID TIFF using features outside the baseline subset (tiles,
-    planar layout, CCITT/JPEG compression, float samples). Distinct
+    """A VALID TIFF using features outside the baseline subset (planar
+    layout, CCITT/JPEG compression, float samples). Distinct
     from plain ValueError (malformed payload) so the Pillow-gated
     dispatch can name the optional dependency."""
 
@@ -172,8 +174,6 @@ def _parse_tiff(payload: bytes):
         typ, count, raw = tags[tag]
         return _read_values(payload, bo, typ, count, raw)
 
-    if 322 in tags or 323 in tags:
-        raise UnsupportedTiffError("tiled TIFF")
     w = (get(256) or [0])[0]
     h = (get(257) or [0])[0]
     if w <= 0 or h <= 0:
@@ -208,55 +208,106 @@ def _parse_tiff(payload: bytes):
     if photometric == 3 and (spp != 1 or bits == 1):
         raise ValueError("palette TIFF must be single-sample 8/16-bit")
 
-    offsets = get(273)
-    counts = get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip layout")
-    rows_per_strip = (get(278) or [h])[0] or h
-
-    if bits == 1:
-        row_bytes = (w + 7) // 8
-    else:
-        row_bytes = w * spp * (bits // 8)
-
-    raw_rows = bytearray()
-    rows_done = 0
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = payload[off : off + cnt]
-        if len(strip) < cnt:
-            raise ValueError("truncated TIFF strip")
-        n_rows = min(rows_per_strip, h - rows_done)
-        expected = row_bytes * n_rows
+    def decompress(seg, expected):
         if compression == 32773:
-            strip = _unpackbits(strip, expected)
-        elif compression == 5:
-            strip = _lzw_decode_tiff(strip, expected)
-        elif compression in (8, 32946):  # Adobe/old-style deflate
+            return _unpackbits(seg, expected)
+        if compression == 5:
+            return _lzw_decode_tiff(seg, expected)
+        if compression in (8, 32946):  # Adobe/old-style deflate
             import zlib
 
             d = zlib.decompressobj()
             try:
                 # bomb-bounded like the PNG inflate: cap at expected
-                strip = d.decompress(strip, expected)
+                out = d.decompress(seg, expected)
             except zlib.error as exc:
                 raise ValueError(
                     f"corrupt TIFF deflate strip: {exc}"
                 ) from exc
-            if len(strip) < expected:
+            if len(out) < expected:
                 raise ValueError("TIFF deflate strip too short")
-        elif len(strip) < expected:
+            return out
+        if len(seg) < expected:
             raise ValueError("TIFF strip shorter than its rows")
-        raw_rows += strip[:expected]
-        rows_done += n_rows
-    if rows_done < h:
-        raise ValueError("TIFF strips cover fewer rows than the image")
+        return seg[:expected]
+
+    def unit_row_bytes(uw):
+        if bits == 1:
+            return (uw + 7) // 8
+        return uw * spp * (bits // 8)
+
+    if 322 in tags:
+        # tiled layout (TIFF 6.0 section 15): fixed-size tiles in
+        # row-major order, edge tiles padded to full size; each tile
+        # is an independent compression unit — and an independent
+        # PREDICTOR unit (the horizontal differencing resets at the
+        # tile's left edge, so unfiltering happens per tile, never
+        # across the assembled raster)
+        tw = (get(322) or [0])[0]
+        tl = (get(323) or [0])[0]
+        offsets = get(324)
+        counts = get(325)
+        if tw <= 0 or tl <= 0 or not offsets or not counts \
+                or len(offsets) != len(counts):
+            raise ValueError("TIFF missing tile layout")
+        if tw % 16 or tl % 16:
+            raise ValueError(
+                f"TIFF tile size {tw}x{tl} not a multiple of 16"
+            )
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile table shorter than the grid")
+        trb = unit_row_bytes(tw)
+        canvas = bytearray((across * trb) * (down * tl))
+        full_stride = across * trb
+        for ti in range(across * down):
+            off, cnt = offsets[ti], counts[ti]
+            seg = payload[off : off + cnt]
+            if len(seg) < cnt:
+                raise ValueError("truncated TIFF tile")
+            tile = decompress(seg, trb * tl)
+            ty, tx = divmod(ti, across)
+            for r in range(tl):
+                dst = (ty * tl + r) * full_stride + tx * trb
+                canvas[dst : dst + trb] = tile[r * trb : (r + 1) * trb]
+        # sample-level crop happens below; at bits==1 the tile byte
+        # grid only crops cleanly when w is a multiple of 8 per tile —
+        # handle by unpacking at the padded width then cropping
+        raw = bytes(canvas)
+        pad_w = across * tw
+        pad_h = down * tl
+        unit_w, n_rows = tw, tl  # predictor unit geometry
+    else:
+        offsets = get(273)
+        counts = get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        rows_per_strip = (get(278) or [h])[0] or h
+        row_bytes = unit_row_bytes(w)
+        raw_rows = bytearray()
+        rows_done = 0
+        for off, cnt in zip(offsets, counts):
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("truncated TIFF strip")
+            n = min(rows_per_strip, h - rows_done)
+            raw_rows += decompress(strip, row_bytes * n)
+            rows_done += n
+        if rows_done < h:
+            raise ValueError(
+                "TIFF strips cover fewer rows than the image"
+            )
+        raw = bytes(raw_rows)
+        pad_w, pad_h = w, h
+        unit_w = w
 
     if bits == 1:
         rows = np.unpackbits(
-            np.frombuffer(bytes(raw_rows), dtype=np.uint8)
-            .reshape(h, row_bytes),
+            np.frombuffer(raw, dtype=np.uint8)
+            .reshape(pad_h, unit_row_bytes(pad_w)),
             axis=1,
-        )[:, :w]
+        )[:h, :w]
         gray = np.where(rows == 0, 0, 255).astype(np.uint8)
         if photometric == 0:  # white-is-zero
             gray = 255 - gray
@@ -264,7 +315,7 @@ def _parse_tiff(payload: bytes):
         return w, h, np.ascontiguousarray(rgb)
 
     if bits == 16:
-        raw16 = np.frombuffer(bytes(raw_rows),
+        raw16 = np.frombuffer(raw,
                               dtype=bo + "u2").astype(np.uint32)
         if photometric == 3:
             # palette INDEXES must not be intensity-scaled: a 16-bit
@@ -275,16 +326,29 @@ def _parse_tiff(payload: bytes):
         else:
             samples = (raw16 >> 8).astype(np.uint8)
     else:
-        samples = np.frombuffer(bytes(raw_rows), dtype=np.uint8)
-    px = samples.reshape(h, w, spp)
+        samples = np.frombuffer(raw, dtype=np.uint8)
+    px = samples.reshape(pad_h, pad_w, spp)
     if predictor == 2:
         if bits != 8:
             raise UnsupportedTiffError(
                 "predictor 2 with non-8-bit samples"
             )
-        px = np.cumsum(px.astype(np.uint64), axis=1).astype(np.uint8)
+        # the differencing resets at each compression unit's left
+        # edge: full rows for strips, tile columns for tiles — one
+        # reshape covers both (strips: across=1, unit_w=w)
+        across_units = pad_w // unit_w
+        px = (
+            np.cumsum(
+                px.reshape(pad_h, across_units, unit_w, spp)
+                .astype(np.uint64),
+                axis=2,
+            )
+            .astype(np.uint8)
+            .reshape(pad_h, pad_w, spp)
+        )
     elif predictor != 1:
         raise UnsupportedTiffError(f"TIFF predictor {predictor}")
+    px = px[:h, :w]
 
     if photometric == 2:
         if spp < 3:
