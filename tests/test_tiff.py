@@ -528,3 +528,196 @@ def test_tiled_predictor_resets_per_tile():
     struct.pack_into("<H", patched, i + 8, 10)  # not a 16-multiple
     with pytest.raises(ValueError, match="multiple of 16"):
         _parse_tiff(bytes(patched))
+
+
+def test_planar_configuration_strips():
+    """r15 late: PlanarConfiguration 2 — all of channel 0's strips,
+    then channel 1's, ... — decodes by per-plane assembly + sample
+    interleave, at 8 and 16 bits, compressed and not."""
+    rgb = _rng(30).integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    h, w, spp = rgb.shape
+
+    def planar_tiff(bits, compression, rows_per_strip=4):
+        per_ch = -(-h // rows_per_strip)
+        strips = []
+        for c in range(spp):
+            plane = rgb[:, :, c]
+            if bits == 16:
+                plane_b = (plane.astype("<u2") * 257).tobytes()
+                prow = w * 2
+            else:
+                plane_b = plane.tobytes()
+                prow = w
+            for s in range(per_ch):
+                seg = plane_b[s * rows_per_strip * prow :
+                              (s * rows_per_strip
+                               + rows_per_strip) * prow]
+                if compression == 5:
+                    seg = _lzw_encode_tiff(seg)
+                strips.append(seg)
+        fields = [
+            (256, 3, 1, (w,)), (257, 3, 1, (h,)),
+            (258, 3, spp, (bits,) * spp),
+            (259, 3, 1, (compression,)), (262, 3, 1, (2,)),
+            (277, 3, 1, (spp,)), (278, 3, 1, (rows_per_strip,)),
+            (284, 3, 1, (2,)),
+            (279, 4, len(strips), tuple(len(s) for s in strips)),
+        ]
+        n_fields = len(fields) + 1
+        ifd_size = 2 + 12 * n_fields + 4
+        pos = 8 + ifd_size
+        extras = bytearray()
+        encoded = []
+        for tag, typ, count, vals in fields:
+            size = {3: 2, 4: 4}[typ] * count
+            blob = struct.pack("<" + {3: "H", 4: "I"}[typ] * count,
+                               *vals)
+            if size <= 4:
+                encoded.append((tag, typ, count,
+                                blob.ljust(4, b"\x00")))
+            else:
+                encoded.append((tag, typ, count,
+                                struct.pack("<I", pos + len(extras))))
+                extras += blob
+        tab = pos + len(extras)
+        start = tab + 4 * len(strips)
+        offs = []
+        cur = start
+        for s in strips:
+            offs.append(cur)
+            cur += len(s)
+        encoded.append((273, 4, len(strips), struct.pack("<I", tab)))
+        extras += struct.pack("<" + "I" * len(strips), *offs)
+        encoded.sort(key=lambda e: e[0])
+        out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+        out += struct.pack("<H", n_fields)
+        for tag, typ, count, blob in encoded:
+            out += struct.pack("<HHI", tag, typ, count) + blob
+        out += struct.pack("<I", 0)
+        out += extras
+        for s in strips:
+            out += s
+        return bytes(out)
+
+    for bits, comp in ((8, 1), (8, 5), (16, 1)):
+        got = _parse_tiff(planar_tiff(bits, comp))[2]
+        assert (got == rgb).all(), (bits, comp)
+    # planar + sub-byte stays gated
+    one_bit = bytearray(planar_tiff(8, 1))
+    i = one_bit.find(struct.pack("<HHI", 258, 3, 3))
+    # patch the out-of-line bits values is fiddly; patch count=1 inline
+    struct.pack_into("<HHIHH", one_bit, i, 258, 3, 1, 1, 0)
+    with pytest.raises(UnsupportedTiffError):
+        _parse_tiff(bytes(one_bit))
+
+
+def test_jpeg_in_tiff_strips_and_jpegtables():
+    """r15 late: new-style (compression 7) JPEG-in-TIFF — per-strip
+    JPEG streams decoded through the hermetic T.81 decoder, with and
+    without the JPEGTables (347) abbreviated-stream splice."""
+    from test_jpeg import _jpeg
+
+    rng = _rng(40)
+    # smooth content so the lossy round-trip stays tight
+    base = np.linspace(40, 210, 32 * 24).reshape(24, 32)
+    rgb = np.stack([base, base + 12, base + 25], axis=2)
+    rgb = np.clip(rgb + rng.normal(0, 1.5, rgb.shape), 0,
+                  255).astype(np.uint8)
+    h, w, _ = rgb.shape
+    rows_per_strip = 8
+    strips = [
+        _jpeg(rgb[s : s + rows_per_strip])
+        for s in range(0, h, rows_per_strip)
+    ]
+
+    def walk_segments(stream):
+        """Split a JPEG stream into (marker, full-segment-bytes)."""
+        segs = []
+        pos = 2
+        while pos < len(stream):
+            assert stream[pos] == 0xFF
+            m = stream[pos + 1]
+            if m == 0xD9:
+                break
+            (ln,) = struct.unpack_from(">H", stream, pos + 2)
+            segs.append((m, stream[pos : pos + 2 + ln]))
+            if m == 0xDA:  # SOS: rest is entropy data
+                segs[-1] = (m, stream[pos:-2])
+                break
+            pos += 2 + ln
+        return segs
+
+    def build(fields_strips, tables=None):
+        fields = [
+            (256, 3, 1, (w,)), (257, 3, 1, (h,)),
+            (258, 3, 3, (8, 8, 8)), (259, 3, 1, (7,)),
+            (262, 3, 1, (6,)), (277, 3, 1, (3,)),
+            (278, 3, 1, (rows_per_strip,)),
+            (279, 4, len(fields_strips),
+             tuple(len(s) for s in fields_strips)),
+        ]
+        if tables is not None:
+            fields.append((347, 7, len(tables), tuple(tables)))
+        n_fields = len(fields) + 1
+        ifd_size = 2 + 12 * n_fields + 4
+        pos = 8 + ifd_size
+        extras = bytearray()
+        encoded = []
+        for tag, typ, count, vals in fields:
+            unit = {3: 2, 4: 4, 7: 1}[typ]
+            if typ == 7:
+                blob = bytes(vals)
+            else:
+                blob = struct.pack("<" + {3: "H", 4: "I"}[typ] * count,
+                                   *vals)
+            if unit * count <= 4:
+                encoded.append((tag, typ, count,
+                                blob.ljust(4, b"\x00")))
+            else:
+                encoded.append((tag, typ, count,
+                                struct.pack("<I", pos + len(extras))))
+                extras += blob
+        tab = pos + len(extras)
+        start = tab + 4 * len(fields_strips)
+        offs = []
+        cur = start
+        for s in fields_strips:
+            offs.append(cur)
+            cur += len(s)
+        encoded.append((273, 4, len(fields_strips),
+                        struct.pack("<I", tab)))
+        extras += struct.pack("<" + "I" * len(fields_strips), *offs)
+        encoded.sort(key=lambda e: e[0])
+        out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+        out += struct.pack("<H", n_fields)
+        for tag, typ, count, blob in encoded:
+            out += struct.pack("<HHI", tag, typ, count) + blob
+        out += struct.pack("<I", 0)
+        out += extras
+        for s in fields_strips:
+            out += s
+        return bytes(out)
+
+    # full streams per strip
+    got = _parse_tiff(build(strips))[2]
+    assert got.shape == rgb.shape
+    assert float(np.abs(got.astype(int) - rgb.astype(int)).mean()) < 6
+    # abbreviated streams + JPEGTables: move DQT/DHT into the tables
+    tables_segs = []
+    lean_strips = []
+    for si, s in enumerate(strips):
+        segs = walk_segments(s)
+        if si == 0:
+            tables_segs = [b for m, b in segs if m in (0xDB, 0xC4)]
+        lean = b"\xff\xd8" + b"".join(
+            b for m, b in segs if m not in (0xDB, 0xC4)
+        ) + b"\xff\xd9"
+        lean_strips.append(lean)
+    tables = b"\xff\xd8" + b"".join(tables_segs) + b"\xff\xd9"
+    got2 = _parse_tiff(build(lean_strips, tables=tables))[2]
+    assert (got2 == got).all()  # the splice reconstructs byte-equal
+    # missing SOI in a strip is malformed
+    broken = list(lean_strips)
+    broken[0] = broken[0][2:]
+    with pytest.raises(ValueError, match="SOI"):
+        _parse_tiff(build(broken, tables=tables))

@@ -16,8 +16,12 @@ horizontal-differencing Predictor 2; PhotometricInterpretation 0/1 (bilevel/gray
 either polarity), 2 (RGB, extra samples such as alpha dropped at the
 RGB boundary) and 3 (palette via ColorMap's 16-bit channels);
 BitsPerSample 1 (bilevel, row-padded), 8, and 16 (scaled to 8).
-Valid-but-unsupported layouts (planar configuration 2,
-CCITT/JPEG-in-TIFF compression, float samples) raise
+Planar configuration 2 decodes for 8/16-bit strips (per-plane
+assembly + sample interleave) and new-style JPEG-in-TIFF
+(Compression 7, TTN2) decodes each strip through the hermetic T.81
+decoder with the JPEGTables abbreviated-stream splice.
+Valid-but-unsupported layouts (planar tiles/sub-byte, old-style
+type-6 JPEG, CCITT compression, float samples) raise
 :class:`UnsupportedTiffError` so the dispatch can name Pillow — the
 same error-class contract as every other format here; malformed
 payloads raise plain ValueError.
@@ -186,14 +190,63 @@ def _parse_tiff(payload: bytes):
     bits_list = get(258) or [1]
     planar = (get(284) or [1])[0]
     predictor = (get(317) or [1])[0]
-    if planar == 2:
-        raise UnsupportedTiffError("planar configuration 2")
+    if planar == 2 and (322 in tags or (get(258) or [1])[0] < 8):
+        raise UnsupportedTiffError(
+            "planar configuration 2 with tiles/sub-byte samples"
+        )
     if compression in (2, 3, 4):
         raise UnsupportedTiffError("CCITT-compressed TIFF")
-    if compression in (6, 7):
-        raise UnsupportedTiffError("JPEG-in-TIFF")
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression == 6:
+        raise UnsupportedTiffError("old-style (type 6) JPEG-in-TIFF")
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise ValueError(f"unknown TIFF compression {compression}")
+
+    if compression == 7:
+        # new-style JPEG-in-TIFF (TTN2): each strip is a JPEG stream;
+        # a JPEGTables tag (347) holds an abbreviated tables-only
+        # stream whose segments splice in after each strip's SOI.
+        # Decodes through the hermetic T.81 decoder; photometric is
+        # typically 6 (YCbCr) which the JPEG decode already resolves
+        # to RGB, so the chunky photometric mapping below is bypassed.
+        if 322 in tags:
+            raise UnsupportedTiffError("tiled JPEG-in-TIFF")
+        if planar == 2:
+            raise UnsupportedTiffError("planar JPEG-in-TIFF")
+        from tower_parse_spark.operators.jpeg import _parse_jpeg
+
+        offsets = get(273)
+        counts = get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        rows_per_strip = (get(278) or [h])[0] or h
+        tv = get(347)
+        tables = bytes(tv) if tv else b""
+        if tables and (tables[:2] != b"\xff\xd8"
+                       or tables[-2:] != b"\xff\xd9"):
+            raise ValueError("bad TIFF JPEGTables stream")
+        parts = []
+        rows_done = 0
+        for off, cnt in zip(offsets, counts):
+            seg = payload[off : off + cnt]
+            if len(seg) < cnt:
+                raise ValueError("truncated TIFF strip")
+            if seg[:2] != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            if tables:
+                seg = seg[:2] + tables[2:-2] + seg[2:]
+            jw, jh, jrgb = _parse_jpeg(seg)
+            n = min(rows_per_strip, h - rows_done)
+            if jw < w or jh < n:
+                raise ValueError("TIFF JPEG strip smaller than rows")
+            parts.append(jrgb[:n, :w])
+            rows_done += n
+        if rows_done < h:
+            raise ValueError(
+                "TIFF strips cover fewer rows than the image"
+            )
+        return w, h, np.ascontiguousarray(
+            np.concatenate(parts, axis=0)
+        )
     if (get(339) or [1])[0] == 3:
         raise UnsupportedTiffError("float-sample TIFF")
     if len(set(bits_list)) != 1:
@@ -278,6 +331,41 @@ def _parse_tiff(payload: bytes):
         pad_w = across * tw
         pad_h = down * tl
         unit_w, n_rows = tw, tl  # predictor unit geometry
+    elif planar == 2:
+        # planar strips: all of channel 0's strips, then channel 1's,
+        # ... — decode each PLANE like a single-sample image, then
+        # interleave at the sample level so the downstream chunky
+        # logic (incl. the per-lane predictor cumsum, which equals the
+        # per-plane horizontal differencing) applies unchanged
+        offsets = get(273)
+        counts = get(279)
+        rows_per_strip = (get(278) or [h])[0] or h
+        per_ch = -(-h // rows_per_strip)
+        if not offsets or not counts \
+                or len(offsets) != len(counts) \
+                or len(offsets) != per_ch * spp:
+            raise ValueError("TIFF missing planar strip layout")
+        sampb = bits // 8
+        plane_row = w * sampb
+        planes = []
+        for c in range(spp):
+            buf = bytearray()
+            rows_done = 0
+            for s in range(per_ch):
+                i = c * per_ch + s
+                seg = payload[offsets[i] : offsets[i] + counts[i]]
+                if len(seg) < counts[i]:
+                    raise ValueError("truncated TIFF strip")
+                n = min(rows_per_strip, h - rows_done)
+                buf += decompress(seg, plane_row * n)
+                rows_done += n
+            planes.append(
+                np.frombuffer(bytes(buf), dtype=np.uint8)
+                .reshape(h, w, sampb)
+            )
+        raw = np.stack(planes, axis=2).tobytes()  # (h, w, spp, sampb)
+        pad_w, pad_h = w, h
+        unit_w = w
     else:
         offsets = get(273)
         counts = get(279)
