@@ -180,14 +180,24 @@ def flag_contaminated_fuzzy(
             ),
             "band_key",
         )
-        .select("cid", "bid", "mh1", "mh2")
+        # est scored + thresholded BEFORE the (cid, bid) dedup (r16,
+        # guide §2.3, same commutation as the incremental probe in
+        # operators/dedup.py: est is functional on the pair, so every
+        # band-duplicate scores identically and the kept set is
+        # unchanged). The dedup — the probe's ONE corpus-sized shuffle —
+        # then carries (cid, bid, est double) for sub-threshold pairs
+        # only, instead of two K-long signature arrays for every
+        # band-collision candidate.
+        .select(
+            "cid",
+            "bid",
+            est_jaccard(F.col("mh1"), F.col("mh2")).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
         .dropDuplicates(["cid", "bid"])
     )
-    est = est_jaccard(F.col("mh1"), F.col("mh2"))
     hits = (
-        cand.withColumn("est", est)
-        .filter(F.col("est") >= threshold)
-        .groupBy("cid")
+        cand.groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_bench_matches"),
             F.max("est").alias("max_est"),
