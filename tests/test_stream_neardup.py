@@ -1137,3 +1137,27 @@ def test_rebit_cli_end_to_end(spark, tmp_path, capsys):
         assert ND.read_part_gate(spark, idx, 3) is not None
     finally:
         B.MAX_GATE_BITS, B.PART_GATE_BITS = orig_cap, orig_bits
+
+
+def test_stream_start_validates_index_family_once(spark, tmp_path):
+    """r16: the per-epoch hash-family guard moved to stream START (the
+    epochs only probe rows this loop wrote itself, so the one-row guard
+    job per epoch was pure driver latency). The foot-gun it guards —
+    restarting a stream over an existing index with a DIFFERENT
+    hash_fn, which would silently never collide — must still raise, and
+    must raise BEFORE any epoch runs."""
+    batches = [[(1, T_A), (2, T_B)]]
+    spool = _spool(tmp_path, batches)
+    idx, ver, ckpt = _paths(tmp_path)
+    _run(spark, spool, idx, ver, ckpt)  # default hash_fn='fast' index
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        ND.stream_minhash_dedup(
+            _stream(spark, spool),
+            idx,
+            ver,
+            str(tmp_path / "ckpt2"),
+            hash_fn="portable",
+        )
+    # nothing of the mismatched restart ran: no second checkpoint dir
+    assert not os.path.exists(str(tmp_path / "ckpt2"))

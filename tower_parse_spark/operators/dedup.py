@@ -327,6 +327,21 @@ def incremental_minhash_dedup(
     return verdicts
 
 
+def validate_index_family(index: DataFrame, hash_fn: str) -> None:
+    """Raise when a banded-signature *index* was built with a different
+    hash family than *hash_fn* — a mismatch silently never collides.
+    One one-row driver job; no-op for indexes without the family column
+    (pre-family layouts validate nothing, as before)."""
+    if "hash_fn" in index.columns:
+        fam_row = index.select("hash_fn").first()
+        if fam_row is not None and fam_row["hash_fn"] != hash_fn:
+            raise ValueError(
+                f"index was built with hash_fn={fam_row['hash_fn']!r} but "
+                f"the probe uses {hash_fn!r} — band keys would never "
+                "collide; pass the index's family"
+            )
+
+
 def incremental_minhash_dedup_with_banded(
     new_df: DataFrame,
     index: DataFrame,
@@ -336,6 +351,7 @@ def incremental_minhash_dedup_with_banded(
     hash_fn: str = "fast",
     band_gate: "tuple[DataFrame, int, int] | None" = None,
     part_gate: "tuple[DataFrame, int, int] | None" = None,
+    validate_family: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`incremental_minhash_dedup` plus the batch's own banded
     relation as a second return. The banding is the expensive half of
@@ -377,15 +393,17 @@ def incremental_minhash_dedup_with_banded(
     This is the gate's scale form past ``MAX_GATE_BITS``; coverage is
     again the caller's contract (streaming/neardup.py's ``_bloom_part``
     sidecar). When both gates are given, both prune — each alone is
-    verdict-identical, so their composition is too."""
-    if "hash_fn" in index.columns:
-        fam_row = index.select("hash_fn").first()
-        if fam_row is not None and fam_row["hash_fn"] != hash_fn:
-            raise ValueError(
-                f"index was built with hash_fn={fam_row['hash_fn']!r} but "
-                f"the probe uses {hash_fn!r} — band keys would never "
-                "collide; pass the index's family"
-            )
+    verdict-identical, so their composition is too.
+
+    *validate_family* (r16): the hash-family guard is a one-row driver
+    job against the index per call — right for a manual probe of a
+    foreign index, pure latency for a caller that wrote every index row
+    itself with the same family (the streaming loop, once per EPOCH).
+    Such a caller validates once up front (:func:`validate_index_family`
+    at stream start) and passes False here; the guard's semantics are
+    unchanged for every other caller (the default stays True)."""
+    if validate_family:
+        validate_index_family(index, hash_fn)
     # ONE banding of the batch feeds BOTH stages (history probe and
     # in-batch pairs) — the signature relation is localCheckpointed
     # inside banded_signatures, so the expensive shingle/minhash job

@@ -76,6 +76,7 @@ def curate_epoch(
     lm_reject_ce: float = CE_MIDDLE,
     band_gate: bool = True,
     compact_every: int | None = None,
+    validate_family: bool = True,
 ) -> None:
     """One curation epoch (the foreachBatch body): quality-gate the
     batch, optionally perplexity-gate the survivors against *lm*,
@@ -153,6 +154,7 @@ def curate_epoch(
         hash_fn=hash_fn,
         band_gate=band_gate,
         compact_every=compact_every,
+        validate_family=validate_family,
     )
     survivors = (
         spark.read.parquet(f"{verdict_path}/batch={batch_id}")
@@ -183,8 +185,18 @@ def stream_curate(
 ):
     """Start the streaming curation query over *docs_stream* (columns
     *id_col*, *text_col*). The models' relations are localCheckpointed
-    ONCE here so no epoch re-runs the training aggregations. Returns
-    the StreamingQuery (caller stops it)."""
+    ONCE here so no epoch re-runs the training aggregations; the
+    near-dup index's hash family is likewise validated ONCE against any
+    pre-existing rows (the restart-with-a-different-hash_fn case) so
+    the epochs skip the per-epoch one-row guard job (see
+    streaming/neardup.py::stream_minhash_dedup, same r16 rule).
+    Returns the StreamingQuery (caller stops it)."""
+    from tower_parse_spark.operators.dedup import validate_index_family
+    from tower_parse_spark.streaming.neardup import _read_index
+
+    validate_index_family(
+        _read_index(docs_stream.sparkSession, index_path, 1 << 62), hash_fn
+    )
     # Carry n_features through: score_quality buckets tokens with the
     # MODEL's modulus, and a saved/loaded artifact may use any width
     # (the meta sidecar round-trips it). Dropping it here silently
@@ -222,6 +234,7 @@ def stream_curate(
             lm_reject_ce=lm_reject_ce,
             band_gate=band_gate,
             compact_every=compact_every,
+            validate_family=False,
         )
 
     return (

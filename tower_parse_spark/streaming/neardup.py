@@ -446,7 +446,19 @@ def stream_minhash_dedup(
     (default OFF, keeping this query's benched plan). *compact_every*
     (r15, VERDICT r14 #5) turns on the every-K-epochs auto-compaction —
     see :func:`process_epoch`. Returns the StreamingQuery (caller
-    stops it)."""
+    stops it).
+
+    The index's hash family is validated ONCE here, against whatever
+    rows a pre-existing index carries (the restart-with-a-different-
+    hash_fn foot-gun); the epochs then skip the per-epoch one-row guard
+    job — every row they probe beyond this point was written by this
+    loop with this *hash_fn* (see :func:`process_epoch`
+    *validate_family*)."""
+    from tower_parse_spark.operators.dedup import validate_index_family
+
+    validate_index_family(
+        _read_index(docs_stream.sparkSession, index_path, 1 << 62), hash_fn
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         process_epoch(
@@ -460,6 +472,7 @@ def stream_minhash_dedup(
             hash_fn=hash_fn,
             band_gate=band_gate,
             compact_every=compact_every,
+            validate_family=False,
         )
 
     return (
@@ -789,6 +802,7 @@ def process_epoch(
     hash_fn: str = "fast",
     band_gate: bool = False,
     compact_every: int | None = None,
+    validate_family: bool = True,
 ) -> None:
     """One epoch of the streaming near-dup loop (the foreachBatch body):
     probe the pre-*batch_id* index, overwrite this epoch's verdict and
@@ -835,7 +849,15 @@ def process_epoch(
     compaction on replay is idempotent (re-merging a merged partition
     is a no-op rearrangement). The gate's crash rule is inherited from
     compact_part_gate: meta off before the destructive window, so a
-    crash mid-compaction degrades to gate-off, never false negatives."""
+    crash mid-compaction degrades to gate-off, never false negatives.
+
+    *validate_family* (r16): the probe's hash-family guard is a one-row
+    driver job per epoch; :func:`stream_minhash_dedup` validates the
+    pre-existing index ONCE at stream start (covering the restart-with-
+    wrong-family case) and passes False, because every row it probes
+    after that was written by this loop with this epoch's *hash_fn*.
+    Direct callers (replay tests, manual epochs) keep the default True
+    and the guard's per-call semantics."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
     index = _read_index(spark, index_path, batch_id)
@@ -887,6 +909,7 @@ def process_epoch(
         # as a literal; the partitioned relation takes over instead
         band_gate=gate if gate is not None and gate[1] > 0 else None,
         part_gate=part_gate,
+        validate_family=validate_family,
     )
     verdicts = verdicts.localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(
