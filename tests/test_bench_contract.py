@@ -723,3 +723,40 @@ def test_rtd_none_when_discarded_drift_unmeasurable(monkeypatch, capsys):
     assert compact["queries"]["q1_pricing_summary"] == 7.0
     assert compact["rtd"] is None
     assert enriched["retry"]["discarded_drift_pct"] is None
+
+
+def test_suite_noise_witness_fires_above_median_spread_bar(tmp_path):
+    """VERDICT r15 #3: a run whose MEDIAN per-query spread exceeds
+    SUITE_NOISE_PCT is flagged noise-suspect even when its within-run
+    cal drift stays under the machine_unstable bar (the BENCH_r15 blind
+    spot: 36.1% median spread, -10.4% drift, 6 phantom raw flags). The
+    witness is derived from the compact artifact's sp array when the
+    enriched noise_median_pct is absent; a quiet artifact stays
+    unflagged."""
+    def artifact(path, sp, cal=0.8, cal2=0.82):
+        path.write_text(json.dumps({"n": 8, "parsed": {
+            "metric": "headline_queries_total", "value": 60.0,
+            "unit": "sec",
+            "queries": {f"q{i}": 1.0 for i in range(len(sp))},
+            "sp": sp, "sf": 0.1, "cal": cal, "cal2": cal2, "bv": 2,
+        }}))
+
+    old, new = tmp_path / "BENCH_r88.json", tmp_path / "BENCH_r89.json"
+    artifact(old, [5, 8, 10, 12, 6])           # quiet: median 8
+    artifact(new, [40, 31, 35, 28, 45])        # noisy: median 35, no drift
+    out = _regress(old, new)
+    (note,) = out["suite_noise"]
+    assert note["artifact"] == "new"
+    assert note["noise_median_pct"] == 35.0
+    assert "machine_unstable" not in out   # sub-15% drift: the blind spot
+
+    # enriched-field form takes precedence over sp derivation
+    enriched = tmp_path / "BENCH_r90.json"
+    enriched.write_text(json.dumps({"parsed": {
+        "metric": "headline_queries_total", "value": 60.0, "unit": "sec",
+        "queries": {"q0": 1.0}, "sp": [1], "sf": 0.1,
+        "noise_median_pct": 36.1, "cal": 0.9, "cal2": 0.91, "bv": 2,
+    }}))
+    out2 = _regress(old, enriched)
+    (note2,) = out2["suite_noise"]
+    assert note2["noise_median_pct"] == 36.1

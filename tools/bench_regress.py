@@ -56,6 +56,10 @@ import sys
 RATIO_BAR = 1.3
 #: queries faster than this are warmup-noise-dominated; never flagged
 MIN_BASE_SEC = 0.2
+#: suite-noise witness (r16): an artifact whose median per-query spread
+#: exceeds this is flagged noise-suspect even when its cal drift stays
+#: under the machine_unstable bar (the BENCH_r15 blind spot)
+SUITE_NOISE_PCT = 30.0
 
 
 def main() -> int:
@@ -277,6 +281,33 @@ def main() -> int:
             )
     if unstable:
         out["machine_unstable"] = unstable
+    # suite-noise witness (r16, VERDICT r15 #3): a run whose MEDIAN
+    # per-query spread is huge while its start->end cal drift stays
+    # under the machine_unstable bar is exactly the state that marker
+    # cannot see — BENCH_r15 (noise_median_pct 36.1, cal drift -10.4%)
+    # produced 6 phantom raw flags on untouched code this way and the
+    # adjudication had to lean on a standalone idle re-run. Surface the
+    # witness on the comparison itself: per-query flags from such a
+    # pair are noise-suspect by the artifact's own record. Like
+    # machine_unstable, it informs adjudication; it does not dismiss.
+    noisy = []
+    for label, art in (("old", old), ("new", new)):
+        med = art.get("noise_median_pct")
+        if med is None:
+            sp = sorted(art.get("spread_pct", {}).values())
+            if sp:
+                mid = len(sp) // 2
+                med = (
+                    sp[mid]
+                    if len(sp) % 2
+                    else (sp[mid - 1] + sp[mid]) / 2.0
+                )
+        if med is not None and med > SUITE_NOISE_PCT:
+            noisy.append(
+                {"artifact": label, "noise_median_pct": round(float(med), 1)}
+            )
+    if noisy:
+        out["suite_noise"] = noisy
     # drift-retry marker (r14): the artifact is the better-witnessed of
     # two runs; surface what the retry replaced so the adjudication is
     # fully on the record
