@@ -185,7 +185,7 @@ def flag_contaminated_fuzzy(
         # operators/dedup.py: est is functional on the pair, so every
         # band-duplicate scores identically and the kept set is
         # unchanged). The dedup — the probe's ONE corpus-sized shuffle —
-        # then carries (cid, bid, est double) for sub-threshold pairs
+        # then carries (cid, bid, est double) for threshold-passing pairs
         # only, instead of two K-long signature arrays for every
         # band-collision candidate.
         .select(

@@ -440,7 +440,7 @@ def incremental_minhash_dedup_with_banded(
     # every band-duplicate of a pair scores identically and the kept
     # set (and the downstream per-_nid count/max) is unchanged. The
     # dedup exchange then carries (_nid, _hid, est double) for only the
-    # sub-threshold pairs instead of two K-long signature arrays for
+    # threshold-passing pairs instead of two K-long signature arrays for
     # EVERY band-collision candidate; the cost is re-scoring the K-slot
     # fold per band duplicate (<= bands per pair) before the shuffle.
     # A/B at sf0.1: verdicts byte-identical, timing within noise
