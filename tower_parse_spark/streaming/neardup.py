@@ -409,16 +409,35 @@ def _read_gate_n_keys(spark, index_path: str, batch_id: int) -> int | None:
     return int(row["n_keys"]) if row is not None else None
 
 
-def _read_index(spark, index_path: str, before_batch: int) -> DataFrame:
+def _read_index(
+    spark, index_path: str, before_batch: int, schema=None
+) -> DataFrame:
     """The index as of batch *before_batch*: every ``batch=N`` partition
     with N < before_batch (partition-pruned), or an empty relation when
-    nothing has been indexed yet."""
+    nothing has been indexed yet.
+
+    *schema* (r17, guide §5/§6): the streaming epoch loop passes the
+    exact on-disk schema (INCLUDING the ``batch`` partition column),
+    which it knows from its own writes — the reader then skips parquet
+    footer schema inference, a per-epoch driver-side job the old path
+    paid on every probe. Maintenance and validation callers leave it
+    None and keep the inferred read (they accept indexes written with
+    any id column name). Corruption surfaces at scan time in the probe
+    job either way — inference only moved that failure earlier."""
+    reader = spark.read.option("basePath", index_path)
+    if schema is not None:
+        reader = reader.schema(schema)
     try:
-        idx = spark.read.option("basePath", index_path).parquet(index_path)
+        idx = reader.parquet(index_path)
     except AnalysisException:
         # nothing indexed yet (PATH_NOT_FOUND); a CORRUPT index is not
         # swallowed here — scan-time failures surface in the probe job
-        return spark.createDataFrame([], _INDEX_SCHEMA)
+        empty = (
+            StructType([f for f in schema.fields if f.name != "batch"])
+            if schema is not None
+            else _INDEX_SCHEMA
+        )
+        return spark.createDataFrame([], empty)
     return idx.filter(F.col("batch").cast("long") < before_batch).drop(
         "batch"
     )
@@ -860,7 +879,21 @@ def process_epoch(
     and the guard's per-call semantics."""
     spark = batch_df.sparkSession
     batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-    index = _read_index(spark, index_path, batch_id)
+    # the epoch knows the index's exact schema — it is what this loop
+    # writes (band_key, id, mh, hash_fn) + the batch partition column,
+    # with the id's type taken from the live batch (one loop, one
+    # stream, one id type) — so the probe read skips per-epoch footer
+    # schema inference (r17, guide §5/§6)
+    index_schema = StructType(
+        [
+            StructField("band_key", StringType()),
+            StructField(id_col, batch_df.schema[id_col].dataType),
+            StructField("mh", ArrayType(LongType())),
+            StructField("hash_fn", StringType()),
+            StructField("batch", LongType()),
+        ]
+    )
+    index = _read_index(spark, index_path, batch_id, schema=index_schema)
     gate, gate_n_keys, part_gate = None, None, None
     if band_gate:
         # one sidecar read serves both the probe gate and the sizing
@@ -911,6 +944,12 @@ def process_epoch(
         part_gate=part_gate,
         validate_family=validate_family,
     )
+    # NOTE (r17, measured): fusing this localCheckpoint into the verdict
+    # write (write executes the DAG, survivor filter re-reads the
+    # written partition) looked like one fewer materialization but ran
+    # consistently SLOWER at sf0.1 (interleaved medians 7.10 s old vs
+    # 8.04 s fused; bests 5.70 vs 6.59) — the read-back pays listing +
+    # open + scan per epoch against a checkpoint-block read. Kept.
     verdicts = verdicts.localCheckpoint(eager=True)
     verdicts.write.mode("overwrite").parquet(
         f"{verdict_path}/batch={batch_id}"
