@@ -306,23 +306,49 @@ def train_langid_nb(
     text_col: str = "text",
     n_features: int = N_FEATURES,
 ) -> MulticlassNB:
-    """Train the char-n-gram NB langid model: one explode + one
-    (bucket, class) counting aggregate + one-row class totals; every
-    NLL quantized once, model-side. Classes are read from the labeled
-    slice (one tiny distinct) and pinned into the model. The labeled
-    slice goes through ensure_parallelism (same rationale as
-    classify_lang — compute-bound gram hashing over a possibly
-    single-split input)."""
+    """Train the char-n-gram NB langid model: ONE pass over the labeled
+    slice for the class stats + one explode/(bucket, class) counting
+    aggregate for the weights; every NLL quantized once, model-side.
+
+    r17 (guide §2.4/§5, VERDICT r16 #6): the class list and the
+    per-class totals used to take THREE passes over the labeled slice —
+    a distinct+collect for the classes, a two-stage groupBy-then-map
+    aggregation for the totals, and the gram explode — with the totals
+    crossJoin-broadcast back onto every weight row. The class stats are
+    exact small integers (token mass, doc count), so one
+    groupBy+collect job now yields classes AND totals; the NLL
+    expressions take them as plan literals (the arithmetic and ln stay
+    in the SAME JVM expressions as before — the literals replace only
+    the map lookups, so every quantized value is bit-identical) and the
+    one-row consts relation is built from literals instead of a second
+    aggregation. Three exchanges + one driver job fewer per training
+    run; the labeled slice is scanned twice (stats + grams) instead of
+    three times. The labeled slice goes through ensure_parallelism
+    (same rationale as classify_lang — compute-bound gram hashing over
+    a possibly single-split input)."""
     from tower_parse_spark.session import ensure_parallelism
 
-    classes = tuple(
-        r[0]
-        for r in labeled.select(class_col).distinct().orderBy(class_col).collect()
+    labeled = ensure_parallelism(labeled)
+    # one job: per-class exact (token mass, doc count); the key set IS
+    # the class list (sorted — same order the old distinct produced)
+    stats = (
+        labeled.select(
+            F.col(class_col).alias("_cls"),
+            F.coalesce(F.size(char_ngrams(F.col(text_col))), F.lit(0)).alias(
+                "_n"
+            ),
+        )
+        .groupBy("_cls")
+        .agg(F.sum("_n").alias("tok"), F.count(F.lit(1)).alias("docs"))
+        .orderBy("_cls")
+        .collect()
     )
+    classes = tuple(r["_cls"] for r in stats)
     if len(classes) < 2:
         raise ValueError("langid training needs >= 2 classes")
-    labeled = ensure_parallelism(labeled)
-    cls_arr = F.array(*[F.lit(c) for c in classes])
+    tok = {r["_cls"]: int(r["tok"]) for r in stats}
+    docs = {r["_cls"]: int(r["docs"]) for r in stats}
+    alldocs = sum(docs.values())
     b = F.lit(float(n_features))
 
     grams = labeled.select(
@@ -333,56 +359,45 @@ def train_langid_nb(
         feature_bucket(F.col("_g"), n_features).alias("bucket"), F.col("_cls")
     ).agg(F.count(F.lit(1)).alias("n"))
 
-    # one-row class totals: token mass + doc count per class, as maps
-    totals = (
-        labeled.select(
-            F.col(class_col).alias("_cls"),
-            F.coalesce(F.size(char_ngrams(F.col(text_col))), F.lit(0)).alias(
-                "_n"
-            ),
-        )
-        .groupBy("_cls")
-        .agg(F.sum("_n").alias("tok"), F.count(F.lit(1)).alias("docs"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("_cls"), F.col("tok")))
-            ).alias("_tok"),
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("_cls"), F.col("docs")))
-            ).alias("_docs"),
-            F.sum("docs").alias("_alldocs"),
-        )
-    )
     # per-class NLL of a bucket: ln((tot_c + B) / (n_bc + 1)); unseen
     # (bucket, class) pairs take n=0 -> the class's nll0. Assemble the
     # class-aligned array by looking the bucket's per-class counts up
-    # in a map (missing -> 0).
+    # in a map (missing -> 0); the class totals are plan literals.
     bucket_counts = per.groupBy("bucket").agg(
         F.map_from_entries(
             F.collect_list(F.struct(F.col("_cls"), F.col("n")))
         ).alias("_n")
     )
-    nll_of = lambda cc: _quant_ln(  # noqa: E731
-        F.element_at(F.col("_tok"), cc) + b,
-        F.coalesce(F.element_at(F.col("_n"), cc), F.lit(0)) + F.lit(1.0),
-    )
-    weights = bucket_counts.crossJoin(F.broadcast(totals)).select(
+    weights = bucket_counts.select(
         "bucket",
-        F.transform(cls_arr, nll_of).alias("nlls"),
+        F.array(
+            *[
+                _quant_ln(
+                    F.lit(float(tok[c])) + b,
+                    F.coalesce(
+                        F.element_at(F.col("_n"), F.lit(c)), F.lit(0)
+                    )
+                    + F.lit(1.0),
+                )
+                for c in classes
+            ]
+        ).alias("nlls"),
     )
-    consts = totals.select(
-        F.transform(
-            cls_arr,
-            lambda cc: _quant_ln(
-                F.col("_alldocs").cast("double"),
-                F.element_at(F.col("_docs"), cc).cast("double"),
-            ),
+    spark = labeled.sparkSession
+    consts = spark.range(1).select(
+        F.array(
+            *[
+                _quant_ln(
+                    F.lit(float(alldocs)), F.lit(float(docs[c]))
+                )
+                for c in classes
+            ]
         ).alias("priors"),
-        F.transform(
-            cls_arr,
-            lambda cc: _quant_ln(
-                F.element_at(F.col("_tok"), cc) + b, F.lit(1.0)
-            ),
+        F.array(
+            *[
+                _quant_ln(F.lit(float(tok[c])) + b, F.lit(1.0))
+                for c in classes
+            ]
         ).alias("nll0"),
     )
     return MulticlassNB(
